@@ -16,12 +16,42 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_revenue_agg" -> (Relational.q1Revenue _)
+    "q1_revenue_agg" -> (Relational.q1Revenue _),
+    "p1_dropna_any" -> (Pipeline.p1DropnaAny _),
+    "p2_dropna_all" -> (Pipeline.p2DropnaAll _),
+    "p3_validate" -> (Pipeline.p3Validate _),
+    "p4_upper" -> (Pipeline.p4Upper _),
+    "p5_enrich" -> (Pipeline.p5Enrich _),
+    "p6_envelope" -> (Pipeline.p6Envelope _),
+    "p7_tag_index" -> (Pipeline.p7TagIndex _),
+    "p8_trim" -> (Pipeline.p8Trim _),
+    "p9_to_json" -> (Pipeline.p9ToJson _),
+    "p10_from_json" -> (Pipeline.p10FromJson _),
+    "p11_head" -> (Pipeline.p11Head _),
+    "u1_union_by_name" -> (Pipeline.u1UnionByName _),
+    "a1_count" -> (Pipeline.a1Count _),
+    "a2_branch_gate" -> (Pipeline.a2Branch _),
+    "l5_upsert_last_wins" -> (Pipeline.l5Upsert _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "q1_revenue_agg" -> Relational.q1RevenueSql
+    "q1_revenue_agg" -> Relational.q1RevenueSql,
+    "p1_dropna_any" -> Pipeline.p1Sql,
+    "p2_dropna_all" -> Pipeline.p2Sql,
+    "p3_validate" -> Pipeline.p3Sql,
+    "p4_upper" -> Pipeline.p4Sql,
+    "p5_enrich" -> Pipeline.p5Sql,
+    "p6_envelope" -> Pipeline.p6Sql,
+    "p7_tag_index" -> Pipeline.p7Sql,
+    "p8_trim" -> Pipeline.p8Sql,
+    "p9_to_json" -> Pipeline.p9Sql,
+    "p10_from_json" -> Pipeline.p10Sql,
+    "p11_head" -> Pipeline.p11Sql,
+    "u1_union_by_name" -> Pipeline.u1Sql,
+    "a1_count" -> Pipeline.a1Sql,
+    "a2_branch_gate" -> Pipeline.a2Sql,
+    "l5_upsert_last_wins" -> Pipeline.l5Sql
   )
 }

@@ -1,6 +1,8 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Fixture catalog (FIXTURES.md). Tables are driver-generated Parquet at
   * `$dir/<name>.parquet`; Parquet is self-describing so schemas come from
@@ -19,7 +21,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  /** `events.ts` is TIMESTAMP(NANOS) in the parquet footer, which Spark 4
+    * rejects outright; with `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (set in Verify/Bench/test sessions) it surfaces as nano-epoch LongType
+    * and is normalized here to a microsecond TimestampType — the same
+    * truncation DuckDB applies when fetching TIMESTAMP_NS rows.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case _ => raw
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
