@@ -31,7 +31,22 @@ object SparkEntry {
     "u1_union_by_name" -> (Pipeline.u1UnionByName _),
     "a1_count" -> (Pipeline.a1Count _),
     "a2_branch_gate" -> (Pipeline.a2Branch _),
-    "l5_upsert_last_wins" -> (Pipeline.l5Upsert _)
+    "l5_upsert_last_wins" -> (Pipeline.l5Upsert _),
+    "r1_join_multi" -> (Relational.r1JoinMulti _),
+    "r2_broadcast_join" -> (Relational.r2BroadcastJoin _),
+    "r3_semi_join" -> (Relational.r3Semi _),
+    "r3_anti_join" -> (Relational.r3Anti _),
+    "r4_range_join" -> (Relational.r4RangeJoin _),
+    "r5_multi_agg" -> (Relational.r5Agg _),
+    "r6_distinct" -> (Relational.r6Distinct _),
+    "r6_approx_distinct" -> (Relational.r6Approx _),
+    "r7_rollup" -> (Relational.r7Rollup _),
+    "r7_cube" -> (Relational.r7Cube _),
+    "r8_topk" -> (Relational.r8TopK _),
+    "r9_window" -> (Relational.r9Window _),
+    "r10_intersect" -> (Relational.r10Intersect _),
+    "r10_except" -> (Relational.r10Except _),
+    "r11_functions" -> (Relational.r11Functions _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -52,6 +67,21 @@ object SparkEntry {
     "u1_union_by_name" -> Pipeline.u1Sql,
     "a1_count" -> Pipeline.a1Sql,
     "a2_branch_gate" -> Pipeline.a2Sql,
-    "l5_upsert_last_wins" -> Pipeline.l5Sql
+    "l5_upsert_last_wins" -> Pipeline.l5Sql,
+    "r1_join_multi" -> Relational.r1Sql,
+    "r2_broadcast_join" -> Relational.r2Sql,
+    "r3_semi_join" -> Relational.r3SemiSql,
+    "r3_anti_join" -> Relational.r3AntiSql,
+    "r4_range_join" -> Relational.r4Sql,
+    "r5_multi_agg" -> Relational.r5Sql,
+    "r6_distinct" -> Relational.r6Sql,
+    // r6_approx_distinct: no oracle — HLL sketches differ across engines
+    "r7_rollup" -> Relational.r7Sql,
+    "r7_cube" -> Relational.r7CubeSql,
+    "r8_topk" -> Relational.r8Sql,
+    "r9_window" -> Relational.r9Sql,
+    "r10_intersect" -> Relational.r10IntersectSql,
+    "r10_except" -> Relational.r10ExceptSql,
+    "r11_functions" -> Relational.r11Sql
   )
 }

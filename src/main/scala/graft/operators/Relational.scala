@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{Exact, Tables}
 
@@ -43,4 +44,272 @@ object Relational {
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // --- R1: shuffle equi-joins across the star schema ------------------------
+  // lineitem⋈orders⋈customer: revenue per market segment. The two big
+  // tables shuffle-join on the order key (sort-merge or shuffled-hash,
+  // Catalyst/AQE picks); customer is small relative to the fact tables and
+  // auto-broadcasts under the default threshold. Partial aggregation runs
+  // map-side before the final shuffle on c_mktsegment.
+  def r1JoinMulti(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("c_mktsegment")
+  }
+
+  val r1Sql: String =
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // --- R2: explicit broadcast join of dimension tables ----------------------
+  // region/nation are O(10) rows at any scale factor — broadcast them so the
+  // customer scan never shuffles. This is the 100 TB-safe star-join shape.
+  def r2BroadcastJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"), Exact.dsum(col("c_acctbal"), 2).as("sum_acctbal"))
+      .orderBy("r_name")
+  }
+
+  val r2Sql: String =
+    """SELECT r_name, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS sum_acctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** R3 — left-semi join: customers that have at least one order (EXISTS). */
+  def r3Semi(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  val r3SemiSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_with_orders FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** R3b — left-anti join: customers with no orders (NOT EXISTS). */
+  def r3Anti(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  val r3AntiSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // --- R4: theta/range join ---------------------------------------------------
+  // Non-equi band join: parts priced within (s_acctbal, s_acctbal+100].
+  // Spark plans BroadcastNestedLoopJoin with supplier broadcast — correct
+  // here because one side is dimension-sized; a fact×fact band join at
+  // 100 TB would instead bucket both sides into overlapping ranges first.
+  def r4RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val sup = Tables.supplier(s, dir)
+    p.join(broadcast(sup),
+        p("p_retailprice") > sup("s_acctbal") && p("p_retailprice") <= sup("s_acctbal") + 100.0)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("s_suppkey")).as("n_suppliers"))
+      .orderBy("p_brand")
+  }
+
+  val r4Sql: String =
+    """SELECT p_brand, COUNT(*) AS n_pairs, COUNT(DISTINCT s_suppkey) AS n_suppliers
+      |FROM part JOIN supplier
+      |  ON p_retailprice > s_acctbal AND p_retailprice <= s_acctbal + 100.0
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** R5 — multi-function hash aggregate (partial+final 2-phase). */
+  def r5Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        Exact.davg(col("o_totalprice")).as("avg_price"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy("o_orderpriority")
+
+  val r5Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(o_totalprice) AS avg_price,
+      |  COUNT(DISTINCT o_custkey) AS n_customers
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** R6 — distinct + exact count-distinct. */
+  def r6Distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_nationkey"), col("c_mktsegment")).distinct()
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  val r6Sql: String =
+    """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
+  /** R6b — approx_count_distinct (HLL++). No SQL oracle: DuckDB's
+    * approx_count_distinct uses a different sketch, so exact equality is
+    * not defined; correctness is bounded-error vs the exact count
+    * (unit-tested), and the driver records the rows-only check.
+    */
+  def r6Approx(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+
+  /** R7 — rollup with grouping_id (subtotals + grand total). */
+  def r7Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .rollup(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("c_acctbal"), 2).as("sum_acctbal"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("c_mktsegment").asc_nulls_first, col("c_nationkey").asc_nulls_first)
+
+  val r7Sql: String =
+    """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS sum_acctbal,
+      |  CAST(GROUPING(c_mktsegment, c_nationkey) AS BIGINT) AS gid
+      |FROM customer GROUP BY ROLLUP(c_mktsegment, c_nationkey)
+      |ORDER BY gid, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin
+
+  /** R7b — cube over two low-cardinality dims. */
+  def r7Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  val r7CubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** R8 — global top-k: Spark plans TakeOrderedAndProject (per-partition
+    * heap + single k-row merge at the driver — no full sort at any scale).
+    */
+  def r8TopK(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(10)
+
+  val r8Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin
+
+  /** R9 — window functions: ranking, analytic (lag/lead), running frame.
+    * One hash shuffle on the partition key; frames evaluated per-partition.
+    */
+  def r9Window(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rank_price",
+        rank().over(Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast("decimal(28,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val r9Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(row_number() OVER w AS INTEGER) AS rn,
+      |  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank_price,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  lead(o_orderkey, 1) OVER w AS next_key,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** R10 — intersect: nations having both a customer and a supplier. */
+  def r10Intersect(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  val r10IntersectSql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin
+
+  /** R10b — except: nations with customers but no suppliers. */
+  def r10Except(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      .except(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  val r10ExceptSql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin
+
+  /** R11 — scalar function sampler: string/date/math built-ins, all
+    * whole-stage-codegen'd. Cross-dialect-safe subset (no libm functions
+    * whose last ulp differs between JVM and C).
+    */
+  def r11Functions(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        lower(col("o_orderpriority")).as("prio_lower"),
+        length(col("o_orderpriority")).as("prio_len"),
+        regexp_extract(col("o_orderpriority"), "^(\\d+)-", 1).as("prio_num"),
+        round(col("o_totalprice"), 1).as("price_rounded"),
+        abs(col("o_totalprice") - 1000.0).as("price_abs_diff"),
+        floor(col("o_totalprice")).as("price_floor"),
+        ceil(col("o_totalprice")).as("price_ceil"),
+        sqrt(col("o_totalprice")).as("price_sqrt"),
+        (col("o_orderkey") % 7).as("key_mod"))
+      .orderBy("o_orderkey")
+
+  val r11Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |  CAST(month(o_orderdate) AS INTEGER) AS o_month,
+      |  concat_ws('|', o_orderstatus, o_orderpriority) AS status_prio,
+      |  substring(o_orderpriority, 1, 1) AS prio_code,
+      |  lower(o_orderpriority) AS prio_lower,
+      |  CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
+      |  regexp_extract(o_orderpriority, '^(\d+)-', 1) AS prio_num,
+      |  round(o_totalprice, 1) AS price_rounded,
+      |  abs(o_totalprice - 1000.0) AS price_abs_diff,
+      |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+      |  CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+      |  sqrt(o_totalprice) AS price_sqrt,
+      |  o_orderkey % 7 AS key_mod
+      |FROM orders ORDER BY o_orderkey""".stripMargin
 }
