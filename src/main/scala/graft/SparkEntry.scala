@@ -46,7 +46,12 @@ object SparkEntry {
     "r9_window" -> (Relational.r9Window _),
     "r10_intersect" -> (Relational.r10Intersect _),
     "r10_except" -> (Relational.r10Except _),
-    "r11_functions" -> (Relational.r11Functions _)
+    "r11_functions" -> (Relational.r11Functions _),
+    "t1_bounded_consume" -> (Streamy.t1BoundedConsume _),
+    "t5_dedup_first" -> (Streamy.t5DedupFirst _),
+    "t7_tumbling_window" -> (Streamy.t7Tumbling _),
+    "t7_sliding_window" -> (Streamy.t7Sliding _),
+    "t7_session_window" -> (Streamy.t7Session _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -82,6 +87,11 @@ object SparkEntry {
     "r9_window" -> Relational.r9Sql,
     "r10_intersect" -> Relational.r10IntersectSql,
     "r10_except" -> Relational.r10ExceptSql,
-    "r11_functions" -> Relational.r11Sql
+    "r11_functions" -> Relational.r11Sql,
+    "t1_bounded_consume" -> Streamy.t1Sql,
+    "t5_dedup_first" -> Streamy.t5Sql,
+    "t7_tumbling_window" -> Streamy.t7TumblingSql,
+    "t7_sliding_window" -> Streamy.t7SlidingSql,
+    "t7_session_window" -> Streamy.t7SessionSql
   )
 }

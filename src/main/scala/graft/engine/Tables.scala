@@ -31,7 +31,9 @@ object Tables {
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // integer division — `/` on longs is double division in Spark and
+        // loses microseconds at nano-epoch magnitude (1.7e18 > 2^53)
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case _ => raw
     }
   }

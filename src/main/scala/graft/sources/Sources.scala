@@ -1,0 +1,95 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, FileOutputStream}
+import java.net.URL
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Ingestion surface (SURVEY.md §2.1 S1–S9).
+  *
+  * S1/S2's HTTP download is a driver-side landing step (the engine proper
+  * starts at the landed file, exactly like the reference's
+  * `/tmp/data.csv` handoff — dags/etl_data_pipeline.py:9-14); everything
+  * after it is a distributed scan.
+  */
+object Sources {
+
+  /** S1/S2 — fetch a URL to a local landing file with bounded retries
+    * (ref: fetch_data_with_retry, dags/kafka_to_mongo_pipeline_enchanced.py:44-63).
+    * Works with file:// URLs in the offline harness; java.net handles
+    * http(s) identically in a connected deployment.
+    */
+  def fetchToFile(url: String, dest: String, maxRetries: Int = 3): Unit = {
+    var attempt = 0
+    var ok = false
+    var last: Throwable = null
+    while (!ok && attempt < maxRetries) {
+      attempt += 1
+      try {
+        val in = new BufferedInputStream(new URL(url).openStream())
+        try {
+          Files.createDirectories(Paths.get(dest).getParent)
+          val out = new FileOutputStream(dest)
+          try in.transferTo(out) finally out.close()
+          ok = true
+        } finally in.close()
+      } catch { case t: Throwable => last = t }
+    }
+    if (!ok) throw new RuntimeException(s"fetch failed after $maxRetries attempts: $url", last)
+  }
+
+  /** S3 — CSV scan with header + schema inference
+    * (ref: pd.read_csv, dags/etl_data_pipeline.py:18). At 100 TB scale
+    * pass an explicit schema instead — inference reads the data twice.
+    */
+  def readCsv(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("header", "true")
+    schema match {
+      case Some(sc) => r.schema(sc).csv(path)
+      case None => r.option("inferSchema", "true").csv(path)
+    }
+  }
+
+  /** S4 — JSON-records scan (ref: pd.read_json, dags/etl_data_pipeline_mongodb.py:35). */
+  def readJsonRecords(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("multiLine", "true")
+    schema match {
+      case Some(sc) => r.schema(sc).json(path)
+      case None => r.json(path)
+    }
+  }
+
+  /** S8 — HTML scrape: h1 texts + first 10 hrefs, tagged with a 1-based
+    * index (ref: dags/scrap_to_kafka_to_mongo_pipeline.py:43-68). Pure
+    * Column expressions — regexp extraction + posexplode — so it runs
+    * distributed over any number of pages.
+    * Input: one row per page with an `html` string column.
+    */
+  def scrape(pages: DataFrame): DataFrame = {
+    val titles = pages
+      .select(posexplode(regexp_extract_all(col("html"), lit("<h1[^>]*>(.*?)</h1>"), lit(1))).as(Seq("pos", "content")))
+      .select(lit("title").as("type"), (col("pos") + 1).cast("int").as("index"),
+        trim(col("content")).as("content"))
+    val links = pages
+      .select(posexplode(slice(regexp_extract_all(col("html"), lit("href=\"([^\"]*)\""), lit(1)), 1, 10)).as(Seq("pos", "content")))
+      .select(lit("link").as("type"), (col("pos") + 1).cast("int").as("index"),
+        col("content"))
+    titles.unionByName(links)
+  }
+
+  /** S9 — file-existence sensor (ref: FileSensor,
+    * dags/etl_data_pipeline_mongodb_complex.py:93-98). Driver-side poll;
+    * the streaming-native alternative is a file-source readStream which
+    * picks up files on arrival.
+    */
+  def waitForPath(path: String, pokeIntervalMs: Long = 10000, timeoutMs: Long = 600000): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline) {
+      if (Files.exists(Paths.get(path))) return true
+      Thread.sleep(math.min(pokeIntervalMs, math.max(1, deadline - System.currentTimeMillis())))
+    }
+    false
+  }
+}

@@ -1,0 +1,149 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming re-expression of the reference's Kafka
+  * client-loop semantics (SURVEY.md §2.6 T1–T7).
+  *
+  * The reference consumes JSON messages in a poll loop
+  * (dags/kafka_to_mongo_pipeline.py:56-80) with at-least-once auto-commit;
+  * here each semantic maps to a first-class Structured Streaming concept:
+  * replay-from-earliest = source start offsets, auto-commit = checkpointed
+  * exactly-once progress, poll-until-quota = Trigger.AvailableNow, the
+  * per-record transform loop = ordinary Column expressions on a streaming
+  * DataFrame, and the Mongo keyed upsert = foreachBatch merge / stateful
+  * dedup with watermark.
+  *
+  * Offline harness note: there is no broker in the container, so the
+  * "topic" is a directory of JSON files (one record per line, an `offset`
+  * column standing in for the Kafka offset — FIXTURES.md events.event_id
+  * plays that role for fixture-backed tests). The plans are identical to
+  * the `format("kafka")` variants modulo the source node.
+  */
+object Streams {
+
+  /** Event payload schema for the JSON "topic" (P10 deserialization). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("k", IntegerType)))
+
+  /** T2/S5 — subscribe to a file-backed topic from the earliest offset:
+    * each line is a JSON message; `from_json` replaces the consumer's
+    * value_deserializer (ref: dags/kafka_to_mongo_pipeline.py:59).
+    */
+  def subscribe(spark: SparkSession, topicDir: String): DataFrame =
+    spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(topicDir)
+      .select(from_json(col("value"), eventSchema).as("m"))
+      .select(col("m.*"))
+
+  /** T4 — per-record transform on the stream: validate (P3), uppercase
+    * (P4), enrich (P5). Identical Column expressions to the batch ops —
+    * the incremental planner re-plans them per micro-batch.
+    */
+  def transform(stream: DataFrame): DataFrame =
+    stream
+      .filter(col("event_id").isNotNull && col("event_type").isNotNull)
+      .withColumn("event_type", upper(col("event_type")))
+      .withColumn("source", lit("topic"))
+      .withColumn("data_status", lit("raw"))
+
+  /** T1/S7 — bounded drain: process everything available, then stop
+    * (the reference's poll-until-quota loop, kafka_to_mongo_pipeline.py:67-80).
+    * Returns the started query; callers awaitTermination.
+    */
+  def drainAvailableNow(df: DataFrame, outDir: String, checkpoint: String): StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** T5 — stateful keyed dedup on the stream: first-arrival wins per key,
+    * state expired by watermark so it stays bounded at 100 TB/day rates.
+    */
+  def dedupKeyed(stream: DataFrame, eventTime: String, key: String, watermark: String): DataFrame =
+    stream
+      .withWatermark(eventTime, watermark)
+      .dropDuplicates(key, eventTime)
+
+  /** T7 [EXT] — event-time tumbling window aggregate with watermark. */
+  def tumblingCounts(stream: DataFrame, eventTime: String, width: String, watermark: String): DataFrame =
+    stream
+      .withWatermark(eventTime, watermark)
+      .groupBy(window(col(eventTime), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(28,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** T7 [EXT] — session windows (30-min gap) per user. */
+  def sessionCounts(stream: DataFrame, eventTime: String, gap: String, watermark: String): DataFrame =
+    stream
+      .withWatermark(eventTime, watermark)
+      .groupBy(session_window(col(eventTime), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"), col("user_id"), col("n_events"))
+
+  /** L5 as a streaming sink — keyed last-write-wins upsert via
+    * foreachBatch: dedup the micro-batch by max offset per key, then merge
+    * into a parquet "collection" keyed by id. Idempotent under replay
+    * (checkpoint + whole-key overwrite), i.e. exactly-once effective.
+    * Ref: dags/kafka_to_mongo_pipeline_enchanced.py:141-145.
+    */
+  def upsertSink(df: DataFrame, key: String, offsetCol: String, storeDir: String,
+                 checkpoint: String): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col(key)).orderBy(col(offsetCol).desc)
+        val latest = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val existing =
+          try spark.read.parquet(storeDir)
+          catch { case _: Throwable => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], latest.schema) }
+        val merged = existing
+          .join(latest.select(col(key)), Seq(key), "left_anti")
+          .unionByName(latest)
+        // two-phase write: stage then swap would be the durable form; for
+        // the harness a direct overwrite after materializing is enough.
+        val staged = merged.cache()
+        staged.count()
+        staged.write.mode("overwrite").parquet(storeDir)
+        staged.unpersist()
+        ()
+      }
+      .start()
+
+  /** Custom keyed state (SURVEY.md T5/T7 escalation path): running
+    * per-user event counter + last-seen event id via mapGroupsWithState —
+    * the mapGroupsWithState form of the reference's XCom counters
+    * (dags/kafka_to_mongo_pipeline_enchanced.py:106,159).
+    */
+  def runningUserCounts(spark: SparkSession, stream: DataFrame): DataFrame = {
+    import spark.implicits._
+    case class Ev(user_id: Long, event_id: Long)
+    stream.select(col("user_id"), col("event_id")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+          val (prevCount, prevMax) = state.getOption.getOrElse((0L, Long.MinValue))
+          var c = prevCount; var m = prevMax
+          evs.foreach { case (_, eid) => c += 1; if (eid > m) m = eid }
+          state.update((c, m))
+          (user, c, m)
+      }
+      .toDF("user_id", "n_events", "max_event_id")
+  }
+}

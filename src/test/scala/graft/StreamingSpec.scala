@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import graft.streaming.Streams
+
+/** Live Structured Streaming runs over a file-backed topic
+  * (deterministic `Trigger.AvailableNow` micro-batches — SURVEY.md §5.2.5).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def writeTopic(lines: Seq[String]): String = {
+    val dir = tmpDir("topic")
+    Files.writeString(Paths.get(s"$dir/part-0.json"), lines.mkString("\n"))
+    dir
+  }
+
+  private def msg(id: Long, user: Long, typ: String, v: Double, k: Int): String =
+    s"""{"event_id":$id,"user_id":$user,"event_type":"$typ","value":$v,"k":$k}"""
+
+  test("T1/T2: AvailableNow drains the whole topic from earliest, then stops") {
+    val topic = writeTopic(Seq(msg(0, 1, "click", 1.0, 5), msg(1, 2, "view", 2.0, 6)))
+    val out = tmpDir("out")
+    val q = Streams.drainAvailableNow(
+      Streams.transform(Streams.subscribe(spark, topic)), out, tmpDir("ckpt"))
+    q.awaitTermination(60000)
+    val res = spark.read.parquet(out)
+    assert(res.count() == 2)
+    // T4: transform ran per record
+    assert(res.select("event_type").collect().map(_.getString(0)).toSet == Set("CLICK", "VIEW"))
+    assert(res.select("source").distinct().collect().head.getString(0) == "topic")
+  }
+
+  test("T3: checkpoint makes re-drain a no-op (exactly-once progress)") {
+    val topic = writeTopic(Seq(msg(0, 1, "click", 1.0, 5)))
+    val out = tmpDir("out")
+    val ckpt = tmpDir("ckpt")
+    val q1 = Streams.drainAvailableNow(Streams.subscribe(spark, topic), out, ckpt)
+    q1.awaitTermination(60000)
+    val q2 = Streams.drainAvailableNow(Streams.subscribe(spark, topic), out, ckpt)
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(out).count() == 1) // offsets committed, no reprocess
+  }
+
+  test("T5: streaming upsert sink — last write per key wins across micro-batches") {
+    val store = tmpDir("store")
+    val topic1 = writeTopic(Seq(msg(10, 1, "a", 1.0, 1), msg(11, 1, "b", 2.0, 1), msg(12, 2, "c", 3.0, 1)))
+    val q1 = Streams.upsertSink(Streams.subscribe(spark, topic1), "user_id", "event_id", store, tmpDir("ck1"))
+    q1.awaitTermination(60000)
+    val topic2 = writeTopic(Seq(msg(13, 2, "d", 4.0, 1)))
+    val q2 = Streams.upsertSink(Streams.subscribe(spark, topic2), "user_id", "event_id", store, tmpDir("ck2"))
+    q2.awaitTermination(60000)
+    val out = spark.read.parquet(store).orderBy("user_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"))).toSeq
+    assert(out == Seq((1L, "b"), (2L, "d")))
+  }
+
+  test("T7: watermarked tumbling window counts on a stream (memory sink)") {
+    val dir = tmpDir("evts")
+    // two events in hour 0, one in hour 1
+    Files.writeString(Paths.get(s"$dir/e.json"), Seq(
+      """{"event_id":0,"user_id":1,"event_type":"click","ts":"2024-01-01T00:10:00.000Z","value":1.0}""",
+      """{"event_id":1,"user_id":2,"event_type":"click","ts":"2024-01-01T00:50:00.000Z","value":2.0}""",
+      """{"event_id":2,"user_id":1,"event_type":"click","ts":"2024-01-01T01:10:00.000Z","value":3.0}""").mkString("\n"))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema).json(dir)
+    val agg = Streams.tumblingCounts(stream, "ts", "1 hour", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT * FROM tumbling ORDER BY window_start").collect()
+    assert(rows.map(_.getAs[Long]("n")).toSeq == Seq(2L, 1L))
+    assert(rows.head.getAs[Double]("sum_value") == 3.0)
+  }
+
+  test("mapGroupsWithState: running per-user counters across micro-batches") {
+    val topic = writeTopic(Seq(msg(0, 1, "a", 1.0, 1), msg(1, 1, "b", 1.0, 1), msg(2, 2, "c", 1.0, 1)))
+    val counts = Streams.runningUserCounts(spark, Streams.subscribe(spark, topic))
+    val q = counts.writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Update()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT * FROM running ORDER BY user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, 2L, 1L), (2L, 1L, 2L)))
+  }
+}
