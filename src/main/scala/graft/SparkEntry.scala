@@ -51,7 +51,21 @@ object SparkEntry {
     "t5_dedup_first" -> (Streamy.t5DedupFirst _),
     "t7_tumbling_window" -> (Streamy.t7Tumbling _),
     "t7_sliding_window" -> (Streamy.t7Sliding _),
-    "t7_session_window" -> (Streamy.t7Session _)
+    "t7_session_window" -> (Streamy.t7Session _),
+    "x1_dedup_exact" -> (Dedup.x1Exact _),
+    "x2_jaccard_neardup" -> (Dedup.x2Jaccard _),
+    "x2_minhash_lsh" -> (Dedup.x2MinHashLsh _),
+    "x2_simhash" -> (Dedup.x2SimHash _),
+    "x2_embedding_neardup" -> (Dedup.x2EmbeddingNearDup _),
+    "x3_cosine_topk" -> (Similarity.x3CosineTopK _),
+    "x3_ann_lsh" -> (Similarity.x3AnnLsh _),
+    "x4_text_stats" -> (TextAnalysis.x4Stats _),
+    "x4_token_count" -> (TextAnalysis.x4TokenCount _),
+    "x4_lang_id" -> (TextAnalysis.x4LangId _),
+    "x4_quality_score" -> (TextAnalysis.x4Quality _),
+    "x4_fingerprint" -> (TextAnalysis.x4Fingerprint _),
+    "x5_nested_hof" -> (Multimodal.x5Nested _),
+    "x5_media_features" -> (Multimodal.x5MediaFeatures _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -92,6 +106,21 @@ object SparkEntry {
     "t5_dedup_first" -> Streamy.t5Sql,
     "t7_tumbling_window" -> Streamy.t7TumblingSql,
     "t7_sliding_window" -> Streamy.t7SlidingSql,
-    "t7_session_window" -> Streamy.t7SessionSql
+    "t7_session_window" -> Streamy.t7SessionSql,
+    "x1_dedup_exact" -> Dedup.x1Sql,
+    "x2_jaccard_neardup" -> Dedup.x2JaccardSql,
+    // x2_minhash_lsh verifies candidates exactly, so its output equals
+    // the exact all-pairs query — same oracle.
+    "x2_minhash_lsh" -> Dedup.x2JaccardSql,
+    // x2_simhash / x3_ann_lsh: hash-specific / approximate — rows-only.
+    "x2_embedding_neardup" -> Dedup.x2EmbeddingSql,
+    "x3_cosine_topk" -> Similarity.x3Sql,
+    "x4_text_stats" -> TextAnalysis.x4StatsSql,
+    "x4_token_count" -> TextAnalysis.x4TokenCountSql,
+    "x4_lang_id" -> TextAnalysis.x4LangIdSql,
+    "x4_quality_score" -> TextAnalysis.x4QualitySql,
+    "x4_fingerprint" -> TextAnalysis.x4FingerprintSql,
+    "x5_nested_hof" -> Multimodal.x5NestedSql,
+    "x5_media_features" -> Multimodal.x5MediaSql
   )
 }

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** [EXT] Deduplication operators over `documents` (SURVEY.md §2.7 X1/X2):
+  * exact, exact-all-pairs n-gram Jaccard, MinHash+LSH, and SimHash.
+  *
+  * Scale design (100 TB): exact dedup is one hash aggregate on a text
+  * digest. The all-pairs Jaccard form exists as the small-data oracle
+  * twin; the scale path is MinHash+LSH — per-doc signature (narrow map,
+  * no shuffle), explode to (band, bandHash) keys (32×), self-join on
+  * band buckets (shuffle proportional to candidate pairs, not n²), then
+  * exact verification only on candidates via array intersection. SimHash
+  * gives the complementary hamming-distance family with 16-bit band
+  * buckets. All hash arithmetic is pmod-bounded below 2^62 — Spark 4 runs
+  * ANSI mode, where silent long overflow is an error.
+  */
+object Dedup {
+
+  /** X1 — exact dedup: keep the min-doc_id representative per identical
+    * text. One shuffle on the (digested) text key.
+    */
+  def x1Exact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select(col("keeper_id"), col("n_copies"), length(col("text")).as("text_len"))
+      .orderBy("keeper_id")
+
+  val x1Sql: String =
+    """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies,
+      |  CAST(length(text) AS INTEGER) AS text_len
+      |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin
+
+  /** Distinct 3-token shingles of `text` (the near-dup granularity —
+    * token *sets* are degenerate on a 31-token vocabulary).
+    */
+  def shingles(text: Column): Column = {
+    val toks = split(text, " ")
+    array_distinct(expr(
+      """transform(sequence(1, size(split(text, ' ')) - 2),
+        |  i -> concat_ws(' ', element_at(split(text, ' '), i),
+        |                      element_at(split(text, ' '), i + 1),
+        |                      element_at(split(text, ' '), i + 2)))""".stripMargin))
+  }
+
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+
+  /** X2a — exact all-pairs n-gram Jaccard near-dup (the oracle-checkable
+    * form; quadratic in the worst case, so it is the verification twin,
+    * not the scale path).
+    */
+  def x2Jaccard(s: SparkSession, dir: String): DataFrame = {
+    val ds = docShingles(s, dir)
+    val ex = ds.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sizes = ds.select(col("doc_id"), size(col("sh")).as("n"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c")), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val x2JaccardSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                                for i in range(1, len(toks) - 1)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |  WHERE len(toks) >= 3
+      |), ex AS (SELECT doc_id, unnest(s) AS s FROM sh),
+      |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT doc_a, doc_b,
+      |    round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+      |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id)
+      |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
+
+  private val P = 1000000007L
+
+  /** 128-permutation MinHash signature over the shingle array. Pure
+    * higher-order functions — whole-stage-codegen'd, no UDF, no shuffle.
+    * h_p(x) = (a_p * xxhash64(x) + b_p) mod P with a_p,b_p derived from
+    * the permutation index; every term is pmod-bounded so the products
+    * stay under 2^62 (ANSI-safe).
+    */
+  val minhashSig: Column = expr(
+    s"""transform(sequence(0, 127), p ->
+       |  aggregate(sh, ${Long.MaxValue}L, (acc, x) ->
+       |    least(acc,
+       |      pmod((pmod(xxhash64(concat('perm_a_', p)), 2147483646) + 1)
+       |             * pmod(xxhash64(x), ${P}L)
+       |           + pmod(xxhash64(concat('perm_b_', p)), ${P}L), ${P}L))))""".stripMargin)
+
+  /** X2b — MinHash + LSH banding near-dup. 32 bands × 4 rows: a pair with
+    * Jaccard J collides in ≥1 band with p = 1-(1-J⁴)³², ≈1-1e-15 at
+    * J=0.9. Candidates are verified with exact Jaccard via array
+    * intersection (no re-explosion), so the output equals the exact
+    * all-pairs query — which is also its oracle.
+    */
+  def x2MinHashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sig = docShingles(s, dir).withColumn("sig", minhashSig)
+    val bands = sig.select(col("doc_id"),
+        posexplode(expr("transform(sequence(0, 31), b -> xxhash64(concat_ws(',', slice(sig, b * 4 + 1, 4))))"))
+          .as(Seq("band", "bh")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val withSets = cand
+      .join(sig.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sig.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id")).drop("doc_id")
+    withSets
+      .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", round(col("c") / (size(col("sh_a")) + size(col("sh_b")) - col("c")), 6))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash over tokens (with multiplicity): bit k is set when
+    * the signed sum of token-hash bit k is positive.
+    */
+  val simhashSig: Column = expr(
+    """aggregate(sequence(0, 63), 0L, (acc, k) ->
+      |  acc + if(
+      |    aggregate(split(text, ' '), 0L,
+      |      (s, t) -> s + if((xxhash64(t) >> k) % 2 != 0, 1L, -1L)) > 0L,
+      |    shiftleft(1L, k), 0L))""".stripMargin)
+
+  /** X2c — SimHash hamming-distance near-dup: 4×16-bit band buckets (a
+    * pair within hamming ≤ 3 of 64 bits must agree on ≥1 of 4 bands by
+    * pigeonhole), then exact hamming verification via bit_count(xor).
+    * No SQL oracle (hash-function-specific); pinned by unit tests.
+    */
+  def x2SimHash(s: SparkSession, dir: String): DataFrame = {
+    val sig = Tables.documents(s, dir).select(col("doc_id"), simhashSig.as("sig"))
+    val bands = sig.select(col("doc_id"), col("sig"),
+      posexplode(expr("transform(sequence(0, 3), b -> (sig >> (b * 16)) % 65536)")).as(Seq("band", "bv")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** X2d — embedding-cosine near-dup: pairs above a cosine threshold.
+    * Brute-force form (oracle twin); the scale path shares the LSH
+    * bucketing of [[Similarity.x3AnnLsh]].
+    */
+  def x2EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("norm", sqrt(expr("aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("dot", expr("aggregate(zip_with(a.e, b.e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+      .withColumn("cosine", round(col("dot") / (col("a.norm") * col("b.norm")), 6))
+      .filter(col("cosine") >= 0.5)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val x2EmbeddingSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+      |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      |  FROM embeddings)
+      |SELECT vec_a, vec_b, cosine FROM (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    round(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6) AS cosine
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |WHERE cosine >= 0.5 ORDER BY vec_a, vec_b""".stripMargin
+}

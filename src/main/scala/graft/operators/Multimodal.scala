@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Tables
+
+/** [EXT] Multimodal + nested-column operators (SURVEY.md §2.7 X5).
+  *
+  * Media payloads are opaque `binary` columns with typed metadata —
+  * the 100 TB pattern: never parse media in SQL expressions; run the
+  * decoder per partition over batched rows (the Scala analogue of
+  * `mapInPandas`), keep the schema explicit, and let everything before
+  * and after the decode stage stay in Catalyst. The decode kernel itself
+  * is a STUB here (no image/audio libraries in the container — clearly
+  * marked below); it computes deterministic features of the bytes so the
+  * plumbing (schema, batching, partition parallelism) is fully testable
+  * and oracle-checkable.
+  */
+object Multimodal {
+
+  /** X5a — nested columns + higher-order functions: per-customer ordered
+    * array of order prices (struct-sorted for determinism), filtered and
+    * reduced with array HOFs. One shuffle (the groupBy); the HOF stage is
+    * a narrow map over the built arrays.
+    */
+  def x5Nested(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(struct(col("o_orderkey"), col("o_totalprice")))).as("ord"))
+      .select(
+        col("o_custkey"),
+        expr("transform(ord, x -> x.o_totalprice)").as("prices"))
+      .select(
+        col("o_custkey"),
+        size(col("prices")).as("n_orders"),
+        array_max(col("prices")).as("max_price"),
+        element_at(col("prices"), 1).as("first_price"),
+        size(expr("filter(prices, p -> p > 100000.0)")).as("n_big"),
+        round(expr(
+          "aggregate(filter(prices, p -> p > 100000.0), 0D, (acc, p) -> acc + p)"), 2).as("big_total"))
+      .orderBy("o_custkey")
+
+  val x5NestedSql: String =
+    """WITH nested AS (
+      |  SELECT o_custkey, list(o_totalprice ORDER BY o_orderkey) AS prices
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT o_custkey,
+      |  CAST(len(prices) AS INTEGER) AS n_orders,
+      |  list_max(prices) AS max_price,
+      |  prices[1] AS first_price,
+      |  CAST(len(list_filter(prices, p -> p > 100000.0)) AS INTEGER) AS n_big,
+      |  round(list_reduce(list_prepend(0.0::DOUBLE, list_filter(prices, p -> p > 100000.0)),
+      |                    (acc, p) -> acc + p), 2) AS big_total
+      |FROM nested ORDER BY o_custkey""".stripMargin
+
+  /** Output schema of the decode stage — explicit, never inferred. */
+  val mediaFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("byte_len", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("checksum", LongType)))
+
+  /** ======================== DECODE STUB ==============================
+    * Stand-in for the real media decoder (image resize / audio feature /
+    * video frame-sample). The container ships no media libraries, so this
+    * computes deterministic byte-level features with the exact same
+    * signature a real kernel would have: Iterator[Row] → Iterator[Row],
+    * batched per partition, no driver involvement. Swap the body for
+    * JNI/FFmpeg/JPEG decode in production — nothing else changes.
+    * ===================================================================
+    */
+  private def decodeStub(rows: Iterator[Row]): Iterator[Row] =
+    rows.map { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val checksum = bytes.take(16).foldLeft(0L)((acc, b) => acc + (b & 0xff))
+      Row(id, bytes.length, bytes.length / 64 + 1, checksum)
+    }
+
+  /** X5b — media feature extraction over binary columns via
+    * mapPartitions (the Scala analogue of a batched Pandas UDF /
+    * mapInPandas stage). The binary payload here is the UTF-8 encoding of
+    * `text` (the fixtures carry no real media), which keeps the whole
+    * stage oracle-checkable byte-for-byte.
+    */
+  def x5MediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val out = media.sparkSession.createDataFrame(
+      media.rdd.mapPartitions(decodeStub), mediaFeatureSchema)
+    out.orderBy("doc_id")
+  }
+
+  val x5MediaSql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+      |  CAST(octet_length(encode(text)) // 64 + 1 AS INTEGER) AS n_frames,
+      |  list_reduce(list_prepend(0::BIGINT,
+      |      [ascii(text[i]) for i in range(1, least(length(text), 16) + 1)]),
+      |    (acc, c) -> acc + c) AS checksum
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

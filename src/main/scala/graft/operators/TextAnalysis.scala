@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** [EXT] Text analysis over `documents` (SURVEY.md §2.7 X4): statistics,
+  * token counting (whitespace + regex), a marker-token language-ID
+  * heuristic, a composite quality score, and a rolling-hash fingerprint.
+  * All pure Column expressions — narrow maps, codegen'd, shuffle-free
+  * except the final presentation sort.
+  */
+object TextAnalysis {
+
+  /** X4a — per-document statistics: token counts, distinct tokens,
+    * type-token ratio, average token length.
+    */
+  def x4Stats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"), col("lang"),
+        length(col("text")).as("n_chars_m"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        round(size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 6).as("ttr"),
+        round((length(col("text")) - size(col("toks")) + 1).cast("double") / size(col("toks")), 6).as("avg_tok_len"))
+      .orderBy("doc_id")
+
+  val x4StatsSql: String =
+    """SELECT doc_id, lang,
+      |  CAST(length(text) AS INTEGER) AS n_chars_m,
+      |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+      |  round(len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')), 6) AS ttr,
+      |  round((length(text) - len(string_split(text, ' ')) + 1) * 1.0 / len(string_split(text, ' ')), 6) AS avg_tok_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** X4b — token counting two ways: whitespace tokens and a BPE-ish
+    * regex lexer ([a-z]+ words, digit runs, single non-space symbols).
+    */
+  def x4TokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("regex_tokens"))
+      .orderBy("doc_id")
+
+  val x4TokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS regex_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // Marker tokens per language — the stopword-list LID heuristic. On the
+  // synthetic token-soup corpus these are the most lang-skewed tokens;
+  // the *operator semantics* (argmax of marker counts with deterministic
+  // tie-break) is what the oracle pins, not linguistic accuracy.
+  private val markers = Seq(
+    "en" -> Seq("hash", "order", "table"),
+    "de" -> Seq("customer", "join", "row"),
+    "fr" -> Seq("scan", "data", "batch"),
+    "es" -> Seq("slow", "agg", "merge"),
+    "zh" -> Seq("small", "column", "line"))
+
+  private def markerCount(lang: String): org.apache.spark.sql.Column = {
+    val lst = markers.toMap.apply(lang).map(m => s"'$m'").mkString(", ")
+    expr(s"size(filter(split(text, ' '), t -> t IN ($lst)))")
+  }
+
+  /** X4c — language-ID heuristic: argmax of per-language marker-token
+    * counts, ties broken by the fixed language order en>de>fr>es>zh.
+    */
+  def x4LangId(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("c_en", markerCount("en"))
+      .withColumn("c_de", markerCount("de"))
+      .withColumn("c_fr", markerCount("fr"))
+      .withColumn("c_es", markerCount("es"))
+      .withColumn("c_zh", markerCount("zh"))
+    val mx = greatest(col("c_en"), col("c_de"), col("c_fr"), col("c_es"), col("c_zh"))
+    d.select(col("doc_id"), col("lang").as("true_lang"),
+        when(col("c_en") === mx, "en").when(col("c_de") === mx, "de")
+          .when(col("c_fr") === mx, "fr").when(col("c_es") === mx, "es")
+          .otherwise("zh").as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  val x4LangIdSql: String = {
+    def c(l: String) =
+      s"len(list_filter(string_split(text, ' '), t -> list_contains([${markers.toMap.apply(l).map(m => s"'$m'").mkString(", ")}], t)))"
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    ${c("en")} AS c_en, ${c("de")} AS c_de, ${c("fr")} AS c_fr,
+       |    ${c("es")} AS c_es, ${c("zh")} AS c_zh
+       |  FROM documents)
+       |SELECT doc_id, lang AS true_lang,
+       |  CASE WHEN c_en = greatest(c_en, c_de, c_fr, c_es, c_zh) THEN 'en'
+       |       WHEN c_de = greatest(c_en, c_de, c_fr, c_es, c_zh) THEN 'de'
+       |       WHEN c_fr = greatest(c_en, c_de, c_fr, c_es, c_zh) THEN 'fr'
+       |       WHEN c_es = greatest(c_en, c_de, c_fr, c_es, c_zh) THEN 'es'
+       |       ELSE 'zh' END AS pred_lang
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  /** X4d — composite quality score: length saturation, lexical diversity,
+    * and filler-token penalty, each a deterministic double expression.
+    */
+  def x4Quality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")).cast("double"))
+      .withColumn("len_score", least(col("n") / 100.0, lit(1.0)))
+      .withColumn("diversity", size(array_distinct(col("toks"))).cast("double") / col("n"))
+      .withColumn("filler_ratio",
+        expr("size(filter(toks, t -> t IN ('a', 'the'))) ").cast("double") / col("n"))
+      .select(col("doc_id"),
+        round(col("len_score") * 0.3 + col("diversity") * 0.3 + (lit(1.0) - col("filler_ratio")) * 0.4, 6)
+          .as("quality"))
+      .orderBy("doc_id")
+
+  val x4QualitySql: String =
+    """SELECT doc_id,
+      |  round(least(len(toks) / 100.0, 1.0) * 0.3
+      |      + (len(list_distinct(toks)) * 1.0 / len(toks)) * 0.3
+      |      + (1.0 - len(list_filter(toks, t -> t IN ('a', 'the'))) * 1.0 / len(toks)) * 0.4,
+      |    6) AS quality
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** X4e — document fingerprint: 31-polynomial rolling hash of the full
+    * text mod 1e9+7 (each step pmod-bounded — ANSI-safe, and the same
+    * fold is expressible in the oracle dialect).
+    */
+  def x4Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("""aggregate(
+                |  transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))),
+                |  0L, (acc, c) -> pmod(acc * 31 + c, 1000000007))""".stripMargin).as("fingerprint"))
+      .orderBy("doc_id")
+
+  val x4FingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(0::BIGINT, [ascii(text[i]) for i in range(1, length(text) + 1)]),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

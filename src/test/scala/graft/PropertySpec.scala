@@ -1,0 +1,82 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+
+/** Property-based invariants (SURVEY.md §5.2.3) on small generated frames.
+  * Drives ScalaCheck Gen directly with fixed seeds (the scalatestplus
+  * bridge is not in the offline dependency cache) — 10 deterministic
+  * samples per property.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = Gen.listOf(Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(-100, 100)))
+
+  private def forAll[A](gen: Gen[A])(body: A => Unit): Unit =
+    (1 to 10).foreach { i =>
+      val params = Gen.Parameters.default.withSize(40)
+      val sample = gen.pureApply(params, Seed(42L + i), retries = 100)
+      body(sample)
+    }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(body: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => body(t._1, t._2))
+
+  test("dedup idempotence: dropDuplicates(dropDuplicates(x)) == dropDuplicates(x)") {
+    forAll(rows) { xs =>
+      val df = xs.toDF("k", "v")
+      val d1 = df.dropDuplicates("k")
+      assert(d1.dropDuplicates("k").count() == d1.count())
+    }
+  }
+
+  test("filter result is a subset of the input") {
+    forAll(rows) { xs =>
+      val df = xs.toDF("k", "v")
+      val f = df.filter(col("v") > 0)
+      assert(f.exceptAll(df).count() == 0)
+      assert(f.count() <= df.count())
+    }
+  }
+
+  test("union row-count conservation") {
+    forAll(rows, rows) { (a, b) =>
+      val (da, db) = (a.toDF("k", "v"), b.toDF("k", "v"))
+      assert(da.unionByName(db).count() == a.length + b.length)
+    }
+  }
+
+  test("top-k equals the k-prefix of the full sort") {
+    forAll(rows, Gen.chooseNum(1, 10)) { (xs, k) =>
+      val df = xs.toDF("k", "v")
+      val topk = df.orderBy(col("v").desc, col("k")).limit(k).collect().toSeq
+      val full = df.orderBy(col("v").desc, col("k")).collect().take(k).toSeq
+      assert(topk == full)
+    }
+  }
+
+  test("groupBy-sum partitions the total: sum of group sums == global sum") {
+    forAll(rows) { xs =>
+      val df = xs.toDF("k", "v")
+      val grouped = df.groupBy("k").agg(sum("v").as("s"))
+        .agg(sum("s")).collect().head
+      val global = df.agg(sum("v")).collect().head
+      assert(grouped.isNullAt(0) == global.isNullAt(0))
+      if (!global.isNullAt(0)) assert(grouped.getLong(0) == global.getLong(0))
+    }
+  }
+
+  test("last-wins upsert: result has one row per key, the max-offset one") {
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 1000L), Gen.chooseNum(0L, 5L)))) { xs =>
+      val df = xs.toDF("offset", "id")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("id")).orderBy(col("offset").desc)
+      val up = df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      val expect = xs.groupBy(_._2).view.mapValues(_.map(_._1).max).toMap
+      val got = up.collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+      assert(got == expect)
+    }
+  }
+}
