@@ -56,7 +56,9 @@ object Dedup {
     * not the scale path).
     */
   def x2Jaccard(s: SparkSession, dir: String): DataFrame = {
-    val ds = docShingles(s, dir)
+    // shingling feeds both self-join sides plus the two size lookups —
+    // persist so the transform runs once per doc, not four times
+    val ds = docShingles(s, dir).persist()
     val ex = ds.select(col("doc_id"), explode(col("sh")).as("s"))
     val sizes = ds.select(col("doc_id"), size(col("sh")).as("n"))
     val inter = ex.as("a").join(ex.as("b"),
@@ -92,19 +94,44 @@ object Dedup {
 
   private val P = 1000000007L
 
-  /** 128-permutation MinHash signature over the shingle array. Pure
-    * higher-order functions — whole-stage-codegen'd, no UDF, no shuffle.
-    * h_p(x) = (a_p * xxhash64(x) + b_p) mod P with a_p,b_p derived from
-    * the permutation index; every term is pmod-bounded so the products
-    * stay under 2^62 (ANSI-safe).
+  /** The 128 permutation constants (a_p, b_p), generated once driver-side
+    * (splitmix64 of the permutation index — deterministic across runs) and
+    * embedded as constant-folded array literals. a_p ∈ [1, 2^31],
+    * b_p ∈ [0, P): a_p * h + b_p stays under 2^62 for h < P (ANSI-safe,
+    * no silent overflow).
     */
-  val minhashSig: Column = expr(
-    s"""transform(sequence(0, 127), p ->
-       |  aggregate(sh, ${Long.MaxValue}L, (acc, x) ->
-       |    least(acc,
-       |      pmod((pmod(xxhash64(concat('perm_a_', p)), 2147483646) + 1)
-       |             * pmod(xxhash64(x), ${P}L)
-       |           + pmod(xxhash64(concat('perm_b_', p)), ${P}L), ${P}L))))""".stripMargin)
+  private def splitmix64(seed: Long): Long = {
+    var x = seed + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+  private val permA = (0 until 128).map(p => Math.floorMod(splitmix64(p.toLong), 2147483646L) + 1L)
+  private val permB = (0 until 128).map(p => Math.floorMod(splitmix64(p.toLong + 1000L), P))
+
+  /** Pre-hash of the shingle array: each shingle hashed ONCE into [0, P).
+    * The 947→fast lesson from the sf0.1 bench: hashing inside the
+    * permutation loop (and worse, hashing per-permutation string-built
+    * constants) costs 128× the necessary work in interpreted HOF space.
+    */
+  private val shingleHashes: Column =
+    expr(s"transform(sh, x -> pmod(xxhash64(x), ${P}L))")
+
+  /** 128-permutation MinHash signature over pre-hashed shingles (`hs`).
+    * Pure higher-order functions — no UDF, no shuffle. Each permutation is
+    * a fused multiply-add-min over the pre-hashed values against
+    * constant-folded literal arrays: the hot loop is 128×|sh| integer ops
+    * per row, no string building, no re-hashing.
+    */
+  val minhashSig: Column = {
+    val aLit = permA.mkString("array(", "L,", "L)")
+    val bLit = permB.mkString("array(", "L,", "L)")
+    expr(
+      s"""transform(sequence(0, 127), p ->
+         |  aggregate(hs, ${Long.MaxValue}L,
+         |    (acc, h) -> least(acc,
+         |      pmod(element_at($aLit, p + 1) * h + element_at($bLit, p + 1), ${P}L))))""".stripMargin)
+  }
 
   /** X2b — MinHash + LSH banding near-dup. 32 bands × 4 rows: a pair with
     * Jaccard J collides in ≥1 band with p = 1-(1-J⁴)³², ≈1-1e-15 at
@@ -113,7 +140,15 @@ object Dedup {
     * all-pairs query — which is also its oracle.
     */
   def x2MinHashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sig = docShingles(s, dir).withColumn("sig", minhashSig)
+    // The signature stage feeds four consumers (both band sides, both
+    // verification joins) — persist it so the signatures are computed
+    // once. At 100 TB this is the standard "materialize signatures"
+    // checkpoint of a MinHash pipeline (storage ~= 1 KB/doc).
+    val sig = docShingles(s, dir)
+      .withColumn("hs", shingleHashes)
+      .withColumn("sig", minhashSig)
+      .drop("hs")
+      .persist()
     val bands = sig.select(col("doc_id"),
         posexplode(expr("transform(sequence(0, 31), b -> xxhash64(concat_ws(',', slice(sig, b * 4 + 1, 4))))"))
           .as(Seq("band", "bh")))
@@ -134,14 +169,17 @@ object Dedup {
   }
 
   /** 64-bit SimHash over tokens (with multiplicity): bit k is set when
-    * the signed sum of token-hash bit k is positive.
+    * the signed sum of token-hash bit k is positive. The outer
+    * single-element `aggregate` binds the token-hash array once, so each
+    * token is hashed once — not once per bit (64× less hashing).
     */
   val simhashSig: Column = expr(
-    """aggregate(sequence(0, 63), 0L, (acc, k) ->
-      |  acc + if(
-      |    aggregate(split(text, ' '), 0L,
-      |      (s, t) -> s + if((xxhash64(t) >> k) % 2 != 0, 1L, -1L)) > 0L,
-      |    shiftleft(1L, k), 0L))""".stripMargin)
+    """aggregate(array(transform(split(text, ' '), t -> xxhash64(t))), 0L,
+      |  (acc0, ths) -> acc0 + aggregate(sequence(0, 63), 0L, (acc, k) ->
+      |    acc + if(
+      |      aggregate(ths, 0L,
+      |        (s, h) -> s + if(shiftright(h, k) % 2 != 0, 1L, -1L)) > 0L,
+      |      shiftleft(1L, k), 0L)))""".stripMargin)
 
   /** X2c — SimHash hamming-distance near-dup: 4×16-bit band buckets (a
     * pair within hamming ≤ 3 of 64 bits must agree on ≥1 of 4 bands by
@@ -149,7 +187,7 @@ object Dedup {
     * No SQL oracle (hash-function-specific); pinned by unit tests.
     */
   def x2SimHash(s: SparkSession, dir: String): DataFrame = {
-    val sig = Tables.documents(s, dir).select(col("doc_id"), simhashSig.as("sig"))
+    val sig = Tables.documents(s, dir).select(col("doc_id"), simhashSig.as("sig")).persist()
     val bands = sig.select(col("doc_id"), col("sig"),
       posexplode(expr("transform(sequence(0, 3), b -> (sig >> (b * 16)) % 65536)")).as(Seq("band", "bv")))
     bands.as("a").join(bands.as("b"),
@@ -169,9 +207,9 @@ object Dedup {
   def x2EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("norm", sqrt(expr("aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")))
+      .withColumn("norm", sqrt(graft.functions.VectorFunctions.dotF64(col("e"), col("e"))))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("dot", expr("aggregate(zip_with(a.e, b.e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+      .withColumn("dot", graft.functions.VectorFunctions.dotF64(col("a.e"), col("b.e")))
       .withColumn("cosine", round(col("dot") / (col("a.norm") * col("b.norm")), 6))
       .filter(col("cosine") >= 0.5)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
+import graft.functions.VectorFunctions.dotF64
 
 /** [EXT] Embedding similarity search (SURVEY.md §2.7 X3).
   *
@@ -20,8 +21,7 @@ object Similarity {
   private def normed(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("norm",
-        sqrt(expr("aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")))
+      .withColumn("norm", sqrt(dotF64(col("e"), col("e"))))
 
   /** X3a — brute-force cosine top-5 for queries vec_id < 10 (self
     * excluded). Rank by rounded cosine with vec_id tie-break so the
@@ -33,7 +33,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("norm").as("qnorm"))
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("dot", expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+      .withColumn("dot", dotF64(col("qe"), col("e")))
       .withColumn("cosine", round(col("dot") / (col("qnorm") * col("norm")), 6))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -56,17 +56,27 @@ object Similarity {
       |  FROM scored)
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
-  /** Random-hyperplane LSH signature: bit p = sign(v · h_p) over
-    * NPLANES pseudo-hyperplanes with deterministic ±1 components derived
-    * from xxhash64(plane, dim). Narrow map — no shuffle, codegen'd.
+  private def splitmix64(seed: Long): Long = {
+    var x = seed + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Random-hyperplane LSH signature: bit p = sign(v · h_p) over nPlanes
+    * hyperplanes with deterministic ±1 components, generated driver-side
+    * and embedded as constant-folded array literals (64-dim, matching the
+    * fixture embedding width). Narrow map — no shuffle, and the per-plane
+    * dot product runs through the native [[graft.functions.DotProductF64]]
+    * codegen loop instead of per-element interpreted hashing.
     */
-  private def lshSig(nPlanes: Int): org.apache.spark.sql.Column = expr(
-    s"""aggregate(sequence(0, ${nPlanes - 1}), 0L, (acc, p) ->
-       |  acc + if(
-       |    aggregate(sequence(0, size(e) - 1), 0D,
-       |      (s, j) -> s + element_at(e, j + 1)
-       |                    * if(pmod(xxhash64(concat('pl_', p, '_', j)), 2) = 1, 1D, -1D)) >= 0D,
-       |    shiftleft(1L, p), 0L))""".stripMargin)
+  private def lshSig(nPlanes: Int): org.apache.spark.sql.Column =
+    (0 until nPlanes).map { p =>
+      val plane = (0 until 64)
+        .map(j => if (Math.floorMod(splitmix64(p * 1000L + j), 2L) == 1L) "1D" else "-1D")
+        .mkString("array(", ",", ")")
+      when(dotF64(col("e"), expr(plane)) >= 0d, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** X3b — LSH-bucketed approximate top-k: queries only score vectors in
     * their own 64-bucket LSH cell. Approximate by construction — no SQL
@@ -78,7 +88,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("norm").as("qnorm"), col("sig"))
     val scored = e.join(broadcast(queries), Seq("sig"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("dot", expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+      .withColumn("dot", dotF64(col("qe"), col("e")))
       .withColumn("cosine", round(col("dot") / (col("qnorm") * col("norm")), 6))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -1,0 +1,17 @@
+/* Bridge into Spark's `private[sql]` Column ↔ Expression converters
+ * (`org.apache.spark.sql.classic.ExpressionUtils`, Spark 4 Column-node
+ * API). Lives in a subpackage of org.apache.spark.sql solely for access;
+ * contains no logic. This is the standard pattern third-party Catalyst
+ * extensions use to lift a custom Expression into a Column without
+ * requiring session-level function registration.
+ */
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
