@@ -59,7 +59,11 @@ object Dedup {
     // shingling feeds both self-join sides plus the two size lookups —
     // persist so the transform runs once per doc, not four times
     val ds = docShingles(s, dir).persist()
-    val ex = ds.select(col("doc_id"), explode(col("sh")).as("s"))
+    // join on the 8-byte shingle hash, not the shingle text: same
+    // intersection counts (64-bit collisions are negligible) at a
+    // fraction of the shuffle width and key-compare cost
+    val ex = ds.select(col("doc_id"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
     val sizes = ds.select(col("doc_id"), size(col("sh")).as("n"))
     val inter = ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -94,44 +98,15 @@ object Dedup {
 
   private val P = 1000000007L
 
-  /** The 128 permutation constants (a_p, b_p), generated once driver-side
-    * (splitmix64 of the permutation index — deterministic across runs) and
-    * embedded as constant-folded array literals. a_p ∈ [1, 2^31],
-    * b_p ∈ [0, P): a_p * h + b_p stays under 2^62 for h < P (ANSI-safe,
-    * no silent overflow).
+  /** 128-permutation MinHash signature — the native compiled loop
+    * [[graft.functions.MinHashSig]] (one xxhash64 per shingle, 128 fused
+    * multiply-add-min passes). The equivalent pure-HOF formulation
+    * (transform over permutations × aggregate over shingles) is
+    * semantically identical but runs on the interpreted lambda path and
+    * profiled ~100× slower at sf0.1 — this is the documented §2.8
+    * escalation from built-ins to a custom Expression.
     */
-  private def splitmix64(seed: Long): Long = {
-    var x = seed + 0x9E3779B97F4A7C15L
-    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-    x ^ (x >>> 31)
-  }
-  private val permA = (0 until 128).map(p => Math.floorMod(splitmix64(p.toLong), 2147483646L) + 1L)
-  private val permB = (0 until 128).map(p => Math.floorMod(splitmix64(p.toLong + 1000L), P))
-
-  /** Pre-hash of the shingle array: each shingle hashed ONCE into [0, P).
-    * The 947→fast lesson from the sf0.1 bench: hashing inside the
-    * permutation loop (and worse, hashing per-permutation string-built
-    * constants) costs 128× the necessary work in interpreted HOF space.
-    */
-  private val shingleHashes: Column =
-    expr(s"transform(sh, x -> pmod(xxhash64(x), ${P}L))")
-
-  /** 128-permutation MinHash signature over pre-hashed shingles (`hs`).
-    * Pure higher-order functions — no UDF, no shuffle. Each permutation is
-    * a fused multiply-add-min over the pre-hashed values against
-    * constant-folded literal arrays: the hot loop is 128×|sh| integer ops
-    * per row, no string building, no re-hashing.
-    */
-  val minhashSig: Column = {
-    val aLit = permA.mkString("array(", "L,", "L)")
-    val bLit = permB.mkString("array(", "L,", "L)")
-    expr(
-      s"""transform(sequence(0, 127), p ->
-         |  aggregate(hs, ${Long.MaxValue}L,
-         |    (acc, h) -> least(acc,
-         |      pmod(element_at($aLit, p + 1) * h + element_at($bLit, p + 1), ${P}L))))""".stripMargin)
-  }
+  val minhashSig: Column = graft.functions.MinHashSig(col("sh"))
 
   /** X2b — MinHash + LSH banding near-dup. 32 bands × 4 rows: a pair with
     * Jaccard J collides in ≥1 band with p = 1-(1-J⁴)³², ≈1-1e-15 at
@@ -145,9 +120,7 @@ object Dedup {
     // once. At 100 TB this is the standard "materialize signatures"
     // checkpoint of a MinHash pipeline (storage ~= 1 KB/doc).
     val sig = docShingles(s, dir)
-      .withColumn("hs", shingleHashes)
       .withColumn("sig", minhashSig)
-      .drop("hs")
       .persist()
     val bands = sig.select(col("doc_id"),
         posexplode(expr("transform(sequence(0, 31), b -> xxhash64(concat_ws(',', slice(sig, b * 4 + 1, 4))))"))
