@@ -59,13 +59,15 @@ object SparkEntry {
     "x2_embedding_neardup" -> (Dedup.x2EmbeddingNearDup _),
     "x3_cosine_topk" -> (Similarity.x3CosineTopK _),
     "x3_ann_lsh" -> (Similarity.x3AnnLsh _),
+    "x3_ann_ivf" -> (Similarity.x3AnnIvf _),
     "x4_text_stats" -> (TextAnalysis.x4Stats _),
     "x4_token_count" -> (TextAnalysis.x4TokenCount _),
     "x4_lang_id" -> (TextAnalysis.x4LangId _),
     "x4_quality_score" -> (TextAnalysis.x4Quality _),
     "x4_fingerprint" -> (TextAnalysis.x4Fingerprint _),
     "x5_nested_hof" -> (Multimodal.x5Nested _),
-    "x5_media_features" -> (Multimodal.x5MediaFeatures _)
+    "x5_media_features" -> (Multimodal.x5MediaFeatures _),
+    "x5_frame_sample" -> (Multimodal.x5FrameSample _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -120,7 +122,9 @@ object SparkEntry {
     "x4_lang_id" -> TextAnalysis.x4LangIdSql,
     "x4_quality_score" -> TextAnalysis.x4QualitySql,
     "x4_fingerprint" -> TextAnalysis.x4FingerprintSql,
+    // x3_ann_ivf: approximate (probe subset) — rows-only, invariants unit-tested
     "x5_nested_hof" -> Multimodal.x5NestedSql,
-    "x5_media_features" -> Multimodal.x5MediaSql
+    "x5_media_features" -> Multimodal.x5MediaSql,
+    "x5_frame_sample" -> Multimodal.x5FrameSampleSql
   )
 }

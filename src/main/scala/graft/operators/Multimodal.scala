@@ -100,4 +100,36 @@ object Multimodal {
       |      [ascii(text[i]) for i in range(1, least(length(text), 16) + 1)]),
       |    (acc, c) -> acc + c) AS checksum
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** X5c — frame sampling over a video-like binary payload, fully
+    * declarative: the payload is a sequence of fixed-size frames
+    * (64 bytes); every 4th frame is sampled and fingerprinted
+    * (sha2-256). No imperative kernel at all — `sequence` generates the
+    * sampled frame index space, `substring` slices the payload,
+    * `posexplode` emits one row per sampled frame. At 100 TB this is a
+    * narrow map + generate: no shuffle until the final presentation sort,
+    * and the real decoder (FFmpeg keyframe extraction) would slot into
+    * the same (doc_id, frame_no, fingerprint) contract via mapPartitions
+    * exactly like [[x5MediaFeatures]]'s stub.
+    */
+  def x5FrameSample(s: SparkSession, dir: String): DataFrame = {
+    val frameLen = 64 // frame = 64-char slice (fixture text is ASCII: char == byte)
+    val stride = 4 // sample every 4th frame
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(
+             |  sequence(0, int(floor((length(text) - 1) / ${frameLen * stride}))),
+             |  i -> sha2(encode(substring(text, i * ${frameLen * stride} + 1, $frameLen), 'UTF-8'), 256))""".stripMargin))
+          .as(Seq("sample_no", "frame_sha")))
+      .select(col("doc_id"), col("sample_no").cast("int").as("sample_no"), col("frame_sha"))
+      .orderBy("doc_id", "sample_no")
+  }
+
+  val x5FrameSampleSql: String =
+    """SELECT doc_id, CAST(i AS INTEGER) AS sample_no,
+      |  sha256(substring(text, CAST(i * 256 + 1 AS BIGINT), 64)) AS frame_sha
+      |FROM documents,
+      |  LATERAL (SELECT unnest(range(0, (length(text) - 1) // 256 + 1)) AS i)
+      |ORDER BY doc_id, sample_no""".stripMargin
 }

@@ -96,4 +96,76 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
       .orderBy("q_id", "rank")
   }
+
+  /** X3c — IVF (inverted-file) approximate top-k, the coarse-quantization
+    * scale path: the corpus is partitioned into `nlist` cells around
+    * centroids, each query probes only its `nprobe` nearest cells.
+    *
+    * Centroid construction is fully declarative and deterministic:
+    * seed centroids are a hash-ordered sample of the corpus itself,
+    * refined by one Lloyd iteration expressed in DataFrame algebra
+    * (assign → posexplode dims → per-(cell,dim) mean → re-assemble) —
+    * the pattern a production k-means would iterate. At 100 TB the
+    * inverted lists are a table partitioned by cell id, so a probe
+    * touches nprobe/nlist of the data; the centroid set stays O(nlist)
+    * and broadcasts.
+    */
+  def x3AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val nlist = 16
+    val nprobe = 2
+    val e = normed(s, dir).persist()
+
+    // deterministic seed centroids: first nlist corpus vectors in
+    // xxhash64(vec_id) order (an unbiased sample, reproducible anywhere)
+    val seeds = e.withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h").limit(nlist)
+      .select(row_number().over(Window.orderBy(col("h"))).as("c_id"), col("e").as("ce"))
+
+    // argmax cell per vector as a hash aggregate (max over a (sim, -c_id)
+    // struct = best sim with lowest-c_id tie-break) — partial-aggregates
+    // map-side, so assignment costs one narrow shuffle of nlist-wide
+    // pre-reduced rows instead of a window sort over the full cross
+    def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("sim", dotF64(col("e"), col("ce")) /
+          (col("norm") * sqrt(dotF64(col("ce"), col("ce")))))
+        .groupBy(col("vec_id"))
+        .agg(first(col("e")).as("e"), first(col("norm")).as("norm"),
+          max(struct(col("sim"), (-col("c_id")).as("nc"))).as("top"))
+        .select(col("vec_id"), col("e"), col("norm"), (-col("top.nc")).as("c_id"))
+
+    // one Lloyd refinement: new centroid = per-cell dimension-wise mean
+    val assigned0 = assign(e, seeds)
+    // nlist rows; persisted because both the list build and the query
+    // probe consume it (recomputing would re-run the Lloyd pipeline)
+    val refined = assigned0
+      .select(col("c_id"), posexplode(col("e")).as(Seq("dim", "v")))
+      .groupBy(col("c_id"), col("dim")).agg(avg(col("v")).as("m"))
+      .groupBy(col("c_id"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("c_id"), expr("transform(dm, x -> x.m)").as("ce"))
+      .persist()
+
+    val lists = assign(e, refined) // inverted lists: (cell) -> vectors
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("norm").as("qnorm"))
+    // probe assignment: nprobe nearest cells per query
+    val qCells = {
+      val scored = queries.crossJoin(broadcast(refined))
+        .withColumn("sim", dotF64(col("qe"), col("ce")) /
+          (col("qnorm") * sqrt(dotF64(col("ce"), col("ce")))))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= nprobe)
+        .select(col("q_id"), col("qe"), col("qnorm"), col("c_id"))
+    }
+    val scored = lists.join(broadcast(qCells), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        round(dotF64(col("qe"), col("e")) / (col("qnorm") * col("norm")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
 }

@@ -126,6 +126,42 @@ object Streams {
       }
       .start()
 
+  /** Sessionization with flatMapGroupsWithState: per user, close a
+    * session and EMIT it when a processing gap exceeds `gapEvents` event
+    * ids (an event-id-space stand-in for time, keeping the test
+    * deterministic); otherwise extend the open session silently. Shows
+    * the 0..N-outputs-per-invocation form of arbitrary stateful
+    * processing — the complement of [[runningUserCounts]]'s exactly-1
+    * mapGroupsWithState. State is one (start, end, n) triple per user:
+    * bounded, watermark/TTL-ready via GroupStateTimeout in production.
+    */
+  def sessionize(spark: SparkSession, stream: DataFrame, gapEvents: Long): DataFrame = {
+    import spark.implicits._
+    stream.select(col("user_id"), col("event_id")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[(Long, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          val sorted = evs.map(_._2).toSeq.sorted
+          var sessions = List.empty[(Long, Long, Long, Long)]
+          var cur = state.getOption
+          sorted.foreach { eid =>
+            cur match {
+              case Some((st, en, n)) if eid - en <= gapEvents =>
+                cur = Some((st, eid, n + 1))
+              case Some((st, en, n)) =>
+                sessions ::= (user, st, en, n)
+                cur = Some((eid, eid, 1L))
+              case None =>
+                cur = Some((eid, eid, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          sessions.reverseIterator
+      }
+      .toDF("user_id", "session_start", "session_end", "n_events")
+  }
+
   /** Custom keyed state (SURVEY.md T5/T7 escalation path): running
     * per-user event counter + last-seen event id via mapGroupsWithState —
     * the mapGroupsWithState form of the reference's XCom counters

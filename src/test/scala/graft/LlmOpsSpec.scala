@@ -50,6 +50,56 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("X3: IVF probe results carry exact cosines and contiguous ranks") {
+    val brute = Similarity.x3CosineTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivf = Similarity.x3AnnIvf(spark, sfDir).collect()
+    assert(ivf.nonEmpty, "IVF cells should contain neighbors for some query")
+    val byQ = ivf.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length))
+    }
+    // any (q, v) also in brute-force top-5 must carry the identical cosine
+    ivf.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(2))).foreach { c =>
+        assert(math.abs(c - r.getDouble(3)) < 1e-9)
+      }
+    }
+  }
+
+  test("X5: frame sample emits sha256 per strided frame, matching a hand slice") {
+    val doc0 = graft.engine.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === 0).collect().head.getAs[String]("text")
+    val bytes = doc0.getBytes("UTF-8")
+    val expectFrames = (bytes.length - 1) / 256 + 1
+    val rows = Multimodal.x5FrameSample(spark, sfDir)
+      .filter(col("doc_id") === 0).orderBy("sample_no").collect()
+    assert(rows.length == expectFrames)
+    val frame0 = bytes.slice(0, math.min(64, bytes.length))
+    val sha = java.security.MessageDigest.getInstance("SHA-256").digest(frame0)
+      .map("%02x".format(_)).mkString
+    assert(rows.head.getAs[String]("frame_sha") == sha)
+  }
+
+  test("T: flatMapGroupsWithState sessionize emits closed sessions only") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val dir = tmpDir("sess")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/p.json"),
+      Seq(1, 2, 3, 10, 11, 30).map(i =>
+        s"""{"event_id":$i,"user_id":1,"event_type":"c","value":1.0,"k":1}""").mkString("\n"))
+    val stream = graft.streaming.Streams.subscribe(spark, dir)
+    val out = graft.streaming.Streams.sessionize(spark, stream, gapEvents = 5L)
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val sessions = spark.sql("SELECT * FROM sess ORDER BY session_start").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // one batch: sessions [1..3], [10..11] close; [30..] stays open in state
+    assert(sessions == Seq((1L, 3L, 3L), (10L, 11L, 2L)))
+  }
+
   test("X4: fingerprint is deterministic and collision-free on the fixture") {
     val fp = TextAnalysis.x4Fingerprint(spark, sfDir)
     val n = fp.count()
