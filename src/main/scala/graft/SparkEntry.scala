@@ -38,6 +38,7 @@ object SparkEntry {
     "r3_anti_join" -> (Relational.r3Anti _),
     "r4_range_join" -> (Relational.r4RangeJoin _),
     "r5_multi_agg" -> (Relational.r5Agg _),
+    "r5_salted_agg" -> (Relational.r5SaltedAgg _),
     "r6_distinct" -> (Relational.r6Distinct _),
     "r6_approx_distinct" -> (Relational.r6Approx _),
     "r7_rollup" -> (Relational.r7Rollup _),
@@ -95,6 +96,7 @@ object SparkEntry {
     "r3_anti_join" -> Relational.r3AntiSql,
     "r4_range_join" -> Relational.r4Sql,
     "r5_multi_agg" -> Relational.r5Sql,
+    "r5_salted_agg" -> Relational.r5SaltedSql,
     "r6_distinct" -> Relational.r6Sql,
     // r6_approx_distinct: no oracle — HLL sketches differ across engines
     "r7_rollup" -> Relational.r7Sql,

@@ -161,6 +161,38 @@ object Relational {
       |  COUNT(DISTINCT o_custkey) AS n_customers
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** R5b — salted two-phase aggregation, the skew-mitigation pattern for
+    * 100 TB hot keys: stage 1 pre-aggregates on (key, salt) so the
+    * shuffle spreads each hot key over 32 reducers; stage 2 merges the 32
+    * partials per key. Semantics identical to the direct groupBy (sums
+    * and counts are associative) — same oracle shape as a plain
+    * aggregate, which is exactly the point: salting is a physical
+    * rewrite, not a semantic one. l_returnflag has cardinality 3 over
+    * 600 k+ rows — the canonical pathological key. (AQE skew-join
+    * splitting covers the join analogue at runtime; this is the explicit
+    * form for aggregations.)
+    */
+  def r5SaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .withColumn("__salt", pmod(xxhash64(col("l_orderkey")), lit(32)))
+      .groupBy(col("l_returnflag"), col("__salt"))
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(col("l_quantity").cast("decimal(28,2)")).as("pq"),
+        max(col("l_extendedprice")).as("pm"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("pn")).as("n_items"),
+        sum(col("pq")).cast("double").as("sum_qty"),
+        max(col("pm")).as("max_price"))
+      .orderBy("l_returnflag")
+
+  val r5SaltedSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+      |  MAX(l_extendedprice) AS max_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** R6 — distinct + exact count-distinct. */
   def r6Distinct(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
