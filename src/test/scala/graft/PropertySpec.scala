@@ -68,6 +68,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native dot_f64 equals the HOF zip_with/aggregate formulation") {
+    val vecs = Gen.listOfN(8, Gen.chooseNum(-10.0, 10.0).map(v => math.rint(v * 100) / 100))
+    forAll(vecs, vecs) { (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val native = df.select(graft.functions.VectorFunctions.dotF64(col("a"), col("b")))
+        .collect().head.getDouble(0)
+      val hof = df.selectExpr(
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        .collect().head.getDouble(0)
+      assert(math.abs(native - hof) < 1e-9)
+    }
+  }
+
+  test("native minhash_sig: 128 values in [0,P), equal arrays give equal sigs, " +
+    "containment never increases minima") {
+    val shingleGen = Gen.nonEmptyListOf(Gen.identifier.map(_.take(8)))
+    forAll(shingleGen) { sh =>
+      val df = Seq(Tuple1(sh)).toDF("sh")
+      val sig = df.select(graft.functions.MinHashSig(col("sh"))).collect().head.getSeq[Long](0)
+      assert(sig.length == 128)
+      assert(sig.forall(v => v >= 0L && v < 1000000007L))
+      val again = df.select(graft.functions.MinHashSig(col("sh"))).collect().head.getSeq[Long](0)
+      assert(sig == again)
+      // superset property: adding shingles can only lower (or keep) each min
+      val sup = Seq(Tuple1(sh ++ List("extra_shingle_zz"))).toDF("sh")
+        .select(graft.functions.MinHashSig(col("sh"))).collect().head.getSeq[Long](0)
+      assert(sig.zip(sup).forall { case (s, u) => u <= s })
+    }
+  }
+
   test("last-wins upsert: result has one row per key, the max-offset one") {
     forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 1000L), Gen.chooseNum(0L, 5L)))) { xs =>
       val df = xs.toDF("offset", "id")
