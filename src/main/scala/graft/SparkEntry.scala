@@ -68,7 +68,10 @@ object SparkEntry {
     "x4_fingerprint" -> (TextAnalysis.x4Fingerprint _),
     "x5_nested_hof" -> (Multimodal.x5Nested _),
     "x5_media_features" -> (Multimodal.x5MediaFeatures _),
-    "x5_frame_sample" -> (Multimodal.x5FrameSample _)
+    "x5_frame_sample" -> (Multimodal.x5FrameSample _),
+    // x5_resize: rows-only (binary construction not oracle-expressible);
+    // bytes pinned in LlmOpsSpec
+    "x5_resize" -> (Multimodal.x5Resize _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -101,6 +101,63 @@ object Multimodal {
       |    (acc, c) -> acc + c) AS checksum
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Output schema of the resize stage: payload plus a typed metadata
+    * struct — the "opaque binary + typed metadata" shape multimodal
+    * columns keep at 100 TB (never parse media in SQL expressions; all
+    * schema knowledge lives in the metadata struct).
+    */
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType))))))
+
+  /** ======================== RESIZE STUB ==============================
+    * Stand-in for a real image resize kernel (JPEG decode → bilinear
+    * half-scale → re-encode). Deterministic byte-level half-scale: keep
+    * every other byte per row of a width×height byte raster; metadata
+    * struct updated to the new dimensions. Same contract as a production
+    * kernel: Iterator[Row] → Iterator[Row], batched per partition.
+    * ===================================================================
+    */
+  private def resizeStub(rows: Iterator[Row]): Iterator[Row] =
+    rows.map { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val meta = r.getStruct(2)
+      val (w, h, c) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+      val nw = math.max(1, w / 2)
+      val nh = math.max(1, h / 2)
+      val out = Array.tabulate(math.min(nw * nh * c, (bytes.length + 3) / 4))(i =>
+        bytes(math.min(i * 4, bytes.length - 1)))
+      Row(id, out, Row(nw, nh, c))
+    }
+
+  /** X5d — image-style resize over binary payloads with a typed metadata
+    * struct carried through the stage. The payload is the UTF-8 text
+    * bytes laid out as a 64-wide raster (fixtures carry no real images);
+    * the metadata struct is computed in Catalyst, the kernel runs via
+    * mapPartitions (the Scala analogue of a batched `mapInPandas` stage),
+    * and the output schema is explicit. Rows-only check (binary
+    * construction is not expressible in the oracle dialect); bytes are
+    * pinned exactly in the unit spec.
+    */
+  def x5Resize(s: SparkSession, dir: String): DataFrame = {
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("meta", struct(
+        lit(64).as("width"),
+        (ceil(octet_length(col("payload")) / 64.0)).cast("int").as("height"),
+        lit(1).as("channels")))
+    media.sparkSession.createDataFrame(
+      media.rdd.mapPartitions(resizeStub), resizedSchema)
+      .select(col("doc_id"), octet_length(col("payload")).as("resized_len"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+      .orderBy("doc_id")
+  }
+
   /** X5c — frame sampling over a video-like binary payload, fully
     * declarative: the payload is a sequence of fixed-size frames
     * (64 bytes); every 4th frame is sampled and fingerprinted

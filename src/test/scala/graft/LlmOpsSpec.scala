@@ -82,6 +82,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.head.getAs[String]("frame_sha") == sha)
   }
 
+  test("X5: resize stub halves dimensions and strides bytes exactly") {
+    val doc0 = graft.engine.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === 0).collect().head.getAs[String]("text")
+    val bytes = doc0.getBytes("UTF-8")
+    val h = (bytes.length + 63) / 64
+    val expectedLen = math.min(math.max(1, 32) * math.max(1, h / 2) * 1, (bytes.length + 3) / 4)
+    val row = Multimodal.x5Resize(spark, sfDir)
+      .filter(col("doc_id") === 0).collect().head
+    assert(row.getInt(1) == expectedLen)
+    assert(row.getInt(2) == 32 && row.getInt(3) == math.max(1, h / 2))
+  }
+
   test("T: flatMapGroupsWithState sessionize emits closed sessions only") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
