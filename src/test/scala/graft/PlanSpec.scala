@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Relational, Similarity}
+
+/** Physical-plan property pins (SURVEY.md §4.4): the scale design is a
+  * claim about PLANS, not just results — these specs fail if a future
+  * change silently degrades a broadcast to a shuffle, drops the top-k
+  * operator, or knocks the native expressions out of codegen.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planString(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("R2: dimension joins broadcast — no sort-merge, no shuffle join") {
+    val p = planString(Relational.r2BroadcastJoin(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("ShuffledHashJoin"))
+  }
+
+  test("R8: top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = planString(Relational.r8TopK(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
+  test("Q1: aggregation is two-phase (partial map-side before the shuffle)") {
+    val p = planString(Relational.q1Revenue(spark, sfDir))
+    // partial + final HashAggregate pair around one exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
+    assert(p.contains("Exchange"))
+  }
+
+  test("X3: brute-force top-k broadcasts the query side, not the corpus") {
+    val p = planString(Similarity.x3CosineTopK(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(500))
+  }
+
+  test("native dot_f64 stays inside whole-stage codegen (no fallback)") {
+    val df = Similarity.x3CosineTopK(spark, sfDir)
+    df.collect() // finalize the adaptive plan so codegen stages are assigned
+    val p = planString(df)
+    assert(p.contains("dot_f64"), "expression missing from plan")
+    // codegen stages print with a "*(n)" prefix in plan strings; every
+    // operator line computing dot_f64 must carry one — a codegen
+    // fallback would print the projection without the asterisk marker
+    // AQE appends the pre-execution "== Initial Plan ==" section, which
+    // never carries codegen markers — only the final plan is the claim
+    val finalPlan = p.split("== Initial Plan ==").head
+    val dotLines = finalPlan.linesIterator
+      .filter(l => l.contains("dot_f64(") && l.contains("+-")).toSeq
+    assert(dotLines.nonEmpty, "no operator lines computing dot_f64")
+    assert(dotLines.forall(_.matches(""".*\*\(\d+\).*""")),
+      s"dot_f64 projection outside whole-stage codegen:\n${dotLines.mkString("\n")}")
+  }
+
+  test("scan pushdown: a filtered fixture scan reaches parquet PushedFilters") {
+    val df = graft.engine.Tables.lineitem(spark, sfDir).filter(col("l_quantity") > 25.0)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,25.0)]"),
+      p.take(1200))
+    // column pruning: the scan reads only the two referenced columns
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      p.take(1200))
+  }
+}
