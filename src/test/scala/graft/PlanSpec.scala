@@ -57,6 +57,27 @@ class PlanSpec extends SparkSpec {
       s"dot_f64 projection outside whole-stage codegen:\n${dotLines.mkString("\n")}")
   }
 
+  test("partition pruning: a partitioned sink is pruned by partition filters") {
+    val dir = tmpDir("part_events")
+    graft.engine.Tables.events(spark, sfDir)
+      .withColumn("event_date", to_date(col("ts")))
+      .write.partitionBy("event_date").mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .filter(col("event_date") === "2024-01-02")
+      .select(col("event_id"))
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PartitionFilters: ["), p.take(1200))
+    assert(p.contains("event_date"), p.take(1200))
+    // the pruned scan must not enumerate every date partition
+    val scanned = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scanned.nonEmpty && scanned.head <= 1,
+      s"expected at most one selected partition, got $scanned")
+  }
+
   test("scan pushdown: a filtered fixture scan reaches parquet PushedFilters") {
     val df = graft.engine.Tables.lineitem(spark, sfDir).filter(col("l_quantity") > 25.0)
       .select(col("l_orderkey"), col("l_quantity"))

@@ -78,6 +78,33 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("sum_value") == 3.0)
   }
 
+  test("T7: sliding window (1h width, 30m slide) assigns events to overlapping windows") {
+    val dir = tmpDir("slide")
+    Files.writeString(Paths.get(s"$dir/e.json"), Seq(
+      """{"event_id":0,"user_id":1,"event_type":"click","ts":"2024-01-01T00:40:00.000Z","value":1.0}""",
+      """{"event_id":1,"user_id":2,"event_type":"click","ts":"2024-01-01T01:10:00.000Z","value":2.0}""").mkString("\n"))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema).json(dir)
+    val agg = stream.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("sliding")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT * FROM sliding ORDER BY ws").collect()
+      .map(r => (r.getTimestamp(0).toInstant.toString, r.getLong(1))).toSeq
+    // event@00:40 -> [00:00,01:00) and [00:30,01:30); event@01:10 -> [00:30,01:30) and [01:00,02:00)
+    assert(rows == Seq(
+      ("2024-01-01T00:00:00Z", 1L),
+      ("2024-01-01T00:30:00Z", 2L),
+      ("2024-01-01T01:00:00Z", 1L)))
+  }
+
   test("mapGroupsWithState: running per-user counters across micro-batches") {
     val topic = writeTopic(Seq(msg(0, 1, "a", 1.0, 1), msg(1, 1, "b", 1.0, 1), msg(2, 2, "c", 1.0, 1)))
     val counts = Streams.runningUserCounts(spark, Streams.subscribe(spark, topic))
