@@ -17,6 +17,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_revenue_agg" -> (Relational.q1Revenue _),
+    "dag_etl_clean" -> (Dags.dagEtlClean _),
+    "dag_etl_json_roundtrip" -> (Dags.dagEtlJsonRoundtrip _),
+    "dag_complex_union_gate" -> (Dags.dagComplexUnionGate _),
+    "dag_kafka_validate_enrich_upsert" -> (Dags.dagKafkaValidateEnrichUpsert _),
+    "dag_scrape_tag_upper" -> (Dags.dagScrapeTagUpper _),
     "p1_dropna_any" -> (Pipeline.p1DropnaAny _),
     "p2_dropna_all" -> (Pipeline.p2DropnaAll _),
     "p3_validate" -> (Pipeline.p3Validate _),
@@ -78,6 +83,11 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q1_revenue_agg" -> Relational.q1RevenueSql,
+    "dag_etl_clean" -> Dags.dagEtlCleanSql,
+    "dag_etl_json_roundtrip" -> Dags.dagEtlJsonRoundtripSql,
+    "dag_complex_union_gate" -> Dags.dagComplexUnionGateSql,
+    "dag_kafka_validate_enrich_upsert" -> Dags.dagKafkaValidateEnrichUpsertSql,
+    "dag_scrape_tag_upper" -> Dags.dagScrapeTagUpperSql,
     "p1_dropna_any" -> Pipeline.p1Sql,
     "p2_dropna_all" -> Pipeline.p2Sql,
     "p3_validate" -> Pipeline.p3Sql,

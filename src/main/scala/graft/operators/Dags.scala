@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** Pipelines-as-queries (SURVEY.md §7.1): each reference DAG re-expressed
+  * end-to-end as ONE lazy plan, so the DAG's composite semantics — not
+  * just its individual stages — are oracle-checked. Where the reference
+  * materializes every stage to `/tmp` files and re-reads them
+  * (dags/etl_data_pipeline.py:12,24,29), these compose as a single
+  * Catalyst plan: the stages pipeline inside whole-stage codegen and
+  * nothing hits storage until the sink.
+  *
+  * A user of the reference maps their DAGs here one-to-one:
+  *
+  * | reference DAG | query |
+  * |---|---|
+  * | etl_data_pipeline.py | dag_etl_clean |
+  * | etl_data_pipeline_mongodb.py | dag_etl_json_roundtrip |
+  * | etl_data_pipeline_mongodb_complex.py | dag_complex_union_gate |
+  * | kafka_to_mongo_pipeline(_enchanced).py | dag_kafka_validate_enrich_upsert |
+  * | scrap_to_kafka_to_mongo_pipeline.py | dag_scrape_tag_upper |
+  * | kafka_to_mongo.py | p6_envelope (single-stage — already its own query) |
+  * | data_extraction.py | p11_head (extract→preview) |
+  */
+object Dags {
+
+  /** etl_data_pipeline.py end-to-end: extract (S3 scan) → transform
+    * (P1 dropna-any, :23) → load (L3 full-replace projection, :32-33).
+    * The nullable column is derived (fixtures ship NULL-free) exactly as
+    * in [[Pipeline.p1DropnaAny]].
+    */
+  def dagEtlClean(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .withColumn("c_acctbal", when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")))
+      .na.drop("any")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+      .orderBy("c_custkey")
+
+  val dagEtlCleanSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+      |WHERE c_acctbal >= 0 ORDER BY c_custkey""".stripMargin
+
+  /** etl_data_pipeline_mongodb.py end-to-end: scan → dropna (:23) →
+    * JSON-records serialization (P9, :24) → document-store parse (P10,
+    * insert_many of parsed records :35-38). The serialize→parse
+    * round-trip is the plan itself, proving the JSON stage loses
+    * nothing; the oracle compares the round-tripped fields.
+    */
+  def dagEtlJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+    val asJson = cleaned.select(to_json(struct(col("p_partkey"), col("p_name"), col("p_retailprice"))).as("doc"))
+    asJson
+      .select(
+        get_json_object(col("doc"), "$.p_partkey").cast("long").as("p_partkey"),
+        get_json_object(col("doc"), "$.p_name").as("p_name"),
+        get_json_object(col("doc"), "$.p_retailprice").cast("double").as("p_retailprice"))
+      .orderBy("p_partkey")
+  }
+
+  val dagEtlJsonRoundtripSql: String =
+    "SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey"
+
+  /** etl_data_pipeline_mongodb_complex.py end-to-end: two sources with
+    * DIFFERENT schemas (:12-25) → outer concat by name (U1, :28-33) →
+    * dropna-all (P2, :40) → count>10 branch gate (A2, :57-62) → load.
+    */
+  def dagComplexUnionGate(s: SparkSession, dir: String): DataFrame = {
+    val src1 = Tables.nation(s, dir).select(col("n_name").as("name"), col("n_regionkey").as("region"))
+    val src2 = Tables.supplier(s, dir).select(col("s_name").as("name"), col("s_acctbal").as("acctbal"))
+    val combined = src1.unionByName(src2, allowMissingColumns = true)
+      .na.drop("all", Seq("region", "acctbal"))
+    val n = combined.agg(count(lit(1)).as("gate_n"))
+    combined.crossJoin(broadcast(n)).filter(col("gate_n") > 10).drop("gate_n")
+      .orderBy(col("name"), col("region").asc_nulls_first)
+  }
+
+  val dagComplexUnionGateSql: String =
+    """WITH combined AS (
+      |  SELECT n_name AS name, n_regionkey AS region, NULL AS acctbal FROM nation
+      |  UNION ALL
+      |  SELECT s_name AS name, NULL AS region, s_acctbal AS acctbal FROM supplier),
+      |cleaned AS (SELECT * FROM combined WHERE region IS NOT NULL OR acctbal IS NOT NULL)
+      |SELECT name, region, acctbal FROM cleaned
+      |WHERE (SELECT COUNT(*) FROM cleaned) > 10
+      |ORDER BY name, region NULLS FIRST""".stripMargin
+
+  /** kafka_to_mongo_pipeline(_enchanced).py end-to-end: consume JSON
+    * payloads (P10/S5) → validate required keys (P3, :31-42) → enrich
+    * with source/status literals (P5, :65-80) → keyed last-write-wins
+    * upsert into the document store (L5/N3, :141-145).
+    */
+  def dagKafkaValidateEnrichUpsert(s: SparkSession, dir: String): DataFrame = {
+    val validated = Tables.events(s, dir)
+      .filter(get_json_object(col("props"), "$.k").isNotNull
+        && col("event_type").isNotNull && col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .withColumn("source", lit("jsonplaceholder_api"))
+      .withColumn("data_status", lit("raw"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    validated.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy("user_id")
+  }
+
+  val dagKafkaValidateEnrichUpsertSql: String =
+    """SELECT event_id, user_id, event_type, k, source, data_status FROM (
+      |  SELECT event_id, user_id, event_type,
+      |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+      |    'jsonplaceholder_api' AS source, 'raw' AS data_status,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events
+      |  WHERE json_extract_string(props, '$.k') IS NOT NULL
+      |    AND event_type IS NOT NULL AND user_id IS NOT NULL
+      |) WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** scrap_to_kafka_to_mongo_pipeline.py end-to-end: scraped items tagged
+    * with type + 1-based index (P7, :57-68) → per-record uppercase
+    * transform in the consumer (P4 on the intended field, :108 — N5: the
+    * reference reads a key its producer never wrote; the composite
+    * implements the intended projection) → store.
+    */
+  def dagScrapeTagUpper(s: SparkSession, dir: String): DataFrame = {
+    val titles = Tables.part(s, dir)
+      .select(lit("title").as("type"),
+        row_number().over(Window.orderBy(col("p_partkey"))).as("index"),
+        col("p_name").as("content"))
+    val links = Tables.region(s, dir)
+      .select(lit("link").as("type"),
+        row_number().over(Window.orderBy(col("r_regionkey"))).as("index"),
+        col("r_name").as("content"))
+    titles.unionByName(links)
+      .select(col("type"), col("index"), upper(trim(col("content"))).as("content"))
+      .orderBy(col("type"), col("index"))
+  }
+
+  val dagScrapeTagUpperSql: String =
+    """SELECT type, index, upper(trim(content)) AS content FROM (
+      |  SELECT 'title' AS type, CAST(row_number() OVER (ORDER BY p_partkey) AS INTEGER) AS index, p_name AS content FROM part
+      |  UNION ALL
+      |  SELECT 'link' AS type, CAST(row_number() OVER (ORDER BY r_regionkey) AS INTEGER) AS index, r_name AS content FROM region
+      |) ORDER BY type, index""".stripMargin
+}
