@@ -63,6 +63,8 @@ object SparkEntry {
     "x2_minhash_lsh" -> (Dedup.x2MinHashLsh _),
     "x2_simhash" -> (Dedup.x2SimHash _),
     "x2_embedding_neardup" -> (Dedup.x2EmbeddingNearDup _),
+    // x2_embedding_lsh: approximate (cell-local pairs) — rows-only check
+    "x2_embedding_lsh" -> (Dedup.x2EmbeddingLsh _),
     "x3_cosine_topk" -> (Similarity.x3CosineTopK _),
     "x3_ann_lsh" -> (Similarity.x3AnnLsh _),
     "x3_ann_ivf" -> (Similarity.x3AnnIvf _),

@@ -198,4 +198,23 @@ object Dedup {
       |    round(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6) AS cosine
       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
       |WHERE cosine >= 0.5 ORDER BY vec_a, vec_b""".stripMargin
+
+  /** X2d' — the LSH-bucketed scale path for embedding near-dup: pairs are
+    * generated only within random-hyperplane cells ([[Similarity]]'s
+    * bucketer), then exactly verified with the native dot product. The
+    * pair-generation shuffle is proportional to per-cell populations, not
+    * n²/2 — the same candidate-generation discipline as MinHash banding.
+    * Approximate by construction (a pair split across cells is unseen) —
+    * rows-only check; the subset-of-exact property is unit-tested.
+    */
+  def x2EmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.bucketed(s, dir).persist()
+    e.as("a").join(e.as("b"),
+        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("dot", graft.functions.VectorFunctions.dotF64(col("a.e"), col("b.e")))
+      .withColumn("cosine", round(col("dot") / (col("a.norm") * col("b.norm")), 6))
+      .filter(col("cosine") >= 0.5)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
 }

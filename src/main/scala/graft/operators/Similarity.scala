@@ -78,12 +78,18 @@ object Similarity {
       when(dotF64(col("e"), expr(plane)) >= 0d, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** The LSH-bucketed corpus (vec_id, e, norm, sig) — shared by the ANN
+    * top-k and [[Dedup.x2EmbeddingLsh]]'s near-dup scale path.
+    */
+  private[operators] def bucketed(s: SparkSession, dir: String): DataFrame =
+    normed(s, dir).withColumn("sig", lshSig(6))
+
   /** X3b — LSH-bucketed approximate top-k: queries only score vectors in
     * their own 64-bucket LSH cell. Approximate by construction — no SQL
     * oracle; recall-vs-brute-force and structure are unit-tested.
     */
   def x3AnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = normed(s, dir).withColumn("sig", lshSig(6))
+    val e = bucketed(s, dir)
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("norm").as("qnorm"), col("sig"))
     val scored = e.join(broadcast(queries), Seq("sig"))

@@ -50,6 +50,17 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("X2: LSH-bucketed embedding near-dup is a subset of the exact pairs, cosines identical") {
+    val exact = Dedup.x2EmbeddingNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.x2EmbeddingLsh(spark, sfDir).collect()
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact.contains(key), s"$key not in exact pairs")
+      assert(math.abs(exact(key) - r.getDouble(2)) < 1e-9)
+    }
+  }
+
   test("X3: IVF probe results carry exact cosines and contiguous ranks") {
     val brute = Similarity.x3CosineTopK(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
