@@ -48,11 +48,15 @@ object SparkEntry {
     "r6_approx_distinct" -> (Relational.r6Approx _),
     "r7_rollup" -> (Relational.r7Rollup _),
     "r7_cube" -> (Relational.r7Cube _),
+    "r7_grouping_sets" -> (Relational.r7GroupingSets _),
     "r8_topk" -> (Relational.r8TopK _),
     "r9_window" -> (Relational.r9Window _),
+    "r9_frames" -> (Relational.r9Frames _),
     "r10_intersect" -> (Relational.r10Intersect _),
     "r10_except" -> (Relational.r10Except _),
     "r11_functions" -> (Relational.r11Functions _),
+    "r11_datetime" -> (Relational.r11DateTime _),
+    "r11_array_struct" -> (Relational.r11ArrayStruct _),
     "t1_bounded_consume" -> (Streamy.t1BoundedConsume _),
     "t5_dedup_first" -> (Streamy.t5DedupFirst _),
     "t7_tumbling_window" -> (Streamy.t7Tumbling _),
@@ -116,11 +120,15 @@ object SparkEntry {
     // r6_approx_distinct: no oracle — HLL sketches differ across engines
     "r7_rollup" -> Relational.r7Sql,
     "r7_cube" -> Relational.r7CubeSql,
+    "r7_grouping_sets" -> Relational.r7GroupingSetsSql,
     "r8_topk" -> Relational.r8Sql,
     "r9_window" -> Relational.r9Sql,
+    "r9_frames" -> Relational.r9FramesSql,
     "r10_intersect" -> Relational.r10IntersectSql,
     "r10_except" -> Relational.r10ExceptSql,
     "r11_functions" -> Relational.r11Sql,
+    "r11_datetime" -> Relational.r11DateTimeSql,
+    "r11_array_struct" -> Relational.r11ArrayStructSql,
     "t1_bounded_consume" -> Streamy.t1Sql,
     "t5_dedup_first" -> Streamy.t5Sql,
     "t7_tumbling_window" -> Streamy.t7TumblingSql,

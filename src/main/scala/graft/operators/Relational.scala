@@ -309,6 +309,103 @@ object Relational {
     * whole-stage-codegen'd. Cross-dialect-safe subset (no libm functions
     * whose last ulp differs between JVM and C).
     */
+  /** R7c — explicit GROUPING SETS (the general form rollup/cube are
+    * sugar for): aggregate at (mktsegment, nationkey), (mktsegment), and
+    * grand-total granularities in one pass.
+    */
+  def r7GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupingSets(
+        Seq(Seq(col("c_mktsegment"), col("c_nationkey")), Seq(col("c_mktsegment")), Seq()),
+        col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("c_mktsegment").asc_nulls_first, col("c_nationkey").asc_nulls_first)
+
+  val r7GroupingSetsSql: String =
+    """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+      |  CAST(GROUPING(c_mktsegment, c_nationkey) AS BIGINT) AS gid
+      |FROM customer
+      |GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
+      |ORDER BY gid, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin
+
+  /** R9b — explicit window frames: a 3-row moving average (ROWS frame)
+    * and a value-range running count (RANGE frame) per customer.
+    */
+  def r9Frames(s: SparkSession, dir: String): DataFrame = {
+    val byKey = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("moving_avg_3",
+        round(avg(col("o_totalprice")).over(byKey.rowsBetween(-2, Window.currentRow)), 4))
+      // fractional RANGE bounds need the SQL frame form (the Scala
+      // rangeBetween API is Long-only)
+      .withColumn("n_within_1000",
+        expr("""count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)"""))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val r9FramesSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_3,
+      |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+      |    RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_within_1000
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** R11b — date/time function family over order dates. */
+  def r11DateTime(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
+        datediff(col("o_orderdate"), lit("2024-01-01").cast("date")).as("days_since"),
+        date_add(col("o_orderdate"), 30).as("due_date"),
+        quarter(col("o_orderdate")).as("qtr"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        last_day(col("o_orderdate")).as("month_end"))
+      .orderBy("o_orderkey")
+
+  val r11DateTimeSql: String =
+    """SELECT o_orderkey,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |  CAST(datediff('day', DATE '2024-01-01', o_orderdate) AS INTEGER) AS days_since,
+      |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+      |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+      |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+      |  last_day(o_orderdate) AS month_end
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** R11c — array/struct function family: split, size, contains, sort,
+    * indexing, slice, and struct field access.
+    */
+  def r11ArrayStruct(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .withColumn("words", split(col("p_type"), " "))
+      .select(
+        col("p_partkey"),
+        col("words"),
+        size(col("words")).as("n_words"),
+        array_contains(col("words"), "BRASS").as("has_brass"),
+        sort_array(col("words")).as("sorted_words"),
+        element_at(col("words"), 1).as("first_word"),
+        slice(col("words"), 1, 2).as("first_two"),
+        struct(col("p_brand").as("brand"), col("p_size").as("sz")).as("meta"),
+        struct(col("p_brand").as("brand"), col("p_size").as("sz")).getField("sz").as("meta_size"))
+      .orderBy("p_partkey")
+
+  val r11ArrayStructSql: String =
+    """SELECT p_partkey,
+      |  string_split(p_type, ' ') AS words,
+      |  CAST(len(string_split(p_type, ' ')) AS INTEGER) AS n_words,
+      |  list_contains(string_split(p_type, ' '), 'BRASS') AS has_brass,
+      |  list_sort(string_split(p_type, ' ')) AS sorted_words,
+      |  string_split(p_type, ' ')[1] AS first_word,
+      |  string_split(p_type, ' ')[1:2] AS first_two,
+      |  struct_pack(brand := p_brand, sz := p_size) AS meta,
+      |  p_size AS meta_size
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   def r11Functions(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .select(
