@@ -54,6 +54,7 @@ object SparkEntry {
     "r9_frames" -> (Relational.r9Frames _),
     "r10_intersect" -> (Relational.r10Intersect _),
     "r10_except" -> (Relational.r10Except _),
+    "r10_union_distinct" -> (Relational.r10UnionDistinct _),
     "r11_functions" -> (Relational.r11Functions _),
     "r11_datetime" -> (Relational.r11DateTime _),
     "r11_array_struct" -> (Relational.r11ArrayStruct _),
@@ -126,6 +127,7 @@ object SparkEntry {
     "r9_frames" -> Relational.r9FramesSql,
     "r10_intersect" -> Relational.r10IntersectSql,
     "r10_except" -> Relational.r10ExceptSql,
+    "r10_union_distinct" -> Relational.r10UnionDistinctSql,
     "r11_functions" -> Relational.r11Sql,
     "r11_datetime" -> Relational.r11DateTimeSql,
     "r11_array_struct" -> Relational.r11ArrayStructSql,

@@ -295,6 +295,19 @@ object Relational {
     """SELECT c_nationkey AS nationkey FROM customer
       |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin
 
+  /** R10c — union-distinct: one row per nation key present on either
+    * side (union + distinct collapses to a single dedup shuffle).
+    */
+  def r10UnionDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      .union(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey")
+
+  val r10UnionDistinctSql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin
+
   /** R10b — except: nations with customers but no suppliers. */
   def r10Except(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
