@@ -33,7 +33,6 @@ class LlmOpsSpec extends SparkSpec {
   test("X3: ANN results are a subset of the brute-force scores with identical cosines") {
     val brute = Similarity.x3CosineTopK(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
-    val bruteAll = Dedup.x2EmbeddingNearDup _ // not needed; structural checks below
     val ann = Similarity.x3AnnLsh(spark, sfDir).collect()
     assert(ann.nonEmpty, "LSH buckets should contain some neighbors")
     // per-query at most 5, ranks contiguous from 1
