@@ -68,11 +68,11 @@ object SparkEntry {
     "x2_minhash_lsh" -> (Dedup.x2MinHashLsh _),
     "x2_simhash" -> (Dedup.x2SimHash _),
     "x2_embedding_neardup" -> (Dedup.x2EmbeddingNearDup _),
-    // x2_embedding_lsh: approximate (cell-local pairs) — rows-only check
     "x2_embedding_lsh" -> (Dedup.x2EmbeddingLsh _),
     "x3_cosine_topk" -> (Similarity.x3CosineTopK _),
     "x3_ann_lsh" -> (Similarity.x3AnnLsh _),
     "x3_ann_ivf" -> (Similarity.x3AnnIvf _),
+    "x3_ann_recall" -> (Similarity.x3AnnRecall _),
     "x4_text_stats" -> (TextAnalysis.x4Stats _),
     "x4_token_count" -> (TextAnalysis.x4TokenCount _),
     "x4_lang_id" -> (TextAnalysis.x4LangId _),
@@ -143,7 +143,16 @@ object SparkEntry {
     "x2_minhash_lsh" -> Dedup.x2JaccardSql,
     // x2_simhash / x3_ann_lsh: hash-specific / approximate — rows-only.
     "x2_embedding_neardup" -> Dedup.x2EmbeddingSql,
+    // x2_embedding_lsh verifies banded candidates exactly, so its output
+    // is a subset of the exact twin; the banding provably catches every
+    // qualifying fixture pair (deterministic planes; pinned non-vacuously
+    // in LlmOpsSpec at sf0.01) — same oracle as the exact query.
+    "x2_embedding_lsh" -> Dedup.x2EmbeddingSql,
     "x3_cosine_topk" -> Similarity.x3Sql,
+    // x3_ann_recall: the DuckDB twin recomputes the banded-LSH pipeline
+    // from the same deterministic plane constants — recall is an
+    // oracle-checked number, not a rows-only claim.
+    "x3_ann_recall" -> Similarity.x3AnnRecallSql,
     "x4_text_stats" -> TextAnalysis.x4StatsSql,
     "x4_token_count" -> TextAnalysis.x4TokenCountSql,
     "x4_lang_id" -> TextAnalysis.x4LangIdSql,

@@ -35,15 +35,15 @@ object Dedup {
       |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin
 
   /** Distinct 3-token shingles of `text` (the near-dup granularity —
-    * token *sets* are degenerate on a 31-token vocabulary).
+    * token *sets* are degenerate on a 31-token vocabulary). Built from
+    * the passed Column, so any string column works, not just one named
+    * `text`.
     */
   def shingles(text: Column): Column = {
     val toks = split(text, " ")
-    array_distinct(expr(
-      """transform(sequence(1, size(split(text, ' ')) - 2),
-        |  i -> concat_ws(' ', element_at(split(text, ' '), i),
-        |                      element_at(split(text, ' '), i + 1),
-        |                      element_at(split(text, ' '), i + 2)))""".stripMargin))
+    val shingleAt = (i: Column) =>
+      concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))
+    array_distinct(transform(sequence(lit(1), size(toks) - 2), shingleAt))
   }
 
   private def docShingles(s: SparkSession, dir: String): DataFrame =
@@ -199,22 +199,39 @@ object Dedup {
       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
       |WHERE cosine >= 0.5 ORDER BY vec_a, vec_b""".stripMargin
 
-  /** X2d' — the LSH-bucketed scale path for embedding near-dup: pairs are
-    * generated only within random-hyperplane cells ([[Similarity]]'s
-    * bucketer), then exactly verified with the native dot product. The
-    * pair-generation shuffle is proportional to per-cell populations, not
-    * n²/2 — the same candidate-generation discipline as MinHash banding.
-    * Approximate by construction (a pair split across cells is unseen) —
-    * rows-only check; the subset-of-exact property is unit-tested.
+  /** X2d' — the banded-LSH scale path for embedding near-dup: candidate
+    * pairs are generated only within random-hyperplane band buckets
+    * ([[Similarity.bandedCorpus]], OR across 6 bands of 3 planes — the
+    * MinHash banding discipline at cosine scale), distinct'd, then
+    * exactly verified with the native dot product. The pair-generation
+    * shuffle is proportional to per-bucket populations, not n²/2.
+    *
+    * Round 1 used a single 6-plane cell (all planes must agree): a
+    * cosine-0.5 pair collides with probability ≈0.09, and the fixture's
+    * one qualifying pair was missed — recall 0. With banding the same
+    * pair collides in ≥1 band with ≈0.92, and exact verification makes
+    * the output a subset of the exact twin — so when every qualifying
+    * pair lands in a shared band (verified non-vacuously in LlmOpsSpec
+    * at sf0.01, deterministic planes), the output EQUALS the exact
+    * all-pairs query, which is also its oracle.
     */
   def x2EmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = Similarity.bucketed(s, dir).persist()
-    e.as("a").join(e.as("b"),
-        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("dot", graft.functions.VectorFunctions.dotF64(col("a.e"), col("b.e")))
-      .withColumn("cosine", round(col("dot") / (col("a.norm") * col("b.norm")), 6))
+    // banded corpus feeds both candidate sides and both verification
+    // joins — persist so signatures are computed once
+    val e = Similarity.bandedCorpus(s, dir).persist()
+    val bb = e.select(col("vec_id"), posexplode(col("bands")).as(Seq("band", "bv")))
+    val cand = bb.as("a").join(bb.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("norm").as("na")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("norm").as("nb")), Seq("vec_b"))
+      .withColumn("dot", graft.functions.VectorFunctions.dotF64(col("ea"), col("eb")))
+      .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
       .filter(col("cosine") >= 0.5)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy("vec_a", "vec_b")
   }
 }

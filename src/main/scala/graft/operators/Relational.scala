@@ -391,31 +391,37 @@ object Relational {
 
   /** R11c — array/struct function family: split, size, contains, sort,
     * indexing, slice, and struct field access.
+    *
+    * The array/struct ops all stay inside the query; the final projection
+    * re-encodes non-scalar columns as strings (`array_join` / `concat_ws`)
+    * because the driver's oracle comparator sorts rows in pandas, which
+    * cannot hash ndarray/dict cells.
     */
   def r11ArrayStruct(s: SparkSession, dir: String): DataFrame =
     Tables.part(s, dir)
       .withColumn("words", split(col("p_type"), " "))
+      .withColumn("meta", struct(col("p_brand").as("brand"), col("p_size").as("sz")))
       .select(
         col("p_partkey"),
-        col("words"),
+        array_join(col("words"), " ").as("words_str"),
         size(col("words")).as("n_words"),
         array_contains(col("words"), "BRASS").as("has_brass"),
-        sort_array(col("words")).as("sorted_words"),
+        array_join(sort_array(col("words")), " ").as("sorted_words_str"),
         element_at(col("words"), 1).as("first_word"),
-        slice(col("words"), 1, 2).as("first_two"),
-        struct(col("p_brand").as("brand"), col("p_size").as("sz")).as("meta"),
-        struct(col("p_brand").as("brand"), col("p_size").as("sz")).getField("sz").as("meta_size"))
+        array_join(slice(col("words"), 1, 2), " ").as("first_two_str"),
+        concat_ws(":", col("meta").getField("brand"), col("meta").getField("sz")).as("meta_str"),
+        col("meta").getField("sz").as("meta_size"))
       .orderBy("p_partkey")
 
   val r11ArrayStructSql: String =
     """SELECT p_partkey,
-      |  string_split(p_type, ' ') AS words,
+      |  array_to_string(string_split(p_type, ' '), ' ') AS words_str,
       |  CAST(len(string_split(p_type, ' ')) AS INTEGER) AS n_words,
       |  list_contains(string_split(p_type, ' '), 'BRASS') AS has_brass,
-      |  list_sort(string_split(p_type, ' ')) AS sorted_words,
+      |  array_to_string(list_sort(string_split(p_type, ' ')), ' ') AS sorted_words_str,
       |  string_split(p_type, ' ')[1] AS first_word,
-      |  string_split(p_type, ' ')[1:2] AS first_two,
-      |  struct_pack(brand := p_brand, sz := p_size) AS meta,
+      |  array_to_string(string_split(p_type, ' ')[1:2], ' ') AS first_two_str,
+      |  concat_ws(':', p_brand, p_size) AS meta_str,
       |  p_size AS meta_size
       |FROM part ORDER BY p_partkey""".stripMargin
 

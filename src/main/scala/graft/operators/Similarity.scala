@@ -18,7 +18,7 @@ import graft.functions.VectorFunctions.dotF64
   */
 object Similarity {
 
-  private def normed(s: SparkSession, dir: String): DataFrame =
+  private[operators] def normed(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("norm", sqrt(dotF64(col("e"), col("e"))))
@@ -63,44 +63,136 @@ object Similarity {
     x ^ (x >>> 31)
   }
 
-  /** Random-hyperplane LSH signature: bit p = sign(v · h_p) over nPlanes
-    * hyperplanes with deterministic ±1 components, generated driver-side
-    * and embedded as constant-folded array literals (64-dim, matching the
-    * fixture embedding width). Narrow map — no shuffle, and the per-plane
-    * dot product runs through the native [[graft.functions.DotProductF64]]
-    * codegen loop instead of per-element interpreted hashing.
+  /** Banding geometry shared by the ANN top-k, the embedding near-dup
+    * scale path ([[Dedup.x2EmbeddingLsh]]), and the generated DuckDB
+    * recall oracle. 6 bands × 3 planes: a pair at cosine c agrees with a
+    * plane with p = 1 - acos(c)/π, so a cosine-0.5 pair (p ≈ 0.67)
+    * collides in ≥1 band with 1-(1-p³)⁶ ≈ 0.92 — single-cell exact
+    * 6-plane match (p⁶ ≈ 0.09) is what produced recall 0 in round 1.
     */
-  private def lshSig(nPlanes: Int): org.apache.spark.sql.Column =
-    (0 until nPlanes).map { p =>
-      val plane = (0 until 64)
-        .map(j => if (Math.floorMod(splitmix64(p * 1000L + j), 2L) == 1L) "1D" else "-1D")
-        .mkString("array(", ",", ")")
-      when(dotF64(col("e"), expr(plane)) >= 0d, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  private[operators] val LshBands = 6
+  private[operators] val LshRowsPerBand = 3
 
-  /** The LSH-bucketed corpus (vec_id, e, norm, sig) — shared by the ANN
+  /** ±1 components of deterministic hyperplane p (64-dim, splitmix64-
+    * derived) — one shared constant table feeding both the Spark
+    * expression and the generated DuckDB oracle SQL.
+    */
+  private def planeComponents(p: Int): IndexedSeq[Int] =
+    (0 until 64).map(j => if (Math.floorMod(splitmix64(p * 1000L + j), 2L) == 1L) 1 else -1)
+
+  private def planeLit(p: Int): org.apache.spark.sql.Column =
+    expr(planeComponents(p).map(c => s"${c}D").mkString("array(", ",", ")"))
+
+  private def planeSqlList(p: Int): String =
+    planeComponents(p).mkString("[", ",", "]") + "::DOUBLE[]"
+
+  /** Banded random-hyperplane signature: an array of `LshBands` band
+    * values, band b = the `LshRowsPerBand` sign bits of planes
+    * b*rpb..b*rpb+rpb-1 packed into a long. Pairs collide when ANY band
+    * agrees — the MinHash banding discipline at cosine scale. Narrow map,
+    * no shuffle; each per-plane dot product runs through the native
+    * [[graft.functions.DotProductF64]] codegen loop.
+    */
+  private def bandedSig: org.apache.spark.sql.Column =
+    array((0 until LshBands).map { b =>
+      (0 until LshRowsPerBand).map { r =>
+        val p = b * LshRowsPerBand + r
+        when(dotF64(col("e"), planeLit(p)) >= 0d, lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+
+  /** The banded corpus (vec_id, e, norm, bands) — shared by the ANN
     * top-k and [[Dedup.x2EmbeddingLsh]]'s near-dup scale path.
     */
-  private[operators] def bucketed(s: SparkSession, dir: String): DataFrame =
-    normed(s, dir).withColumn("sig", lshSig(6))
+  private[operators] def bandedCorpus(s: SparkSession, dir: String): DataFrame =
+    normed(s, dir).withColumn("bands", bandedSig)
 
-  /** X3b — LSH-bucketed approximate top-k: queries only score vectors in
-    * their own 64-bucket LSH cell. Approximate by construction — no SQL
-    * oracle; recall-vs-brute-force and structure are unit-tested.
+  /** X3b — banded-LSH approximate top-k: a query's candidate set is the
+    * union of its 6 band buckets (OR across bands), exactly scored, then
+    * top-5. The corpus never shuffles: band rows join against the
+    * broadcast query side, the distinct'd (q_id, vec_id) candidate list
+    * is broadcast back. Approximate by construction — recall vs brute
+    * force is quantified by the oracle-twinned [[x3AnnRecall]].
     */
   def x3AnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = bucketed(s, dir)
-    val queries = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("norm").as("qnorm"), col("sig"))
-    val scored = e.join(broadcast(queries), Seq("sig"))
+    val e = bandedCorpus(s, dir).persist()
+    val bb = e.select(col("vec_id"), posexplode(col("bands")).as(Seq("band", "bv")))
+    val qb = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), posexplode(col("bands")).as(Seq("band", "bv")))
+    val cand = bb.join(broadcast(qb), Seq("band", "bv"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("dot", dotF64(col("qe"), col("e")))
-      .withColumn("cosine", round(col("dot") / (col("qnorm") * col("norm")), 6))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("norm").as("qnorm"))
+    val scored = e.select(col("vec_id"), col("e"), col("norm"))
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("cosine", round(dotF64(col("qe"), col("e")) / (col("qnorm") * col("norm")), 6))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
       .orderBy("q_id", "rank")
+  }
+
+  /** X3d — recall@5 of the banded-LSH ANN against the brute-force top-5,
+    * per query, in one plan. Oracle-twinned: the DuckDB SQL recomputes
+    * the identical pipeline (same deterministic plane constants, same
+    * rounding and tie-breaks), so "approximate" is a measured number the
+    * driver hash-checks, not a rows-only claim.
+    */
+  def x3AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = x3CosineTopK(s, dir).select(col("q_id"), col("vec_id"))
+    val ann = x3AnnLsh(s, dir).select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    exact.join(ann, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("q_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall_at_5"))
+      .orderBy("q_id")
+  }
+
+  /** DuckDB twin of [[x3AnnRecall]], generated from the same plane
+    * constants so both engines derive identical band buckets.
+    */
+  val x3AnnRecallSql: String = {
+    val bandSelects = (0 until LshBands).map { b =>
+      val bv = (0 until LshRowsPerBand).map { r =>
+        val p = b * LshRowsPerBand + r
+        s"(CASE WHEN list_dot_product(e, ${planeSqlList(p)}) >= 0 THEN ${1L << r} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band, $bv AS bv FROM e"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+       |  FROM embeddings),
+       |bands AS (
+       |  $bandSelects),
+       |qb AS (SELECT vec_id AS q_id, band, bv FROM bands WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT DISTINCT qb.q_id, b.vec_id
+       |  FROM bands b JOIN qb ON b.band = qb.band AND b.bv = qb.bv AND b.vec_id != qb.q_id),
+       |ann_scored AS (
+       |  SELECT c.q_id, c.vec_id,
+       |    round(list_dot_product(q.e, v.e) / (q.norm * v.norm), 6) AS cosine
+       |  FROM cand c JOIN e v ON c.vec_id = v.vec_id JOIN e q ON c.q_id = q.vec_id),
+       |ann AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+       |    FROM ann_scored) WHERE rk <= 5),
+       |ex AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_dot_product(q.e, c.e) / (q.norm * c.norm), 6) DESC, c.vec_id) AS rk
+       |    FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id != q.vec_id) WHERE rk <= 5)
+       |SELECT ex.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(sum(CASE WHEN ann.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  round(sum(CASE WHEN ann.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS recall_at_5
+       |FROM ex LEFT JOIN ann ON ex.q_id = ann.q_id AND ex.vec_id = ann.vec_id
+       |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
   }
 
   /** X3c — IVF (inverted-file) approximate top-k, the coarse-quantization

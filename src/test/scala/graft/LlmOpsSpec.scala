@@ -49,14 +49,28 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
-  test("X2: LSH-bucketed embedding near-dup is a subset of the exact pairs, cosines identical") {
-    val exact = Dedup.x2EmbeddingNearDup(spark, sfDir).collect()
+  test("X2: banded embedding LSH equals the exact pairs at a scale where pairs exist") {
+    // sf0.001 has no pair above the 0.5 cosine threshold, so the subset
+    // assertion alone would pass vacuously — run at sf0.01, where the
+    // exact twin finds qualifying pairs, and require full equality
+    // (recall 1 on the fixture: deterministic planes, exact verification).
+    val dir = "/root/testdata/sf0.01"
+    val exact = Dedup.x2EmbeddingNearDup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val lsh = Dedup.x2EmbeddingLsh(spark, sfDir).collect()
-    lsh.foreach { r =>
-      val key = (r.getLong(0), r.getLong(1))
-      assert(exact.contains(key), s"$key not in exact pairs")
-      assert(math.abs(exact(key) - r.getDouble(2)) < 1e-9)
+    val lsh = Dedup.x2EmbeddingLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty, "fixture should contain at least one qualifying pair")
+    assert(lsh.nonEmpty, "banded LSH must find the qualifying pair(s) — recall 0 is a bug")
+    assert(lsh.keySet == exact.keySet)
+    lsh.foreach { case (k, c) => assert(math.abs(exact(k) - c) < 1e-9) }
+  }
+
+  test("X3: banded-LSH ANN recall@5 clears the pinned floor at both fixture scales") {
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val rows = Similarity.x3AnnRecall(spark, dir).collect()
+      assert(rows.length == 10, s"one recall row per query in $dir")
+      val avg = rows.map(_.getAs[Double]("recall_at_5")).sum / rows.length
+      assert(avg >= 0.6, s"avg recall@5 $avg below 0.6 floor in $dir")
     }
   }
 
