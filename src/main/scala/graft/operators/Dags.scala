@@ -124,24 +124,20 @@ object Dags {
     * reference reads a key its producer never wrote; the composite
     * implements the intended projection) → store.
     */
-  def dagScrapeTagUpper(s: SparkSession, dir: String): DataFrame = {
-    val titles = Tables.part(s, dir)
-      .select(lit("title").as("type"),
-        row_number().over(Window.orderBy(col("p_partkey"))).as("index"),
-        col("p_name").as("content"))
-    val links = Tables.region(s, dir)
-      .select(lit("link").as("type"),
-        row_number().over(Window.orderBy(col("r_regionkey"))).as("index"),
-        col("r_name").as("content"))
-    titles.unionByName(links)
-      .select(col("type"), col("index"), upper(trim(col("content"))).as("content"))
-      .orderBy(col("type"), col("index"))
-  }
+  def dagScrapeTagUpper(s: SparkSession, dir: String): DataFrame =
+    Pipeline.p7TagIndex(s, dir)
+      .select(col("type"), col("page"), col("index"),
+        upper(trim(col("content"))).as("content"))
+      .orderBy(col("type"), col("page"), col("index"))
 
   val dagScrapeTagUpperSql: String =
-    """SELECT type, index, upper(trim(content)) AS content FROM (
-      |  SELECT 'title' AS type, CAST(row_number() OVER (ORDER BY p_partkey) AS INTEGER) AS index, p_name AS content FROM part
+    """SELECT type, page, index, upper(trim(content)) AS content FROM (
+      |  SELECT 'title' AS type, p_partkey // 100 AS page,
+      |    CAST(row_number() OVER (PARTITION BY p_partkey // 100 ORDER BY p_partkey) AS INTEGER) AS index,
+      |    p_name AS content FROM part
       |  UNION ALL
-      |  SELECT 'link' AS type, CAST(row_number() OVER (ORDER BY r_regionkey) AS INTEGER) AS index, r_name AS content FROM region
-      |) ORDER BY type, index""".stripMargin
+      |  SELECT 'link' AS type, r_regionkey // 100 AS page,
+      |    CAST(row_number() OVER (PARTITION BY r_regionkey // 100 ORDER BY r_regionkey) AS INTEGER) AS index,
+      |    r_name AS content FROM region
+      |) ORDER BY type, page, index""".stripMargin
 }

@@ -109,11 +109,47 @@ object Pipeline {
     "SELECT p_partkey, p_name AS message FROM part ORDER BY p_partkey"
 
   /** P7 — tag + 1-based index projection over two "scraped" record kinds,
-    * unioned. Ref: dags/scrap_to_kafka_to_mongo_pipeline.py:57-68.
-    * Global row_number is fine at parity-test scale; the 100 TB form is
-    * posexplode over the per-page array (no global ordering needed).
+    * unioned. Ref: dags/scrap_to_kafka_to_mongo_pipeline.py:57-68 — the
+    * reference enumerates items WITHIN one scraped page, so the faithful
+    * (and scale-safe) form is a per-page index: the window partitions by
+    * page (here synthesized as `p_partkey div 100` — each fixture "page"
+    * contributes 100 titles), never coalescing to a single partition.
+    * The reference's exact single-page shape is [[p7TagIndexGlobal]],
+    * unit-tested for parity on one-page data.
     */
   def p7TagIndex(s: SparkSession, dir: String): DataFrame = {
+    val titles = Tables.part(s, dir)
+      .select(lit("title").as("type"),
+        expr("p_partkey div 100").as("page"),
+        row_number().over(
+          Window.partitionBy(expr("p_partkey div 100")).orderBy(col("p_partkey"))).as("index"),
+        col("p_name").as("content"))
+    val links = Tables.region(s, dir)
+      .select(lit("link").as("type"),
+        expr("r_regionkey div 100").as("page"),
+        row_number().over(
+          Window.partitionBy(expr("r_regionkey div 100")).orderBy(col("r_regionkey"))).as("index"),
+        col("r_name").as("content"))
+    titles.unionByName(links).orderBy(col("type"), col("page"), col("index"))
+  }
+
+  val p7Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'title' AS type, p_partkey // 100 AS page,
+      |    CAST(row_number() OVER (PARTITION BY p_partkey // 100 ORDER BY p_partkey) AS INTEGER) AS index,
+      |    p_name AS content FROM part
+      |  UNION ALL
+      |  SELECT 'link' AS type, r_regionkey // 100 AS page,
+      |    CAST(row_number() OVER (PARTITION BY r_regionkey // 100 ORDER BY r_regionkey) AS INTEGER) AS index,
+      |    r_name AS content FROM region
+      |) ORDER BY type, page, index""".stripMargin
+
+  /** The reference's literal single-page shape: one global 1-based index
+    * per type. A partition-less window coalesces to a single partition,
+    * so this is a parity alias for one-page inputs only — the queried
+    * form is the per-page [[p7TagIndex]].
+    */
+  def p7TagIndexGlobal(s: SparkSession, dir: String): DataFrame = {
     val titles = Tables.part(s, dir)
       .select(lit("title").as("type"),
         row_number().over(Window.orderBy(col("p_partkey"))).as("index"),
@@ -124,13 +160,6 @@ object Pipeline {
         col("r_name").as("content"))
     titles.unionByName(links).orderBy(col("type"), col("index"))
   }
-
-  val p7Sql: String =
-    """SELECT * FROM (
-      |  SELECT 'title' AS type, CAST(row_number() OVER (ORDER BY p_partkey) AS INTEGER) AS index, p_name AS content FROM part
-      |  UNION ALL
-      |  SELECT 'link' AS type, CAST(row_number() OVER (ORDER BY r_regionkey) AS INTEGER) AS index, r_name AS content FROM region
-      |) ORDER BY type, index""".stripMargin
 
   /** P8 — whitespace-strip scalar. Ref: dags/scrap_to_kafka_to_mongo_pipeline.py:59. */
   def p8Trim(s: SparkSession, dir: String): DataFrame =

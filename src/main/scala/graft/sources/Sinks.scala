@@ -38,26 +38,76 @@ object Sinks {
   def appendDocuments(df: DataFrame, collectionPath: String): Unit =
     df.write.mode(SaveMode.Append).parquet(collectionPath)
 
+  /** Bucket count of the keyed-upsert store layout. 16 at fixture scale;
+    * at 100 TB this is thousands — the per-batch cost scales with the
+    * buckets a batch touches, never with the store.
+    */
+  val UpsertBuckets = 16
+
+  private def bucketOf(key: String): org.apache.spark.sql.Column =
+    pmod(xxhash64(col(key)), lit(UpsertBuckets)).cast("int")
+
+  /** Core keyed-upsert merge into a bucket-partitioned parquet store.
+    * `latest` must already hold one row per key.
+    *
+    * Scale shape: the store is `partitionBy(__bucket = pmod(hash(key), N))`;
+    * a batch (1) computes its touched buckets (≤ N literals, driver-side
+    * bounded by the bucket count, not the data), (2) reads ONLY those
+    * partitions back (partition pruning at the scan), (3) anti-joins the
+    * batch keys, and (4) rewrites only the touched partitions via dynamic
+    * partition overwrite — untouched bucket directories are never read or
+    * written, so per-batch cost is O(touched buckets), not O(store).
+    *
+    * Durability: the merge is staged to a temporary sibling directory and
+    * re-read before the overwrite, so the store is never simultaneously
+    * the scan source and overwrite target of one job (a cache-eviction
+    * recompute can't read a half-overwritten store). Store existence is
+    * checked explicitly; any other read failure propagates instead of
+    * being treated as "store absent" and destroying previous upserts.
+    */
+  private[graft] def mergeIntoStore(latest: DataFrame, key: String, storePath: String): Unit = {
+    val spark = latest.sparkSession
+    val withBucket = latest.withColumn("__bucket", bucketOf(key))
+    val path = new org.apache.hadoop.fs.Path(storePath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // absent = no directory OR an empty one (callers may pre-create the
+    // path); anything else present but unreadable propagates as an error
+    // instead of silently discarding the store
+    if (!fs.exists(path) || fs.listStatus(path).isEmpty) {
+      withBucket.write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(storePath)
+      return
+    }
+    val touched = withBucket.select(col("__bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
+    val existingTouched = spark.read.parquet(storePath)
+      .filter(col("__bucket").isin(touched: _*))
+    val merged = existingTouched
+      .join(latest.select(col(key)), Seq(key), "left_anti")
+      .unionByName(withBucket)
+    val staging = new org.apache.hadoop.fs.Path(
+      path.getParent, s".${path.getName}-staging-${java.util.UUID.randomUUID}")
+    merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    try
+      spark.read.parquet(staging.toString)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket")
+        .parquet(storePath)
+    finally fs.delete(staging, true)
+  }
+
   /** L5 — keyed upsert, last write wins per key in offset order
     * (ref: update_one(upsert=True), dags/kafka_to_mongo_pipeline_enchanced.py:141-145;
     * tie-break note SURVEY.md N3). Batch form; the streaming form is
-    * [[graft.streaming.Streams.upsertSink]].
+    * [[graft.streaming.Streams.upsertSink]]. Store layout and scale
+    * properties: [[mergeIntoStore]].
     */
   def upsertByKey(incoming: DataFrame, key: String, offsetCol: String, storePath: String): Unit = {
-    val spark = incoming.sparkSession
     val w = Window.partitionBy(col(key)).orderBy(col(offsetCol).desc)
     val latest = incoming.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    val existing =
-      try spark.read.parquet(storePath)
-      catch { case _: Throwable =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], latest.schema) }
-    val merged = existing.join(latest.select(col(key)), Seq(key), "left_anti")
-      .unionByName(latest)
-    val staged = merged.cache()
-    staged.count() // materialize before overwriting the input store
-    staged.write.mode(SaveMode.Overwrite).parquet(storePath)
-    staged.unpersist()
+    mergeIntoStore(latest, key, storePath)
   }
 
   /** L6/L7 — producer sink: record → JSON value (ref: producer.send with

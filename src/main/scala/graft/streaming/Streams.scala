@@ -67,13 +67,18 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** T5 — stateful keyed dedup on the stream: first-arrival wins per key,
-    * state expired by watermark so it stays bounded at 100 TB/day rates.
+  /** T5 — stateful keyed dedup on the stream: first-arrival wins PER KEY
+    * (`dropDuplicatesWithinWatermark(key)` — not per (key, event-time)
+    * pair, which `dropDuplicates(key, eventTime)` would give). State
+    * expires once the watermark passes an entry, so it stays bounded at
+    * 100 TB/day rates; the tradeoff is that a duplicate arriving later
+    * than the watermark delay after its first occurrence can re-emit —
+    * the standard bounded-state dedup contract.
     */
   def dedupKeyed(stream: DataFrame, eventTime: String, key: String, watermark: String): DataFrame =
     stream
       .withWatermark(eventTime, watermark)
-      .dropDuplicates(key, eventTime)
+      .dropDuplicatesWithinWatermark(key)
 
   /** T7 [EXT] — event-time tumbling window aggregate with watermark. */
   def tumblingCounts(stream: DataFrame, eventTime: String, width: String, watermark: String): DataFrame =
@@ -92,9 +97,13 @@ object Streams {
       .select(col("session_window.start").as("session_start"), col("user_id"), col("n_events"))
 
   /** L5 as a streaming sink — keyed last-write-wins upsert via
-    * foreachBatch: dedup the micro-batch by max offset per key, then merge
-    * into a parquet "collection" keyed by id. Idempotent under replay
-    * (checkpoint + whole-key overwrite), i.e. exactly-once effective.
+    * foreachBatch: dedup the micro-batch by max offset per key, then
+    * merge into the bucket-partitioned parquet "collection" keyed by id
+    * ([[graft.sources.Sinks.mergeIntoStore]]: a micro-batch rewrites only
+    * the bucket partitions it touches via dynamic partition overwrite —
+    * per-batch cost is O(touched buckets), not O(store)). Idempotent
+    * under replay (checkpoint + per-key overwrite within a bucket), i.e.
+    * exactly-once effective.
     * Ref: dags/kafka_to_mongo_pipeline_enchanced.py:141-145.
     */
   def upsertSink(df: DataFrame, key: String, offsetCol: String, storeDir: String,
@@ -104,24 +113,11 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col(key)).orderBy(col(offsetCol).desc)
         val latest = batch.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-        val existing =
-          try spark.read.parquet(storeDir)
-          catch { case _: Throwable => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], latest.schema) }
-        val merged = existing
-          .join(latest.select(col(key)), Seq(key), "left_anti")
-          .unionByName(latest)
-        // two-phase write: stage then swap would be the durable form; for
-        // the harness a direct overwrite after materializing is enough.
-        val staged = merged.cache()
-        staged.count()
-        staged.write.mode("overwrite").parquet(storeDir)
-        staged.unpersist()
+        graft.sources.Sinks.mergeIntoStore(latest, key, storeDir)
         ()
       }
       .start()

@@ -67,6 +67,16 @@ class PipelineSpec extends SparkSpec {
     assert(gated.count() == 0)
   }
 
+  test("P7 parity: per-page index equals the reference's global index on one-page data") {
+    val perPage = Pipeline.p7TagIndex(spark, sfDir).filter(col("type") === "link")
+      .select("index", "content").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    val global = Pipeline.p7TagIndexGlobal(spark, sfDir).filter(col("type") === "link")
+      .select("index", "content").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(perPage.nonEmpty && perPage == global)
+  }
+
   test("P7/S8 index is 1-based and per-type") {
     val out = Pipeline.p7TagIndex(spark, sfDir)
       .groupBy("type").agg(min("index").as("mn")).collect()

@@ -78,6 +78,24 @@ class PlanSpec extends SparkSpec {
       s"expected at most one selected partition, got $scanned")
   }
 
+  test("no SparkEntry query plans a partition-less window over unbounded input") {
+    // a Window with an empty partitionSpec coalesces ALL rows to one
+    // partition — a scale-killer unless its input is provably bounded
+    // (beneath a small literal LIMIT, e.g. IVF's nlist-row seed ranking)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
+    SparkEntry.queries.foreach { case (name, fn) =>
+      fn(spark, sfDir).queryExecution.optimizedPlan.foreach {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          val bounded = w.child.collect {
+            case GlobalLimit(Literal(n: Int, _), _) if n <= 64 => true
+          }.nonEmpty
+          assert(bounded, s"$name: partition-less window over unbounded input")
+        case _ => ()
+      }
+    }
+  }
+
   test("scan pushdown: a filtered fixture scan reaches parquet PushedFilters") {
     val df = graft.engine.Tables.lineitem(spark, sfDir).filter(col("l_quantity") > 25.0)
       .select(col("l_orderkey"), col("l_quantity"))

@@ -43,17 +43,67 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 1) // offsets committed, no reprocess
   }
 
-  test("T5: streaming upsert sink — last write per key wins across micro-batches") {
+  test("T5: streaming upsert sink — last write per key wins; untouched buckets byte-identical") {
     val store = tmpDir("store")
     val topic1 = writeTopic(Seq(msg(10, 1, "a", 1.0, 1), msg(11, 1, "b", 2.0, 1), msg(12, 2, "c", 3.0, 1)))
     val q1 = Streams.upsertSink(Streams.subscribe(spark, topic1), "user_id", "event_id", store, tmpDir("ck1"))
     q1.awaitTermination(60000)
+
+    // fingerprint every bucket-partition file (path -> sha256) after batch 1
+    def fingerprint(): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      val base = Paths.get(store)
+      Files.walk(base).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.contains("__bucket="))
+        .map { p =>
+          val sha = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
+          base.relativize(p).toString -> sha
+        }.toMap
+    }
+    val before = fingerprint()
+
     val topic2 = writeTopic(Seq(msg(13, 2, "d", 4.0, 1)))
     val q2 = Streams.upsertSink(Streams.subscribe(spark, topic2), "user_id", "event_id", store, tmpDir("ck2"))
     q2.awaitTermination(60000)
+
     val out = spark.read.parquet(store).orderBy("user_id").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"))).toSeq
     assert(out == Seq((1L, "b"), (2L, "d")))
+
+    // dynamic partition overwrite: the only bucket batch 2 touched is
+    // user 2's — every other bucket directory's files must be untouched
+    val touched = spark.range(1)
+      .select(pmod(xxhash64(lit(2L)), lit(graft.sources.Sinks.UpsertBuckets)).cast("int"))
+      .head.getInt(0)
+    val after = fingerprint()
+    val beforeUntouched = before.filterNot(_._1.contains(s"__bucket=$touched"))
+    assert(beforeUntouched.nonEmpty, "batch 1 must have written at least one other bucket")
+    assert(after.filterNot(_._1.contains(s"__bucket=$touched")) == beforeUntouched,
+      "a micro-batch must not rewrite bucket partitions it does not touch")
+  }
+
+  test("T5: dedupKeyed keeps the first arrival per key, not per (key, event-time)") {
+    val dir = tmpDir("dk")
+    Files.writeString(Paths.get(s"$dir/e.json"), Seq(
+      """{"event_id":0,"user_id":1,"event_type":"a","ts":"2024-01-01T00:00:00.000Z","value":1.0}""",
+      """{"event_id":1,"user_id":1,"event_type":"b","ts":"2024-01-01T00:05:00.000Z","value":2.0}""",
+      """{"event_id":2,"user_id":2,"event_type":"c","ts":"2024-01-01T00:10:00.000Z","value":3.0}""").mkString("\n"))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema).json(dir)
+    val out = Streams.dedupKeyed(stream, "ts", "user_id", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dk")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT user_id, event_type FROM dk ORDER BY user_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // user 1 appears at two DIFFERENT event times — per-key dedup still
+    // keeps only the first arrival (dropDuplicates(key, ts) would keep both)
+    assert(rows == Seq((1L, "a"), (2L, "c")))
   }
 
   test("T7: watermarked tumbling window counts on a stream (memory sink)") {
