@@ -46,6 +46,7 @@ object SparkEntry {
     "r5_salted_agg" -> (Relational.r5SaltedAgg _),
     "r6_distinct" -> (Relational.r6Distinct _),
     "r6_approx_distinct" -> (Relational.r6Approx _),
+    "r6_distinct_count" -> (Relational.r6DistinctCount _),
     "r7_rollup" -> (Relational.r7Rollup _),
     "r7_cube" -> (Relational.r7Cube _),
     "r7_grouping_sets" -> (Relational.r7GroupingSets _),
@@ -58,6 +59,9 @@ object SparkEntry {
     "r11_functions" -> (Relational.r11Functions _),
     "r11_datetime" -> (Relational.r11DateTime _),
     "r11_array_struct" -> (Relational.r11ArrayStruct _),
+    "r11_map" -> (Relational.r11Map _),
+    "s3_csv_scan" -> (graft.sources.Sources.s3CsvScan _),
+    "s4_json_scan" -> (graft.sources.Sources.s4JsonScan _),
     "t1_bounded_consume" -> (Streamy.t1BoundedConsume _),
     "t5_dedup_first" -> (Streamy.t5DedupFirst _),
     "t7_tumbling_window" -> (Streamy.t7Tumbling _),
@@ -118,7 +122,10 @@ object SparkEntry {
     "r5_multi_agg" -> Relational.r5Sql,
     "r5_salted_agg" -> Relational.r5SaltedSql,
     "r6_distinct" -> Relational.r6Sql,
-    // r6_approx_distinct: no oracle — HLL sketches differ across engines
+    // r6_approx_distinct: no oracle — HLL sketches differ across engines;
+    // the exact count is oracle-checked below and the approx is pinned
+    // within the sketch rsd of exact in PropertySpec
+    "r6_distinct_count" -> Relational.r6DistinctCountSql,
     "r7_rollup" -> Relational.r7Sql,
     "r7_cube" -> Relational.r7CubeSql,
     "r7_grouping_sets" -> Relational.r7GroupingSetsSql,
@@ -131,6 +138,9 @@ object SparkEntry {
     "r11_functions" -> Relational.r11Sql,
     "r11_datetime" -> Relational.r11DateTimeSql,
     "r11_array_struct" -> Relational.r11ArrayStructSql,
+    "r11_map" -> Relational.r11MapSql,
+    "s3_csv_scan" -> graft.sources.Sources.s3CsvScanSql,
+    "s4_json_scan" -> graft.sources.Sources.s4JsonScanSql,
     "t1_bounded_consume" -> Streamy.t1Sql,
     "t5_dedup_first" -> Streamy.t5Sql,
     "t7_tumbling_window" -> Streamy.t7TumblingSql,

@@ -203,16 +203,23 @@ object Relational {
     """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 
-  /** R6b — approx_count_distinct (HLL++). No SQL oracle: DuckDB's
-    * approx_count_distinct uses a different sketch, so exact equality is
-    * not defined; correctness is bounded-error vs the exact count
-    * (unit-tested), and the driver records the rows-only check.
+  /** R6b — approx_count_distinct (HLL++), the 100 TB cardinality path:
+    * a fixed-size sketch per partition merges at the driver — no shuffle
+    * of distinct values. No SQL oracle (DuckDB's sketch differs); the
+    * exact count is its own oracle-checked query ([[r6DistinctCount]])
+    * and the approx is pinned within the 2% rsd of exact in PropertySpec.
     */
   def r6Approx(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
-      .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+
+  /** R6c — the exact distinct count the approx sketch is judged against. */
+  def r6DistinctCount(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+
+  val r6DistinctCountSql: String =
+    "SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts FROM lineitem"
 
   /** R7 — rollup with grouping_id (subtotals + grand total). */
   def r7Rollup(s: SparkSession, dir: String): DataFrame =
@@ -424,6 +431,46 @@ object Relational {
       |  concat_ws(':', p_brand, p_size) AS meta_str,
       |  p_size AS meta_size
       |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** R11d — map-function family over the dynamic JSON payload the
+    * reference's Kafka messages carry (dags/kafka_to_mongo_pipeline.py:42-44):
+    * map construction (`map`/`map_concat`/`map_from_entries`), key/value
+    * extraction (`map_keys`/`map_values`/`element_at`), and `explode` of
+    * a map to entry rows. Non-scalar intermediates stay inside the query;
+    * the output is all scalars for the driver comparator.
+    */
+  def r11Map(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .withColumn("kv", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("m", map_concat(
+        map(lit("k"), col("kv")),
+        map(lit("uid"), col("user_id"))))
+      .withColumn("m2", map_from_entries(array(
+        struct(lit("k").as("key"), col("kv").as("value")),
+        struct(lit("uid").as("key"), col("user_id").as("value")))))
+    base.select(
+        col("event_id"),
+        size(col("m")).as("n_keys"),
+        array_join(map_keys(col("m")), ",").as("keys_str"),
+        array_join(transform(map_values(col("m")), _.cast("string")), ",").as("vals_str"),
+        element_at(col("m"), lit("k")).as("k_val"),
+        element_at(col("m2"), lit("uid")).as("uid_val"),
+        explode(col("m")).as(Seq("key", "value")))
+      .orderBy("event_id", "key")
+  }
+
+  val r11MapSql: String =
+    """WITH base AS (
+      |  SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv, user_id
+      |  FROM events),
+      |kvs AS (
+      |  SELECT event_id, kv, user_id, 'k' AS key, kv AS value FROM base
+      |  UNION ALL
+      |  SELECT event_id, kv, user_id, 'uid' AS key, user_id AS value FROM base)
+      |SELECT event_id, 2 AS n_keys, 'k,uid' AS keys_str,
+      |  concat(CAST(kv AS VARCHAR), ',', CAST(user_id AS VARCHAR)) AS vals_str,
+      |  kv AS k_val, user_id AS uid_val, key, value
+      |FROM kvs ORDER BY event_id, key""".stripMargin
 
   def r11Functions(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)

@@ -5,7 +5,7 @@ import java.net.URL
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 
 /** Ingestion surface (SURVEY.md §2.1 S1–S9).
   *
@@ -52,14 +52,75 @@ object Sources {
     }
   }
 
-  /** S4 — JSON-records scan (ref: pd.read_json, dags/etl_data_pipeline_mongodb.py:35). */
-  def readJsonRecords(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
-    val r = spark.read.option("multiLine", "true")
+  /** S4 — JSON-records scan (ref: pd.read_json, dags/etl_data_pipeline_mongodb.py:35).
+    *
+    * Default is JSON-lines (one record per line) — the splittable,
+    * partition-parallel form every 100 TB pipeline lands. Pass
+    * `multiLine = true` only for pandas-style whole-file arrays: that
+    * mode reads each FILE as one JSON document (non-splittable, and it
+    * silently truncates JSON-lines input to its first record).
+    */
+  def readJsonRecords(spark: SparkSession, path: String, schema: Option[StructType] = None,
+                      multiLine: Boolean = false): DataFrame = {
+    val r = spark.read.option("multiLine", multiLine.toString)
     schema match {
       case Some(sc) => r.schema(sc).json(path)
       case None => r.json(path)
     }
   }
+
+  /** S3 as a driver-checked query: land the customer table as CSV (the
+    * reference's `/tmp/data.csv` handoff, dags/etl_data_pipeline.py:9-18),
+    * scan it back with [[readCsv]] and an explicit schema (the 100 TB
+    * form — inference reads the data twice), filter, and project. The
+    * oracle runs against the parquet-side table, so the whole CSV
+    * write→scan→transform path sits under the correctness gate.
+    */
+  def s3CsvScan(s: SparkSession, dir: String): DataFrame = {
+    val landing = s"${System.getProperty("java.io.tmpdir")}/graft-landing-csv"
+    Sinks.writeCsv(graft.engine.Tables.customer(s, dir), landing)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    readCsv(s, landing, Some(schema))
+      .filter(col("c_acctbal") > 5000.0)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  val s3CsvScanSql: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer WHERE c_acctbal > 5000.0 ORDER BY c_custkey""".stripMargin
+
+  /** S4 as a driver-checked query: land orders as JSON records, scan back
+    * with [[readJsonRecords]] + explicit schema (ref: pd.read_json,
+    * dags/etl_data_pipeline_mongodb.py:35), filter, project — the JSON
+    * write→scan path under the correctness gate, timestamps included.
+    */
+  def s4JsonScan(s: SparkSession, dir: String): DataFrame = {
+    val landing = s"${System.getProperty("java.io.tmpdir")}/graft-landing-json"
+    Sinks.writeJsonRecords(graft.engine.Tables.orders(s, dir), landing)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderpriority", StringType)))
+    readJsonRecords(s, landing, Some(schema))
+      .filter(col("o_totalprice") > 1000.0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"))
+      .orderBy("o_orderkey")
+  }
+
+  val s4JsonScanSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+      |FROM orders WHERE o_totalprice > 1000.0 ORDER BY o_orderkey""".stripMargin
 
   /** S8 — HTML scrape: h1 texts + first 10 hrefs, tagged with a 1-based
     * index (ref: dags/scrap_to_kafka_to_mongo_pipeline.py:43-68). Pure

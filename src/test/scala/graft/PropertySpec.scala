@@ -24,6 +24,15 @@ class PropertySpec extends SparkSpec {
   private def forAll[A, B](ga: Gen[A], gb: Gen[B])(body: (A, B) => Unit): Unit =
     forAll(Gen.zip(ga, gb))(t => body(t._1, t._2))
 
+  test("R6: approx_count_distinct lands within 2x the configured rsd of the exact count") {
+    val approx = graft.operators.Relational.r6Approx(spark, sfDir)
+      .head.getLong(0).toDouble
+    val exact = graft.operators.Relational.r6DistinctCount(spark, sfDir)
+      .head.getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact <= 0.04,
+      s"approx $approx vs exact $exact drifts beyond 4%")
+  }
+
   test("dedup idempotence: dropDuplicates(dropDuplicates(x)) == dropDuplicates(x)") {
     forAll(rows) { xs =>
       val df = xs.toDF("k", "v")

@@ -32,13 +32,24 @@ class SourcesSinksSpec extends SparkSpec {
     assert(back.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("x", "y"))
   }
 
-  test("S4/L2: JSON-records round-trip") {
+  test("S4/L2: JSON-records round-trip (many records per file)") {
     val dir = tmpDir("json")
-    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "name")
+    // one part file with MANY lines — multiLine=true would collapse this
+    // to a single record, which is exactly the bug the driver gate caught
+    val df = (1L to 50L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1)
     Sinks.writeJsonRecords(df, dir)
     val back = Sources.readJsonRecords(spark, dir)
+    assert(back.count() == 50)
+    assert(back.filter(col("id") === 2).collect().head.getAs[String]("name") == "n2")
+  }
+
+  test("S4: multiLine mode reads a pandas-style whole-file records array") {
+    val dir = tmpDir("jsonarr")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/records.json"),
+      """[{"id": 1, "name": "x"}, {"id": 2, "name": "y"}]""")
+    val back = Sources.readJsonRecords(spark, dir, multiLine = true)
     assert(back.count() == 2)
-    assert(back.filter(col("id") === 2).collect().head.getAs[String]("name") == "y")
+    assert(back.filter(col("id") === 1).collect().head.getAs[String]("name") == "x")
   }
 
   test("L3: replaceTable fully replaces prior contents") {
