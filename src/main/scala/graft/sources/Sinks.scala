@@ -116,8 +116,27 @@ object Sinks {
     * takes; swap `.text(dir)` for `.format("kafka")` on a real broker.
     */
   def produceJson(df: DataFrame, topicDir: String): Unit =
+    encodeJsonValue(df).write.mode(SaveMode.Append).text(topicDir)
+
+  /** The shared record→JSON-value encode stage of [[produceJson]] /
+    * [[produceJsonKafka]] — one projection, two transports.
+    */
+  private[graft] def encodeJsonValue(df: DataFrame): DataFrame =
     df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
-      .write.mode(SaveMode.Append).text(topicDir)
+
+  /** L6/L7 Kafka-native form of [[produceJson]]: same encode stage,
+    * `format("kafka")` transport. Fails fast when the connector jar is
+    * absent (the offline harness ships without it).
+    */
+  def produceJsonKafka(df: DataFrame, bootstrapServers: String, topic: String): Unit = {
+    require(graft.streaming.Streams.kafkaAvailable,
+      "spark-sql-kafka connector not on the classpath — add the spark-sql-kafka-0-10 jar")
+    encodeJsonValue(df)
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .save()
+  }
 
   /** L8 — notification "sink": the engine-side analogue of EmailOperator
     * is a driver-side templated report after the query completes

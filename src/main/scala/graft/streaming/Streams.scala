@@ -33,16 +33,51 @@ object Streams {
     StructField("value", DoubleType),
     StructField("k", IntegerType)))
 
+  /** The shared value-decode stage: JSON message text → typed columns.
+    * Both the file-backed and Kafka-native sources feed this, so their
+    * plans are identical above the source node by construction.
+    */
+  private[graft] def decodeJsonValue(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value").cast("string"), eventSchema).as("m"))
+      .select(col("m.*"))
+
   /** T2/S5 — subscribe to a file-backed topic from the earliest offset:
     * each line is a JSON message; `from_json` replaces the consumer's
     * value_deserializer (ref: dags/kafka_to_mongo_pipeline.py:59).
     */
   def subscribe(spark: SparkSession, topicDir: String): DataFrame =
-    spark.readStream
-      .schema(StructType(Seq(StructField("value", StringType))))
-      .text(topicDir)
-      .select(from_json(col("value"), eventSchema).as("m"))
-      .select(col("m.*"))
+    decodeJsonValue(
+      spark.readStream
+        .schema(StructType(Seq(StructField("value", StringType))))
+        .text(topicDir))
+
+  /** True when the spark-sql-kafka connector is on the classpath. The
+    * offline harness ships without it; a connected deployment adds the
+    * jar and [[subscribeKafka]]/[[graft.sources.Sinks.produceJsonKafka]]
+    * light up with no other code change.
+    */
+  lazy val kafkaAvailable: Boolean =
+    try { Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider"); true }
+    catch { case _: ClassNotFoundException => false }
+
+  /** S5/T2 Kafka-native form of [[subscribe]]: the same decode stage over
+    * a `format("kafka")` source — identical logical plan modulo the
+    * source node (the Kafka value is binary, so the shared decode's
+    * string cast is exactly the consumer's value_deserializer,
+    * ref: dags/kafka_to_mongo_pipeline.py:56-62). Fails fast when the
+    * connector jar is absent.
+    */
+  def subscribeKafka(spark: SparkSession, bootstrapServers: String, topic: String): DataFrame = {
+    require(kafkaAvailable,
+      "spark-sql-kafka connector not on the classpath — add the spark-sql-kafka-0-10 jar")
+    decodeJsonValue(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load())
+  }
 
   /** T4 — per-record transform on the stream: validate (P3), uppercase
     * (P4), enrich (P5). Identical Column expressions to the batch ops —

@@ -106,6 +106,45 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq((1L, "a"), (2L, "c")))
   }
 
+  test("S5/L6: Kafka-native forms share the exact decode/encode stages with file-backed ones") {
+    import spark.implicits._
+    // decode: a binary Kafka value and a string file value produce the
+    // same analyzed plan above the source — one shared decodeJsonValue
+    val jsonMsg = """{"event_id":1,"user_id":2,"event_type":"c","value":1.5,"k":3}"""
+    val fromString = Streams.decodeJsonValue(Seq(jsonMsg).toDF("value"))
+    val fromBinary = Streams.decodeJsonValue(
+      Seq(jsonMsg.getBytes("UTF-8")).toDF("value"))
+    assert(fromString.schema == fromBinary.schema)
+    assert(fromString.schema.fieldNames.toSeq ==
+      Seq("event_id", "user_id", "event_type", "value", "k"))
+    assert(fromBinary.collect().head.getAs[Long]("event_id") == 1L)
+    // encode: the Kafka sink writes the same single value column the
+    // file-backed topic carries
+    val enc = graft.sources.Sinks.encodeJsonValue(Seq((1L, "x")).toDF("id", "name"))
+    assert(enc.schema.fieldNames.toSeq == Seq("value"))
+    assert(enc.collect().head.getString(0) == """{"id":1,"name":"x"}""")
+  }
+
+  test("S5: Kafka-native source fails fast (or plans identically) depending on the jar") {
+    if (Streams.kafkaAvailable) {
+      // with the connector present the Kafka form must analyze to the
+      // same plan shape as the file-backed form modulo the source node
+      val k = Streams.subscribeKafka(spark, "broker:9092", "events")
+      val f = Streams.subscribe(spark, tmpDir("ktopic"))
+      assert(k.schema == f.schema)
+    } else {
+      val err = intercept[IllegalArgumentException] {
+        Streams.subscribeKafka(spark, "broker:9092", "events")
+      }
+      assert(err.getMessage.contains("spark-sql-kafka"))
+      val err2 = intercept[IllegalArgumentException] {
+        graft.sources.Sinks.produceJsonKafka(
+          graft.engine.Tables.region(spark, sfDir), "broker:9092", "t")
+      }
+      assert(err2.getMessage.contains("spark-sql-kafka"))
+    }
+  }
+
   test("T7: watermarked tumbling window counts on a stream (memory sink)") {
     val dir = tmpDir("evts")
     // two events in hour 0, one in hour 1
