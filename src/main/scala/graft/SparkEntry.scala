@@ -44,6 +44,8 @@ object SparkEntry {
     "r4_range_join" -> (Relational.r4RangeJoin _),
     "r5_multi_agg" -> (Relational.r5Agg _),
     "r5_salted_agg" -> (Relational.r5SaltedAgg _),
+    "r5_percentiles" -> (Relational.r5Percentiles _),
+    "r5_approx_percentiles" -> (Relational.r5ApproxPercentiles _),
     "r6_distinct" -> (Relational.r6Distinct _),
     "r6_approx_distinct" -> (Relational.r6Approx _),
     "r6_distinct_count" -> (Relational.r6DistinctCount _),
@@ -60,8 +62,10 @@ object SparkEntry {
     "r11_datetime" -> (Relational.r11DateTime _),
     "r11_array_struct" -> (Relational.r11ArrayStruct _),
     "r11_map" -> (Relational.r11Map _),
+    "r12_asof_join" -> (Temporal.r12AsofJoin _),
     "s3_csv_scan" -> (graft.sources.Sources.s3CsvScan _),
     "s4_json_scan" -> (graft.sources.Sources.s4JsonScan _),
+    "t8_sessionize_batch" -> (Temporal.t8SessionizeBatch _),
     "t1_bounded_consume" -> (Streamy.t1BoundedConsume _),
     "t5_dedup_first" -> (Streamy.t5DedupFirst _),
     "t7_tumbling_window" -> (Streamy.t7Tumbling _),
@@ -82,6 +86,9 @@ object SparkEntry {
     "x4_lang_id" -> (TextAnalysis.x4LangId _),
     "x4_quality_score" -> (TextAnalysis.x4Quality _),
     "x4_fingerprint" -> (TextAnalysis.x4Fingerprint _),
+    "x4_tfidf" -> (TextAnalysis.x4TfIdf _),
+    "x6_stratified_sample" -> (Sampling.x6StratifiedSample _),
+    "x6_hash_split" -> (Sampling.x6HashSplit _),
     "x5_nested_hof" -> (Multimodal.x5Nested _),
     "x5_media_features" -> (Multimodal.x5MediaFeatures _),
     "x5_frame_sample" -> (Multimodal.x5FrameSample _),
@@ -121,6 +128,9 @@ object SparkEntry {
     "r4_range_join" -> Relational.r4Sql,
     "r5_multi_agg" -> Relational.r5Sql,
     "r5_salted_agg" -> Relational.r5SaltedSql,
+    // r5_approx_percentiles: no oracle — sketch-specific; pinned against
+    // the exact r5_percentiles in PropertySpec
+    "r5_percentiles" -> Relational.r5PercentilesSql,
     "r6_distinct" -> Relational.r6Sql,
     // r6_approx_distinct: no oracle — HLL sketches differ across engines;
     // the exact count is oracle-checked below and the approx is pinned
@@ -139,8 +149,10 @@ object SparkEntry {
     "r11_datetime" -> Relational.r11DateTimeSql,
     "r11_array_struct" -> Relational.r11ArrayStructSql,
     "r11_map" -> Relational.r11MapSql,
+    "r12_asof_join" -> Temporal.r12AsofJoinSql,
     "s3_csv_scan" -> graft.sources.Sources.s3CsvScanSql,
     "s4_json_scan" -> graft.sources.Sources.s4JsonScanSql,
+    "t8_sessionize_batch" -> Temporal.t8SessionizeBatchSql,
     "t1_bounded_consume" -> Streamy.t1Sql,
     "t5_dedup_first" -> Streamy.t5Sql,
     "t7_tumbling_window" -> Streamy.t7TumblingSql,
@@ -168,6 +180,9 @@ object SparkEntry {
     "x4_lang_id" -> TextAnalysis.x4LangIdSql,
     "x4_quality_score" -> TextAnalysis.x4QualitySql,
     "x4_fingerprint" -> TextAnalysis.x4FingerprintSql,
+    "x4_tfidf" -> TextAnalysis.x4TfIdfSql,
+    "x6_stratified_sample" -> Sampling.x6StratifiedSampleSql,
+    "x6_hash_split" -> Sampling.x6HashSplitSql,
     // x3_ann_ivf: approximate (probe subset) — rows-only, invariants unit-tested
     "x5_nested_hof" -> Multimodal.x5NestedSql,
     "x5_media_features" -> Multimodal.x5MediaSql,

@@ -193,6 +193,42 @@ object Relational {
       |  MAX(l_extendedprice) AS max_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** R5c — exact grouped percentiles (linear interpolation — the same
+    * definition as the oracle's `quantile_cont`). Exact percentile sorts
+    * within groups; the 100 TB path is [[r5ApproxPercentiles]]'s
+    * fixed-size KLL-style sketch, pinned against this query in
+    * PropertySpec.
+    */
+  def r5Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"))
+      .orderBy("o_orderstatus")
+
+  val r5PercentilesSql: String =
+    """SELECT o_orderstatus,
+      |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+      |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** R5c' — the sketch form (approx_percentile): no shuffle of raw
+    * values, constant memory per group. No SQL oracle (sketches differ
+    * across engines); accuracy pinned vs [[r5Percentiles]] in
+    * PropertySpec.
+    */
+  def r5ApproxPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("p50_approx"))
+      .orderBy("o_orderstatus")
+
   /** R6 — distinct + exact count-distinct. */
   def r6Distinct(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)

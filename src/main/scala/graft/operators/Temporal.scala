@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** [EXT] Temporal operators: as-of join and batch sessionization.
+  *
+  * The reference's event loop attributes per-record context by arrival
+  * order (dags/kafka_to_mongo_pipeline.py:67-80 processes records against
+  * the mutable store state at poll time); the declarative analogues are
+  * the as-of join (latest matching fact at-or-before each event) and
+  * gap-based sessionization — both core training-data-pipeline shapes
+  * (feature attribution, conversation/session assembly).
+  */
+object Temporal {
+
+  /** R12 [EXT] — as-of join: each click joined to the user's latest
+    * purchase at-or-before the click time.
+    *
+    * Spark lacks a native as-of join; the scale-safe formulation is the
+    * union trick (the Flink/kdb discipline): tag both sides, union, one
+    * window pass per key ordered by (ts, side) carrying the last non-null
+    * right payload forward, then keep left rows. ONE shuffle on the key —
+    * never a per-key loop, never a range cross-join. Purchases sort
+    * before clicks at equal ts (side 0 < 1), giving >= (inclusive) as-of
+    * semantics, which is exactly DuckDB's `ASOF JOIN ... ON l.ts >= r.ts`
+    * — the oracle twin.
+    */
+  def r12AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(1).as("side"),
+        lit(null).cast("long").as("p_event_id"),
+        lit(null).cast("double").as("p_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+        lit(0).as("side"),
+        col("event_id").as("p_event_id"),
+        col("value").as("p_value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("purchase_id", last(col("p_event_id"), ignoreNulls = true).over(w))
+      .withColumn("purchase_value", last(col("p_value"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"),
+        col("purchase_id"), col("purchase_value"))
+      .orderBy("user_id", "click_ts")
+  }
+
+  val r12AsofJoinSql: String =
+    """SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+      |  p.event_id AS purchase_id, p.value AS purchase_value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY c.user_id, click_ts""".stripMargin
+
+  /** T8 [EXT] — batch sessionization twin of
+    * [[graft.streaming.Streams.sessionize]]: a new session starts when
+    * the gap to the previous event of the same user exceeds 30 minutes.
+    * Classic two-window form — lag to flag session starts, running sum to
+    * number them — then one aggregate per (user, session). Gaps compare
+    * in integral microseconds (`unix_micros` / DuckDB `epoch_us`) so both
+    * engines make the identical cut. One shuffle on user_id; both windows
+    * reuse the same partitioning (a single sort, no second exchange).
+    */
+  def t8SessionizeBatch(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_no")
+  }
+
+  val t8SessionizeBatchSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800 * 1000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM (
+      |    SELECT user_id, ts,
+      |      lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+      |    FROM events)),
+      |numbered AS (
+      |  SELECT user_id, ts,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      |  FROM flagged)
+      |SELECT user_id, session_no, min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events
+      |FROM numbered GROUP BY user_id, session_no
+      |ORDER BY user_id, session_no""".stripMargin
+}

@@ -147,4 +147,46 @@ object TextAnalysis {
       |    list_prepend(0::BIGINT, [ascii(text[i]) for i in range(1, length(text) + 1)]),
       |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** X4f — TF-IDF top-3 terms per document: term frequency per (doc,
+    * term), document frequency per term, idf = ln((N+1)/(df+1)), ranked
+    * per doc by (tfidf desc, term asc).
+    *
+    * Scale shape: tf and df are two-phase hash aggregates over the
+    * exploded terms; the document count is a 1-row broadcast; the
+    * df-side join shuffles on `term` (vocabulary-sized — at 100 TB the
+    * vocab side is still orders of magnitude smaller than the corpus and
+    * the tf side arrives already partitioned by term from its aggregate).
+    * The final per-doc top-3 is a window over the doc's own terms.
+    */
+  def x4TfIdf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val x4TfIdfSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |SELECT doc_id, rk, term, tfidf FROM (
+      |  SELECT doc_id, term, tfidf,
+      |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rk
+      |  FROM scored) WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 }

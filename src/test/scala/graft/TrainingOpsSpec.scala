@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Relational, Sampling, Temporal, TextAnalysis}
+
+/** [EXT] Temporal, sampling, and featurization operator semantics. */
+class TrainingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("R12: as-of join picks the latest purchase at-or-before each click, null before any") {
+    val rows = Temporal.r12AsofJoin(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // independently recompute a hand as-of for one user present in the output
+    val uid = rows.head.getAs[Long]("user_id")
+    val ev = graft.engine.Tables.events(spark, sfDir)
+      .filter(col("user_id") === uid)
+      .select(col("event_type"), col("ts").cast("long").as("sec"), col("event_id"))
+      .collect()
+    val purchases = ev.filter(_.getString(0) == "purchase")
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    rows.filter(_.getAs[Long]("user_id") == uid).foreach { r =>
+      val clickSec = r.getAs[java.sql.Timestamp]("click_ts").getTime / 1000
+      val expected = purchases.filter(_._1 <= clickSec).lastOption.map(_._2)
+      val got = Option(r.getAs[java.lang.Long]("purchase_id")).map(_.longValue)
+      assert(got == expected, s"user $uid click@$clickSec")
+    }
+  }
+
+  test("T8: batch sessionize splits on >30min gaps and covers every event exactly once") {
+    val sess = Temporal.t8SessionizeBatch(spark, sfDir)
+    val total = sess.agg(sum("n_events")).head.getLong(0)
+    val nEvents = graft.engine.Tables.events(spark, sfDir).count()
+    assert(total == nEvents, "sessions must partition the events")
+    // within a session, span ≥ 0; sessions of one user don't overlap
+    val bad = sess.filter(col("session_end") < col("session_start")).count()
+    assert(bad == 0)
+  }
+
+  test("X6: stratified sample draws exactly k distinct rows per stratum, deterministically") {
+    val s1 = Sampling.x6StratifiedSample(spark, sfDir).collect()
+    val s2 = Sampling.x6StratifiedSample(spark, sfDir).collect()
+    assert(s1.map(_.toString).toSeq == s2.map(_.toString).toSeq, "sample must be deterministic")
+    val perStratum = s1.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(perStratum.values.forall(_ == 20), s"expected 20 per stratum: $perStratum")
+    assert(s1.map(_.getLong(2)).distinct.length == s1.length, "no duplicate event ids")
+  }
+
+  test("X6: hash split is a partition of the corpus with stable proportions") {
+    val split = Sampling.x6HashSplit(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = graft.engine.Tables.documents(spark, sfDir).count()
+    assert(split.values.sum == n)
+    assert(split("train") > split.getOrElse("validation", 0L))
+    assert(split.keySet.subsetOf(Set("train", "validation", "test")))
+  }
+
+  test("X4: tf-idf ranks a term appearing in fewer documents above a ubiquitous one") {
+    // hand corpus: 'rare' appears once in doc 1; 'the' appears everywhere
+    val docs = Seq(
+      (1L, "the rare the the"),
+      (2L, "the common the the"),
+      (3L, "the common the the")).toDF("doc_id", "text")
+    val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
+      .filter(col("doc_id") === 1).collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Double]("tfidf")).toMap
+    assert(scored("rare") > scored("the"),
+      s"rare ${scored("rare")} must outrank ubiquitous ${scored("the")}")
+    // and the full query emits exactly 3 ranked terms per fixture doc
+    val full = TextAnalysis.x4TfIdf(spark, sfDir)
+    val perDoc = full.groupBy("doc_id").agg(count(lit(1)).as("n"), max("rk").as("mx"))
+    assert(perDoc.filter(col("n") =!= 3 || col("mx") =!= 3).count() == 0)
+  }
+
+  test("R5: approx_percentile lands within 1% of the exact grouped median") {
+    val exact = Relational.r5Percentiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val approx = Relational.r5ApproxPercentiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex) / ex <= 0.01, s"$k: approx ${approx(k)} vs exact $ex")
+    }
+  }
+}
