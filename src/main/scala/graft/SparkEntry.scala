@@ -55,6 +55,9 @@ object SparkEntry {
     "r8_topk" -> (Relational.r8TopK _),
     "r9_window" -> (Relational.r9Window _),
     "r9_frames" -> (Relational.r9Frames _),
+    "r9_ranks" -> (Relational.r9Ranks _),
+    "r13_pivot" -> (Relational.r13Pivot _),
+    "r13_unpivot" -> (Relational.r13Unpivot _),
     "r10_intersect" -> (Relational.r10Intersect _),
     "r10_except" -> (Relational.r10Except _),
     "r10_union_distinct" -> (Relational.r10UnionDistinct _),
@@ -142,6 +145,9 @@ object SparkEntry {
     "r8_topk" -> Relational.r8Sql,
     "r9_window" -> Relational.r9Sql,
     "r9_frames" -> Relational.r9FramesSql,
+    "r9_ranks" -> Relational.r9RanksSql,
+    "r13_pivot" -> Relational.r13PivotSql,
+    "r13_unpivot" -> Relational.r13UnpivotSql,
     "r10_intersect" -> Relational.r10IntersectSql,
     "r10_except" -> Relational.r10ExceptSql,
     "r10_union_distinct" -> Relational.r10UnionDistinctSql,

@@ -328,6 +328,81 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** R9c — ranking/distribution window family: dense_rank, ntile,
+    * percent_rank, cume_dist. Unique (price, key) ordering keeps the
+    * distribution functions deterministic across engines.
+    */
+  def r9Ranks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("dr", dense_rank().over(w))
+      .withColumn("ntile4", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
+  val r9RanksSql: String =
+    """SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |  CAST(dense_rank() OVER w AS INTEGER) AS dr,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS ntile4,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderstatus, o_orderkey""".stripMargin
+
+  /** R13 [EXT] — pivot: order counts and exact price sums per priority,
+    * one column group per status. Explicit pivot values skip the
+    * distinct-scan pass; the plan is ONE two-phase hash aggregate with
+    * conditional branches — no per-column shuffles.
+    */
+  def r13Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(Exact.dsum(col("o_totalprice"), 2))
+      .select(col("o_orderpriority"),
+        col("F").as("sum_f"), col("O").as("sum_o"), col("P").as("sum_p"))
+      .orderBy("o_orderpriority")
+
+  val r13PivotSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(28,2)) END) AS DOUBLE) AS sum_f,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(28,2)) END) AS DOUBLE) AS sum_o,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(28,2)) END) AS DOUBLE) AS sum_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** R13b [EXT] — unpivot (melt): the wide pivot back to long
+    * (priority, status, sum) form — a narrow expand projection, no
+    * shuffle beyond the pivot's own aggregate. Null cells (absent
+    * combinations) are dropped, matching the UNION-ALL oracle.
+    */
+  def r13Unpivot(s: SparkSession, dir: String): DataFrame =
+    r13Pivot(s, dir)
+      .unpivot(Array(col("o_orderpriority")),
+        Array(col("sum_f"), col("sum_o"), col("sum_p")),
+        "status", "sum_price")
+      .filter(col("sum_price").isNotNull)
+      .withColumn("status", upper(substring(col("status"), 5, 1)))
+      .orderBy("o_orderpriority", "status")
+
+  val r13UnpivotSql: String =
+    """WITH p AS (
+      |  SELECT o_orderpriority,
+      |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(28,2)) END) AS DOUBLE) AS sum_f,
+      |    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(28,2)) END) AS DOUBLE) AS sum_o,
+      |    CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(28,2)) END) AS DOUBLE) AS sum_p
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, status, sum_price FROM (
+      |  SELECT o_orderpriority, 'F' AS status, sum_f AS sum_price FROM p
+      |  UNION ALL SELECT o_orderpriority, 'O', sum_o FROM p
+      |  UNION ALL SELECT o_orderpriority, 'P', sum_p FROM p)
+      |WHERE sum_price IS NOT NULL
+      |ORDER BY o_orderpriority, status""".stripMargin
+
   /** R10 — intersect: nations having both a customer and a supplier. */
   def r10Intersect(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))

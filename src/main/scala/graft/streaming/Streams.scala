@@ -157,6 +157,41 @@ object Streams {
       }
       .start()
 
+  /** T9 [EXT] — stream-static join: enrich each streamed event with a
+    * batch dimension table. The static side plans as an ordinary
+    * (broadcastable) relation re-bound per micro-batch — the streaming
+    * analogue of the reference's per-record lookup against Mongo state
+    * (dags/kafka_to_mongo_pipeline_enchanced.py:117-131). No state store
+    * involved; at 100 TB the dimension broadcasts exactly as in batch.
+    */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
+  /** T10 [EXT] — watermarked stream-stream inner join: clicks matched to
+    * purchases of the same user within 30 minutes AFTER the click. Both
+    * sides carry watermarks and the join condition bounds event time on
+    * both ends, so each side's state store retains only the watermark
+    * horizon — bounded state at any rate. The range predicate is the
+    * streaming analogue of [[graft.operators.Temporal.r12AsofJoin]]'s
+    * attribution window.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                        watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_value"), col("purchase_ts"))
+  }
+
   /** Sessionization with flatMapGroupsWithState: per user, close a
     * session and EMIT it when a processing gap exceeds `gapEvents` event
     * ids (an event-id-space stand-in for time, keeping the test

@@ -106,6 +106,46 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq((1L, "a"), (2L, "c")))
   }
 
+  test("T9: stream-static join enriches events with a broadcast dimension") {
+    import spark.implicits._
+    val topic = writeTopic(Seq(msg(0, 1, "click", 1.0, 5), msg(1, 2, "view", 2.0, 6)))
+    val dim = Seq((1L, "gold"), (2L, "basic"), (3L, "unused")).toDF("user_id", "tier")
+    val out = Streams.enrichWithStatic(Streams.subscribe(spark, topic), dim, "user_id")
+    val q = out.writeStream.format("memory").queryName("t9")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT user_id, tier FROM t9 ORDER BY user_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "gold"), (2L, "basic")))
+  }
+
+  test("T10: watermarked stream-stream join matches purchases within 30min of a click") {
+    val dir = tmpDir("ssj")
+    def ev(id: Long, user: Long, typ: String, ts: String, v: Double) =
+      s"""{"event_id":$id,"user_id":$user,"event_type":"$typ","ts":"$ts","value":$v}"""
+    Files.writeString(Paths.get(s"$dir/e.json"), Seq(
+      ev(0, 1, "click", "2024-01-01T00:00:00.000Z", 0.0),
+      ev(1, 1, "purchase", "2024-01-01T00:10:00.000Z", 9.5), // within 30m → match
+      ev(2, 1, "purchase", "2024-01-01T02:00:00.000Z", 4.0), // outside → no match
+      ev(3, 2, "purchase", "2024-01-01T00:05:00.000Z", 7.0)  // no click → no match
+    ).mkString("\n"))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    def src() = spark.readStream.schema(schema).json(dir)
+    val out = Streams.clickPurchaseJoin(
+      src().filter(col("event_type") === "click"),
+      src().filter(col("event_type") === "purchase"))
+    val q = out.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT click_id, purchase_id, purchase_value FROM ssj").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((0L, 1L, 9.5)))
+  }
+
   test("S5/L6: Kafka-native forms share the exact decode/encode stages with file-backed ones") {
     import spark.implicits._
     // decode: a binary Kafka value and a string file value produce the
