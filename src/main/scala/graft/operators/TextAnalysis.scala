@@ -162,8 +162,10 @@ object TextAnalysis {
   def x4TfIdf(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = terms.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // tf holds one row per distinct (doc, term), so df derives from it
+    // directly — no second explode/distinct/shuffle chain over the corpus
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")).persist()
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
       .withColumn("tfidf",
