@@ -27,11 +27,18 @@ object Similarity {
     * excluded). Rank by rounded cosine with vec_id tie-break so the
     * ordering is stable across engines.
     */
-  def x3CosineTopK(s: SparkSession, dir: String): DataFrame = {
-    val corpus = normed(s, dir)
-    val queries = normed(s, dir).filter(col("vec_id") < 10)
+  def x3CosineTopK(s: SparkSession, dir: String): DataFrame =
+    bruteTopK(normed(s, dir))
+
+  /** Brute-force top-5 over a prepared (vec_id, e, norm) corpus — shared
+    * by [[x3CosineTopK]] and [[x3AnnRecall]] (which passes an
+    * already-persisted corpus so the recall query scans parquet once).
+    */
+  private def bruteTopK(corpus: DataFrame): DataFrame = {
+    val queries = corpus.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("norm").as("qnorm"))
-    val scored = corpus.crossJoin(broadcast(queries))
+    val scored = corpus.select(col("vec_id"), col("e"), col("norm"))
+      .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("dot", dotF64(col("qe"), col("e")))
       .withColumn("cosine", round(col("dot") / (col("qnorm") * col("norm")), 6))
@@ -114,8 +121,11 @@ object Similarity {
     * is broadcast back. Approximate by construction — recall vs brute
     * force is quantified by the oracle-twinned [[x3AnnRecall]].
     */
-  def x3AnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = bandedCorpus(s, dir).persist()
+  def x3AnnLsh(s: SparkSession, dir: String): DataFrame =
+    annTopK(bandedCorpus(s, dir).persist())
+
+  /** Banded-LSH top-5 over a prepared (vec_id, e, norm, bands) corpus. */
+  private def annTopK(e: DataFrame): DataFrame = {
     val bb = e.select(col("vec_id"), posexplode(col("bands")).as(Seq("band", "bv")))
     val qb = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), posexplode(col("bands")).as(Seq("band", "bv")))
@@ -143,8 +153,11 @@ object Similarity {
     * driver hash-checks, not a rows-only claim.
     */
   def x3AnnRecall(s: SparkSession, dir: String): DataFrame = {
-    val exact = x3CosineTopK(s, dir).select(col("q_id"), col("vec_id"))
-    val ann = x3AnnLsh(s, dir).select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    // one persisted banded corpus feeds BOTH pipelines — the parquet
+    // scan, norms, and signatures are computed once for the whole query
+    val corpus = bandedCorpus(s, dir).persist()
+    val exact = bruteTopK(corpus).select(col("q_id"), col("vec_id"))
+    val ann = annTopK(corpus).select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
     exact.join(ann, Seq("q_id", "vec_id"), "left")
       .groupBy(col("q_id"))
       .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))

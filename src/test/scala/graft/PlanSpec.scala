@@ -78,6 +78,30 @@ class PlanSpec extends SparkSpec {
       s"expected at most one selected partition, got $scanned")
   }
 
+  test("R12: as-of join plans ONE data exchange (union + single keyed window)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = graft.operators.Temporal.r12AsofJoin(spark, sfDir)
+    df.collect()
+    // count hash-partition exchanges in the final adaptive plan; the
+    // only permitted extras are the final presentation range sort
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 1, s"as-of join must shuffle once on the key, saw $hashEx:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoopJoin"),
+      "the union-trick as-of must not plan a join at all")
+  }
+
+  test("X3: banded ANN never shuffles the corpus — only broadcast exchanges feed its joins") {
+    val df = graft.operators.Similarity.x3AnnLsh(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // every join in the plan must be broadcast-fed; the only hash
+    // exchanges allowed are the candidate distinct and the top-k window
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side sort-merge join means the corpus shuffled:\n${plan.take(1500)}")
+  }
+
   test("no SparkEntry query plans a partition-less window over unbounded input") {
     // a Window with an empty partitionSpec coalesces ALL rows to one
     // partition — a scale-killer unless its input is provably bounded
