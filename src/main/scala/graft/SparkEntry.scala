@@ -90,6 +90,8 @@ object SparkEntry {
     "x4_quality_score" -> (TextAnalysis.x4Quality _),
     "x4_fingerprint" -> (TextAnalysis.x4Fingerprint _),
     "x4_tfidf" -> (TextAnalysis.x4TfIdf _),
+    "x4_redact" -> (TextAnalysis.x4Redact _),
+    "x4_chunk" -> (TextAnalysis.x4Chunk _),
     "x6_stratified_sample" -> (Sampling.x6StratifiedSample _),
     "x6_hash_split" -> (Sampling.x6HashSplit _),
     "x5_nested_hof" -> (Multimodal.x5Nested _),
@@ -187,6 +189,8 @@ object SparkEntry {
     "x4_quality_score" -> TextAnalysis.x4QualitySql,
     "x4_fingerprint" -> TextAnalysis.x4FingerprintSql,
     "x4_tfidf" -> TextAnalysis.x4TfIdfSql,
+    "x4_redact" -> TextAnalysis.x4RedactSql,
+    "x4_chunk" -> TextAnalysis.x4ChunkSql,
     "x6_stratified_sample" -> Sampling.x6StratifiedSampleSql,
     "x6_hash_split" -> Sampling.x6HashSplitSql,
     // x3_ann_ivf: approximate (probe subset) — rows-only, invariants unit-tested

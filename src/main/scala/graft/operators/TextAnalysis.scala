@@ -148,6 +148,74 @@ object TextAnalysis {
       |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** X4g — PII redaction: email and phone patterns replaced with typed
+    * placeholder tags, with per-doc match counts. The fixture text is
+    * synthetic tokens, so the query plants deterministic PII (an email
+    * and a phone derived from doc_id) before scrubbing — both engines
+    * construct and redact identically, putting the regex semantics (not
+    * just the no-op path) under the oracle gate. Pure narrow map.
+    */
+  def x4Redact(s: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b\\d{3}-\\d{4}\\b"
+    Tables.documents(s, dir)
+      .withColumn("dirty", concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .select(
+        col("doc_id"),
+        regexp_count(col("dirty"), lit(email)).as("n_emails"),
+        regexp_count(col("dirty"), lit(phone)).as("n_phones"),
+        regexp_replace(regexp_replace(col("dirty"), email, "<EMAIL>"),
+          phone, "<PHONE>").as("clean"))
+      .orderBy("doc_id")
+  }
+
+  val x4RedactSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+      |  CAST(len(regexp_extract_all(dirty, '\b\d{3}-\d{4}\b')) AS INTEGER) AS n_phones,
+      |  regexp_replace(
+      |    regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean
+      |FROM (
+      |  SELECT doc_id,
+      |    text || ' contact user' || doc_id || '@example.com or 555-' ||
+      |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS dirty
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** X4h — overlapping-window chunking (training-context assembly):
+    * 32-token chunks on a 24-token stride, 1-based chunk numbers, token
+    * counts per chunk. One narrow generate per doc — no shuffle except
+    * the presentation sort; at 100 TB this is the map stage in front of
+    * tokenization.
+    */
+  def x4Chunk(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("n"),
+        posexplode(expr(
+          "transform(sequence(1, n, 24), i -> struct(size(slice(toks, i, 32)) AS nt, array_join(slice(toks, i, 32), ' ') AS ch))"))
+          .as(Seq("pos", "c")))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        (col("pos") + 1).cast("int").as("chunk_no"),
+        col("c.nt").as("n_chunk_tokens"), col("c.ch").as("chunk"))
+      .orderBy("doc_id", "chunk_no")
+
+  val x4ChunkSql: String =
+    """SELECT doc_id, n AS n_tokens,
+      |  CAST((start - 1) // 24 + 1 AS INTEGER) AS chunk_no,
+      |  CAST(least(start + 31, n) - start + 1 AS INTEGER) AS n_chunk_tokens,
+      |  array_to_string(toks[start:least(start + 31, n)], ' ') AS chunk
+      |FROM (
+      |  SELECT doc_id, toks, n, unnest(range(1, n + 1, 24)) AS start
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+      |          CAST(len(string_split(text, ' ')) AS INTEGER) AS n
+      |        FROM documents))
+      |ORDER BY doc_id, chunk_no""".stripMargin
+
   /** X4f — TF-IDF top-3 terms per document: term frequency per (doc,
     * term), document frequency per term, idf = ln((N+1)/(df+1)), ranked
     * per doc by (tfidf desc, term asc).

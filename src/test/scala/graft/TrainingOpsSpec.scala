@@ -76,6 +76,33 @@ class TrainingOpsSpec extends SparkSpec {
     assert(perDoc.filter(col("n") =!= 3 || col("mx") =!= 3).count() == 0)
   }
 
+  test("X4: redaction leaves no live email/phone and counts every planted one") {
+    val rows = TextAnalysis.x4Redact(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val clean = r.getAs[String]("clean")
+      assert(!clean.matches(".*[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}.*"), clean)
+      assert(clean.contains("<EMAIL>") && clean.contains("<PHONE>"))
+      assert(r.getAs[Int]("n_emails") >= 1 && r.getAs[Int]("n_phones") >= 1)
+    }
+  }
+
+  test("X4: chunking covers every token and overlapping regions agree") {
+    val doc = graft.engine.Tables.documents(spark, sfDir)
+      .orderBy(col("doc_id").desc).limit(1).collect().head
+    val toks = doc.getAs[String]("text").split(" ")
+    val chunks = TextAnalysis.x4Chunk(spark, sfDir)
+      .filter(col("doc_id") === doc.getAs[Long]("doc_id"))
+      .orderBy("chunk_no").collect().map(_.getAs[String]("chunk").split(" "))
+    // starts at stride 24: chunk i begins at token 24*i
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val start = 24 * i
+      assert(c.toSeq == toks.slice(start, math.min(start + 32, toks.length)).toSeq)
+    }
+    // final chunk reaches the last token
+    assert(24 * (chunks.length - 1) + chunks.last.length == toks.length)
+  }
+
   test("R5: approx_percentile lands within 1% of the exact grouped median") {
     val exact = Relational.r5Percentiles(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getDouble(2)).toMap
