@@ -138,6 +138,37 @@ object Sinks {
       .save()
   }
 
+  /** L9 [EXT] — small-file compaction: rewrite a parquet directory into
+    * ~`targetFileBytes` files. The file count derives from the
+    * directory's actual byte size (Hadoop FS), the rewrite is a
+    * round-robin repartition (no key needed — this is layout, not
+    * semantics), staged to a temp sibling and swapped in two renames so
+    * a concurrent reader sees either the old or the new layout, never a
+    * half-compacted mix. The small-files problem is THE operational tax
+    * of high-frequency micro-batch sinks at 100 TB — compaction is what
+    * keeps scan parallelism aligned with data size instead of file
+    * count. Returns the new file count.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val staging = new org.apache.hadoop.fs.Path(
+      path.getParent, s".${path.getName}-compact-${java.util.UUID.randomUUID}")
+    val old = new org.apache.hadoop.fs.Path(
+      path.getParent, s".${path.getName}-old-${java.util.UUID.randomUUID}")
+    spark.read.parquet(dir).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    // two renames, not delete-then-rename: if the second rename fails the
+    // original data still exists under `old`
+    require(fs.rename(path, old), s"compact: could not move $path aside")
+    require(fs.rename(staging, path), s"compact: could not swap $staging into place")
+    fs.delete(old, true)
+    nFiles
+  }
+
   /** L8 — notification "sink": the engine-side analogue of EmailOperator
     * is a driver-side templated report after the query completes
     * (ref: dags/etl_data_pipeline_mongodb_complex.py:129-135). Returns the

@@ -52,6 +52,22 @@ class SourcesSinksSpec extends SparkSpec {
     assert(back.filter(col("id") === 1).collect().head.getAs[String]("name") == "x")
   }
 
+  test("L9: compact shrinks a many-file directory to the byte-derived count, content identical") {
+    val dir = tmpDir("compact")
+    val df = graft.engine.Tables.events(spark, sfDir)
+    df.repartition(16).write.mode("overwrite").parquet(dir)
+    def parts(d: String) = new java.io.File(d).listFiles
+      .count(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+    val before = parts(dir)
+    assert(before >= 16)
+    val checksum = spark.read.parquet(dir).agg(sum(col("event_id"))).head.getLong(0)
+    val n = Sinks.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(n == 1 && parts(dir) == 1, s"expected 1 file, got ${parts(dir)}")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == df.count())
+    assert(after.agg(sum(col("event_id"))).head.getLong(0) == checksum)
+  }
+
   test("L3: replaceTable fully replaces prior contents") {
     val dir = tmpDir("table")
     Sinks.replaceTable(Seq((1, "old")).toDF("id", "v"), dir)
