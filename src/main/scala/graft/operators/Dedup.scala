@@ -142,11 +142,19 @@ object Dedup {
   }
 
   /** 64-bit SimHash over tokens (with multiplicity): bit k is set when
-    * the signed sum of token-hash bit k is positive. The outer
-    * single-element `aggregate` binds the token-hash array once, so each
-    * token is hashed once — not once per bit (64× less hashing).
+    * the signed sum of token-hash bit k is positive. Native compiled
+    * loop ([[graft.functions.SimHashSig]]) — each token hashed once, all
+    * 64 bit counts accumulated in one pass.
     */
-  val simhashSig: Column = expr(
+  val simhashSig: Column = graft.functions.SimHashSig(split(col("text"), " "))
+
+  /** The pure-HOF formulation of [[simhashSig]] — semantically identical
+    * (parity pinned in LlmOpsSpec) but on the interpreted lambda path:
+    * 64 boxed passes over the token-hash array per document. Kept as the
+    * §2.8 escalation documentation: built-ins first, native Expression
+    * only where profiling demands.
+    */
+  val simhashSigHof: Column = expr(
     """aggregate(array(transform(split(text, ' '), t -> xxhash64(t))), 0L,
       |  (acc0, ths) -> acc0 + aggregate(sequence(0, 63), 0L, (acc, k) ->
       |    acc + if(

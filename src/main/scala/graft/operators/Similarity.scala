@@ -223,7 +223,13 @@ object Similarity {
     */
   def x3AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val nlist = 16
-    val nprobe = 2
+    // nprobe 6/16: on the uniform-random fixture embeddings (no cluster
+    // structure for the quantizer to exploit) measured recall@5 vs brute
+    // force is 0.36-0.40 at nprobe=2 and 0.72-0.74 at nprobe=6 — the
+    // smallest probe width clearing the 0.6 floor pinned in LlmOpsSpec.
+    // Clustered real-world embeddings would hit the same recall at far
+    // smaller fractions; the probe width is the recall/cost dial.
+    val nprobe = 6
     val e = normed(s, dir).persist()
 
     // deterministic seed centroids: first nlist corpus vectors in

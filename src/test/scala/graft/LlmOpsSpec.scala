@@ -14,6 +14,13 @@ class LlmOpsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("X2: native SimHash equals the HOF formulation on every fixture document") {
+    val both = graft.engine.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Dedup.simhashSig.as("native"), Dedup.simhashSigHof.as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(both.count() == 0, "native SimHash diverged from the HOF twin")
+  }
+
   test("X2: SimHash flags identical and 1-token-edit docs, not unrelated ones") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
@@ -71,6 +78,18 @@ class LlmOpsSpec extends SparkSpec {
       assert(rows.length == 10, s"one recall row per query in $dir")
       val avg = rows.map(_.getAs[Double]("recall_at_5")).sum / rows.length
       assert(avg >= 0.6, s"avg recall@5 $avg below 0.6 floor in $dir")
+    }
+  }
+
+  test("X3: IVF recall@5 clears the pinned floor at both fixture scales") {
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val exact = Similarity.x3CosineTopK(spark, dir).select("q_id", "vec_id")
+      val ivf = Similarity.x3AnnIvf(spark, dir)
+        .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+      val recall = exact.join(ivf, Seq("q_id", "vec_id"), "left")
+        .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("r"))
+        .head.getDouble(0)
+      assert(recall >= 0.6, s"IVF recall@5 $recall below 0.6 floor in $dir")
     }
   }
 
