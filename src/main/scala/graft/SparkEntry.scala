@@ -22,6 +22,7 @@ object SparkEntry {
     "dag_complex_union_gate" -> (Dags.dagComplexUnionGate _),
     "dag_kafka_validate_enrich_upsert" -> (Dags.dagKafkaValidateEnrichUpsert _),
     "dag_scrape_tag_upper" -> (Dags.dagScrapeTagUpper _),
+    "dag_training_prep" -> (Dags.dagTrainingPrep _),
     "p1_dropna_any" -> (Pipeline.p1DropnaAny _),
     "p2_dropna_all" -> (Pipeline.p2DropnaAll _),
     "p3_validate" -> (Pipeline.p3Validate _),
@@ -36,6 +37,7 @@ object SparkEntry {
     "u1_union_by_name" -> (Pipeline.u1UnionByName _),
     "a1_count" -> (Pipeline.a1Count _),
     "a2_branch_gate" -> (Pipeline.a2Branch _),
+    "a4_dlq_routing" -> (Pipeline.a4DlqRouting _),
     "l5_upsert_last_wins" -> (Pipeline.l5Upsert _),
     "r1_join_multi" -> (Relational.r1JoinMulti _),
     "r2_broadcast_join" -> (Relational.r2BroadcastJoin _),
@@ -111,6 +113,7 @@ object SparkEntry {
     "dag_complex_union_gate" -> Dags.dagComplexUnionGateSql,
     "dag_kafka_validate_enrich_upsert" -> Dags.dagKafkaValidateEnrichUpsertSql,
     "dag_scrape_tag_upper" -> Dags.dagScrapeTagUpperSql,
+    "dag_training_prep" -> Dags.dagTrainingPrepSql,
     "p1_dropna_any" -> Pipeline.p1Sql,
     "p2_dropna_all" -> Pipeline.p2Sql,
     "p3_validate" -> Pipeline.p3Sql,
@@ -125,6 +128,7 @@ object SparkEntry {
     "u1_union_by_name" -> Pipeline.u1Sql,
     "a1_count" -> Pipeline.a1Sql,
     "a2_branch_gate" -> Pipeline.a2Sql,
+    "a4_dlq_routing" -> Pipeline.a4Sql,
     "l5_upsert_last_wins" -> Pipeline.l5Sql,
     "r1_join_multi" -> Relational.r1Sql,
     "r2_broadcast_join" -> Relational.r2Sql,

@@ -118,6 +118,62 @@ object Dags {
       |    AND event_type IS NOT NULL AND user_id IS NOT NULL
       |) WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** [EXT] The canonical training-data prep pipeline as ONE plan:
+    * exact dedup (keep min doc_id per text) → quality gate (≥ 20 tokens)
+    * → overlapping 32/24 chunking → deterministic train/val/test split
+    * per chunk (md5 of doc_id#chunk_no). This is the composite a 100 TB
+    * corpus actually runs in front of tokenization; every stage is the
+    * oracle-checked operator it reuses (X1, X4 stats gate, x4_chunk,
+    * x6_hash_split), and the whole chain is a single Catalyst plan — one
+    * shuffle for the dedup, narrow maps after.
+    */
+  def dagTrainingPrep(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    val deduped = Tables.documents(s, dir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    val kept = deduped
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 20)
+    kept.select(col("doc_id"), col("n"),
+        posexplode(expr(
+          "transform(sequence(1, n, 24), i -> struct(size(slice(toks, i, 32)) AS nt, array_join(slice(toks, i, 32), ' ') AS ch))"))
+          .as(Seq("pos", "c")))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("chunk_no"),
+        col("c.nt").as("n_chunk_tokens"),
+        conv(substring(md5(concat(col("doc_id"), lit("#"), col("pos") + 1)), 1, 4), 16, 10)
+          .cast("long").mod(100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 96, "train")
+          .when(col("bucket") < 98, "validation")
+          .otherwise("test"))
+      .select(col("doc_id"), col("chunk_no"), col("n_chunk_tokens"), col("split"))
+      .orderBy("doc_id", "chunk_no")
+  }
+
+  val dagTrainingPrepSql: String =
+    """WITH deduped AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)),
+      |kept AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n
+      |  FROM deduped WHERE len(string_split(text, ' ')) >= 20),
+      |chunks AS (
+      |  SELECT doc_id,
+      |    CAST((start - 1) // 24 + 1 AS INTEGER) AS chunk_no,
+      |    CAST(least(start + 31, n) - start + 1 AS INTEGER) AS n_chunk_tokens
+      |  FROM (SELECT doc_id, toks, n, unnest(range(1, n + 1, 24)) AS start FROM kept))
+      |SELECT doc_id, chunk_no, n_chunk_tokens,
+      |  CASE WHEN bucket < 96 THEN 'train'
+      |       WHEN bucket < 98 THEN 'validation'
+      |       ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id, chunk_no, n_chunk_tokens,
+      |    CAST(('0x' || substring(md5(doc_id || '#' || chunk_no), 1, 4)) AS BIGINT) % 100 AS bucket
+      |  FROM chunks)
+      |ORDER BY doc_id, chunk_no""".stripMargin
+
   /** scrap_to_kafka_to_mongo_pipeline.py end-to-end: scraped items tagged
     * with type + 1-based index (P7, :57-68) → per-record uppercase
     * transform in the consumer (P4 on the intended field, :108 — N5: the

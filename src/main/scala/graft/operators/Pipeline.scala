@@ -258,6 +258,48 @@ object Pipeline {
       |SELECT * FROM cleaned WHERE (SELECT COUNT(*) FROM cleaned) > 10
       |ORDER BY c_custkey""".stripMargin
 
+  /** A4 [EXT] — dead-letter routing: ONE validation pass splits a frame
+    * into (valid, rejected-with-reasons). Nothing is silently dropped —
+    * the reject side carries a comma-joined reason list, the production
+    * alternative to the reference's log-and-discard validation
+    * (dags/kafka_to_mongo_pipeline_enchanced.py:31-42). Both outputs are
+    * lazy projections of the same scan: writing valid → main and dlq →
+    * quarantine costs one pass, not two.
+    */
+  def dlqSplit(df: DataFrame, checks: Seq[(String, org.apache.spark.sql.Column)])
+      : (DataFrame, DataFrame) = {
+    val reasons = array_compact(array(
+      checks.map { case (name, bad) => when(bad, lit(name)) }: _*))
+    val tagged = df.withColumn("__reasons", reasons)
+    (tagged.filter(size(col("__reasons")) === 0).drop("__reasons"),
+      tagged.filter(size(col("__reasons")) > 0)
+        .withColumn("dlq_reason", concat_ws(",", col("__reasons")))
+        .drop("__reasons"))
+  }
+
+  /** A4 as a driver-checked query: route customers through two business
+    * rules and count each routing outcome (multi-reason rows exercise
+    * the reason concatenation).
+    */
+  def a4DlqRouting(s: SparkSession, dir: String): DataFrame = {
+    val (valid, dlq) = dlqSplit(Tables.customer(s, dir), Seq(
+      "negative_balance" -> (col("c_acctbal") < 0),
+      "invalid_nation" -> (col("c_nationkey") >= 20)))
+    valid.select(lit("valid").as("status"))
+      .unionByName(dlq.select(col("dlq_reason").as("status")))
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+      .orderBy("status")
+  }
+
+  val a4Sql: String =
+    """SELECT status, count(*) AS n FROM (
+      |  SELECT CASE WHEN reasons = '' THEN 'valid' ELSE reasons END AS status FROM (
+      |    SELECT concat_ws(',',
+      |      CASE WHEN c_acctbal < 0 THEN 'negative_balance' END,
+      |      CASE WHEN c_nationkey >= 20 THEN 'invalid_nation' END) AS reasons
+      |    FROM customer))
+      |GROUP BY status ORDER BY status""".stripMargin
+
   /** L5/T5/N3 — keyed upsert as a query: last-write-wins per user_id in
     * event_id (offset) order. Ref: dags/kafka_to_mongo_pipeline_enchanced.py:141-145.
     * Scales: one hash shuffle on the key, state bounded by key cardinality.

@@ -67,6 +67,26 @@ class PipelineSpec extends SparkSpec {
     assert(gated.count() == 0)
   }
 
+  test("A4: dlq split partitions the input and joins multiple reasons in check order") {
+    val df = Seq(
+      (1L, 10.0, 5),   // valid
+      (2L, -1.0, 5),   // negative_balance
+      (3L, -2.0, 25),  // both reasons
+      (4L, 3.0, 30)    // invalid_nation
+    ).toDF("c_custkey", "c_acctbal", "c_nationkey")
+    val (valid, dlq) = Pipeline.dlqSplit(df, Seq(
+      "negative_balance" -> (col("c_acctbal") < 0),
+      "invalid_nation" -> (col("c_nationkey") >= 20)))
+    assert(valid.count() + dlq.count() == df.count(), "split must partition the input")
+    assert(valid.select("c_custkey").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val reasons = dlq.orderBy("c_custkey").collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[String]("dlq_reason"))).toSeq
+    assert(reasons == Seq(
+      (2L, "negative_balance"),
+      (3L, "negative_balance,invalid_nation"),
+      (4L, "invalid_nation")))
+  }
+
   test("P7 parity: per-page index equals the reference's global index on one-page data") {
     val perPage = Pipeline.p7TagIndex(spark, sfDir).filter(col("type") === "link")
       .select("index", "content").collect()

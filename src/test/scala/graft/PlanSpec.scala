@@ -102,6 +102,16 @@ class PlanSpec extends SparkSpec {
       s"corpus-side sort-merge join means the corpus shuffled:\n${plan.take(1500)}")
   }
 
+  test("X4: redaction and chunking are narrow maps — no exchange except the presentation sort") {
+    for (df <- Seq(graft.operators.TextAnalysis.x4Redact(spark, sfDir),
+                   graft.operators.TextAnalysis.x4Chunk(spark, sfDir))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"narrow-map op shuffled:\n${plan.take(1200)}")
+    }
+  }
+
   test("no SparkEntry query plans a partition-less window over unbounded input") {
     // a Window with an empty partitionSpec coalesces ALL rows to one
     // partition — a scale-killer unless its input is provably bounded
