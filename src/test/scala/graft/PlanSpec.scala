@@ -102,6 +102,29 @@ class PlanSpec extends SparkSpec {
       s"corpus-side sort-merge join means the corpus shuffled:\n${plan.take(1500)}")
   }
 
+  test("AQE splits a skewed join partition at runtime (the join analogue of r5_salted_agg)") {
+    // isolated session: skew thresholds lowered so fixture-scale data
+    // exhibits the 100 TB hot-key pattern; broadcast disabled to force
+    // the shuffle join AQE must repair
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s2.implicits._
+    val hot = s2.range(200000).select(lit(0L).as("k"), col("id").as("v"))
+    val cold = s2.range(1000).select((col("id") % 50 + 1).as("k"), col("id").as("v"))
+    val left = hot.union(cold)
+    val right = s2.range(51).select(col("id").as("k"), col("id").as("w"))
+    val j = left.join(right, Seq("k"))
+    assert(j.collect().length == 201000) // execute THIS plan so AQE finalizes it
+    val plan = j.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("skew=true"),
+      s"AQE did not split the skewed partition:\n${plan.take(2500)}")
+  }
+
   test("X4: redaction and chunking are narrow maps — no exchange except the presentation sort") {
     for (df <- Seq(graft.operators.TextAnalysis.x4Redact(spark, sfDir),
                    graft.operators.TextAnalysis.x4Chunk(spark, sfDir))) {
