@@ -72,6 +72,18 @@ class LlmOpsSpec extends SparkSpec {
     lsh.foreach { case (k, c) => assert(math.abs(exact(k) - c) < 1e-9) }
   }
 
+  test("X2: banded embedding LSH holds >=0.9 recall at sf0.1 (subset + near-complete)") {
+    val dir = "/root/testdata/sf0.1"
+    val exact = Dedup.x2EmbeddingNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.x2EmbeddingLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 10, s"expected a meaningful pair population, got ${exact.size}")
+    assert(lsh.subsetOf(exact), "verification must keep LSH a subset of exact")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"banded LSH recall $recall (${lsh.size}/${exact.size}) below 0.9")
+  }
+
   test("X3: banded-LSH ANN recall@5 clears the pinned floor at both fixture scales") {
     for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
       val rows = Similarity.x3AnnRecall(spark, dir).collect()
