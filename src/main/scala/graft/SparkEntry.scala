@@ -81,6 +81,7 @@ object SparkEntry {
     "x2_minhash_lsh" -> (Dedup.x2MinHashLsh _),
     "x2_simhash" -> (Dedup.x2SimHash _),
     "x2_embedding_neardup" -> (Dedup.x2EmbeddingNearDup _),
+    "x2_dup_clusters" -> (Dedup.x2DupClusters _),
     "x2_embedding_lsh" -> (Dedup.x2EmbeddingLsh _),
     "x3_cosine_topk" -> (Similarity.x3CosineTopK _),
     "x3_ann_lsh" -> (Similarity.x3AnnLsh _),
@@ -177,6 +178,7 @@ object SparkEntry {
     "x2_minhash_lsh" -> Dedup.x2JaccardSql,
     // x2_simhash / x3_ann_lsh: hash-specific / approximate — rows-only.
     "x2_embedding_neardup" -> Dedup.x2EmbeddingSql,
+    "x2_dup_clusters" -> Dedup.x2DupClustersSql,
     // x2_embedding_lsh verifies banded candidates exactly, so its output
     // is a subset of the exact twin; the banding provably catches every
     // qualifying fixture pair (deterministic planes; pinned non-vacuously

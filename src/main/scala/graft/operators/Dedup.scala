@@ -96,6 +96,66 @@ object Dedup {
       |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id)
       |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** X2e — duplicate CLUSTERS from the near-dup pairs: connected
+    * components by min-label propagation, each doc labeled with the
+    * smallest doc_id reachable through near-dup edges — the step a real
+    * dedup pipeline runs after pair generation (keep one representative
+    * per component, not per pair; A–B and B–C must collapse to one
+    * cluster even though A–C was never compared).
+    *
+    * Each iteration is one distributed join+min-aggregate and propagates
+    * labels one hop, so k iterations cover diameter ≤ k (fixture
+    * components are ≤ 3 nodes; k = 4 leaves slack ×2). At 100 TB the
+    * same loop runs O(log n) iterations with the large-star/small-star
+    * optimization and a checkpoint every few rounds to cut lineage —
+    * the driver-side `for` is iteration control, not data movement.
+    * Oracle: DuckDB recursive CTE computing min-reachable per doc.
+    */
+  def x2DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = x2Jaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    var labels = edges.select(col("doc_a").as("doc")).distinct()
+      .withColumn("label", col("doc"))
+    for (_ <- 1 to 4) {
+      val viaNeighbor = edges
+        .join(labels, edges("doc_b") === labels("doc"))
+        .select(edges("doc_a").as("doc"), col("label"))
+      labels = labels.unionByName(viaNeighbor)
+        .groupBy(col("doc")).agg(min(col("label")).as("label"))
+    }
+    labels.select(col("doc").as("doc_id"), col("label").as("cluster_rep"))
+      .orderBy("doc_id")
+  }
+
+  val x2DupClustersSql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                                for i in range(1, len(toks) - 1)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |  WHERE len(toks) >= 3
+      |), ex AS (SELECT doc_id, unnest(s) AS s FROM sh),
+      |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT doc_a, doc_b, c * 1.0 / (sa.n + sb.n - c) AS j
+      |    FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id)
+      |  WHERE j >= 0.8),
+      |edges AS (
+      |  SELECT doc_a, doc_b FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  SELECT doc_a AS doc, doc_a AS r FROM edges
+      |  UNION
+      |  SELECT e.doc_a, reach.r FROM edges e JOIN reach ON reach.doc = e.doc_b)
+      |SELECT doc AS doc_id, min(r) AS cluster_rep
+      |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
+
   private val P = 1000000007L
 
   /** 128-permutation MinHash signature — the native compiled loop

@@ -14,6 +14,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("X2: dup clusters merge transitive pairs to one representative") {
+    import spark.implicits._
+    // A-B and B-C near-dups: one cluster {1,2,3} labeled 1, plus {7,8}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val edges = pairs.unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = edges.select(col("doc_a").as("doc")).distinct()
+      .withColumn("label", col("doc"))
+    for (_ <- 1 to 4) {
+      val viaNeighbor = edges.join(labels, edges("doc_b") === labels("doc"))
+        .select(edges("doc_a").as("doc"), col("label"))
+      labels = labels.unionByName(viaNeighbor)
+        .groupBy(col("doc")).agg(min(col("label")).as("label"))
+    }
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+    // and the fixture query agrees with the pair set: every doc in a pair
+    // gets a label, and pair endpoints always share a cluster
+    val clusters = Dedup.x2DupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Dedup.x2Jaccard(spark, sfDir).collect().foreach { r =>
+      assert(clusters(r.getLong(0)) == clusters(r.getLong(1)))
+    }
+  }
+
   test("X2: native SimHash equals the HOF formulation on every fixture document") {
     val both = graft.engine.Tables.documents(spark, sfDir)
       .select(col("doc_id"), Dedup.simhashSig.as("native"), Dedup.simhashSigHof.as("hof"))
