@@ -106,6 +106,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq((1L, "a"), (2L, "c")))
   }
 
+  test("stream/batch parity: subscribe→validate→enrich→upsert equals the oracle-checked batch composite") {
+    import graft.engine.Tables
+    // the topic is produced by the engine's own producer sink from the
+    // fixture, so the whole loop (produce → subscribe → validate →
+    // enrich → keyed upsert) runs through engine code end to end
+    val topic = tmpDir("paritytopic")
+    val proj = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+    graft.sources.Sinks.produceJson(proj, topic)
+    val store = tmpDir("paritystore")
+    val stream = Streams.subscribe(spark, topic)
+      .filter(col("k").isNotNull && col("event_type").isNotNull && col("user_id").isNotNull)
+      .withColumn("source", lit("jsonplaceholder_api"))
+      .withColumn("data_status", lit("raw"))
+    val q = Streams.upsertSink(stream, "user_id", "event_id", store, tmpDir("parityck"))
+    q.awaitTermination(120000)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3), r.getString(4), r.getString(5))
+    val got = spark.read.parquet(store)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("k"),
+        col("source"), col("data_status"))
+      .orderBy("user_id").collect().map(key).toSeq
+    val want = graft.operators.Dags.dagKafkaValidateEnrichUpsert(spark, sfDir)
+      .collect().map(key).toSeq
+    assert(got.nonEmpty && got == want,
+      s"streaming store diverged from the batch composite (${got.length} vs ${want.length} rows)")
+  }
+
   test("T9: stream-static join enriches events with a broadcast dimension") {
     import spark.implicits._
     val topic = writeTopic(Seq(msg(0, 1, "click", 1.0, 5), msg(1, 2, "view", 2.0, 6)))
