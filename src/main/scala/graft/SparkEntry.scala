@@ -68,6 +68,7 @@ object SparkEntry {
     "r11_array_struct" -> (Relational.r11ArrayStruct _),
     "r11_map" -> (Relational.r11Map _),
     "r12_asof_join" -> (Temporal.r12AsofJoin _),
+    "s1_http_scan" -> (graft.sources.Sources.s1HttpScan _),
     "s3_csv_scan" -> (graft.sources.Sources.s3CsvScan _),
     "s4_json_scan" -> (graft.sources.Sources.s4JsonScan _),
     "t8_sessionize_batch" -> (Temporal.t8SessionizeBatch _),
@@ -163,6 +164,7 @@ object SparkEntry {
     "r11_array_struct" -> Relational.r11ArrayStructSql,
     "r11_map" -> Relational.r11MapSql,
     "r12_asof_join" -> Temporal.r12AsofJoinSql,
+    "s1_http_scan" -> graft.sources.Sources.s1HttpScanSql,
     "s3_csv_scan" -> graft.sources.Sources.s3CsvScanSql,
     "s4_json_scan" -> graft.sources.Sources.s4JsonScanSql,
     "t8_sessionize_batch" -> Temporal.t8SessionizeBatchSql,

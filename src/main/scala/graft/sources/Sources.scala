@@ -69,6 +69,33 @@ object Sources {
     }
   }
 
+  /** S1/S2 as a driver-checked query: the full fetch path under the
+    * oracle gate. The "API response" is a JSON-lines body staged by the
+    * engine's own sink; [[fetchToFile]] lands it through the URL/retry
+    * code path (file:// here — java.net serves http(s) through the
+    * identical code in a connected deployment), and the landed file is
+    * scanned back with an explicit schema and compared to the
+    * parquet-side twin.
+    */
+  def s1HttpScan(s: SparkSession, dir: String): DataFrame = {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val staged = s"$tmp/graft-api-stage"
+    Sinks.writeJsonRecords(graft.engine.Tables.nation(s, dir).coalesce(1), staged)
+    val part = new java.io.File(staged).listFiles
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).head
+    val landed = s"$tmp/graft-api-landed/data.json"
+    fetchToFile("file://" + part.getAbsolutePath, landed)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    readJsonRecords(s, landed, Some(schema))
+      .orderBy("n_nationkey")
+  }
+
+  val s1HttpScanSql: String =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+
   /** S3 as a driver-checked query: land the customer table as CSV (the
     * reference's `/tmp/data.csv` handoff, dags/etl_data_pipeline.py:9-18),
     * scan it back with [[readCsv]] and an explicit schema (the 100 TB
