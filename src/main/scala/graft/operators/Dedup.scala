@@ -113,9 +113,16 @@ object Dedup {
     */
   def x2DupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = x2Jaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    // the dup-pair graph is orders of magnitude smaller than the corpus
+    // (near-dups are sparse by definition): materialize it ONCE, eagerly,
+    // with lineage truncated — otherwise every propagation round drags
+    // the whole Jaccard pipeline through its plan — and shrink to a few
+    // partitions so each round's shuffle is proportional to the graph,
+    // not to the corpus partitioning
     val edges = pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist()
+      .coalesce(4)
+      .localCheckpoint()
     var labels = edges.select(col("doc_a").as("doc")).distinct()
       .withColumn("label", col("doc"))
     for (_ <- 1 to 4) {
