@@ -70,10 +70,14 @@ object Sinks {
     val withBucket = latest.withColumn("__bucket", bucketOf(key))
     val path = new org.apache.hadoop.fs.Path(storePath)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // absent = no directory OR an empty one (callers may pre-create the
-    // path); anything else present but unreadable propagates as an error
-    // instead of silently discarding the store
-    if (!fs.exists(path) || fs.listStatus(path).isEmpty) {
+    // absent = no directory, an empty one (callers may pre-create the
+    // path), or one holding no bucket partitions (an empty first batch
+    // leaves only _SUCCESS — reading that as a store would fail schema
+    // inference); anything else present but unreadable propagates as an
+    // error instead of silently discarding the store
+    val hasBuckets = fs.exists(path) &&
+      fs.listStatus(path).exists(st => st.isDirectory && st.getPath.getName.startsWith("__bucket="))
+    if (!hasBuckets) {
       withBucket.write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(storePath)
       return
     }

@@ -67,6 +67,18 @@ class PipelineSpec extends SparkSpec {
     assert(gated.count() == 0)
   }
 
+  test("N3: upsert survives an empty first batch (store with no bucket partitions yet)") {
+    val store = tmpDir("upsert_empty")
+    val empty = Seq.empty[(Long, Long, String)].toDF("offset", "id", "payload")
+    Sinks.upsertByKey(empty, "id", "offset", store)   // leaves no bucket dirs
+    Sinks.upsertByKey(empty, "id", "offset", store)   // still treated as absent, no crash
+    val batch = Seq((10L, 1L, "a")).toDF("offset", "id", "payload")
+    Sinks.upsertByKey(batch, "id", "offset", store)
+    val out = spark.read.parquet(store).select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a")))
+  }
+
   test("A4: dlq split partitions the input and joins multiple reasons in check order") {
     val df = Seq(
       (1L, 10.0, 5),   // valid
