@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Sink surface (SURVEY.md §2.5 L1–L8).
+/** Sink surface (SURVEY.md §2.5 L1–L9).
   *
   * The reference's sinks are local files, a SQLite table replaced per run,
   * Mongo collections (append / keyed upsert) and Kafka topics; here each
@@ -126,7 +126,7 @@ object Sinks {
     * [[produceJsonKafka]] — one projection, two transports.
     */
   private[graft] def encodeJsonValue(df: DataFrame): DataFrame =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   /** L6/L7 Kafka-native form of [[produceJson]]: same encode stage,
     * `format("kafka")` transport. Fails fast when the connector jar is
