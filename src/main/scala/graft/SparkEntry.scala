@@ -67,6 +67,8 @@ object SparkEntry {
     "r11_datetime" -> (Relational.r11DateTime _),
     "r11_array_struct" -> (Relational.r11ArrayStruct _),
     "r11_map" -> (Relational.r11Map _),
+    "r11_strings" -> (Relational.r11Strings _),
+    "r11_nulls" -> (Relational.r11Nulls _),
     "r12_asof_join" -> (Temporal.r12AsofJoin _),
     "s1_http_scan" -> (graft.sources.Sources.s1HttpScan _),
     "s3_csv_scan" -> (graft.sources.Sources.s3CsvScan _),
@@ -163,6 +165,8 @@ object SparkEntry {
     "r11_datetime" -> Relational.r11DateTimeSql,
     "r11_array_struct" -> Relational.r11ArrayStructSql,
     "r11_map" -> Relational.r11MapSql,
+    "r11_strings" -> Relational.r11StringsSql,
+    "r11_nulls" -> Relational.r11NullsSql,
     "r12_asof_join" -> Temporal.r12AsofJoinSql,
     "s1_http_scan" -> graft.sources.Sources.s1HttpScanSql,
     "s3_csv_scan" -> graft.sources.Sources.s3CsvScanSql,

@@ -583,6 +583,59 @@ object Relational {
       |  kv AS k_val, user_id AS uid_val, key, value
       |FROM kvs ORDER BY event_id, key""".stripMargin
 
+  /** R11e — string function family: initcap/reverse/translate/repeat/
+    * lpad/split_part/levenshtein (edit distance doubles as a cheap
+    * fuzzy-dedup primitive).
+    */
+  def r11Strings(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        initcap(lower(col("c_mktsegment"))).as("seg_title"),
+        reverse(col("c_name")).as("name_rev"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_tr"),
+        repeat(substring(col("c_name"), 1, 2), 2).as("name2x"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("key_pad"),
+        split_part(col("c_name"), lit("#"), lit(2)).as("name_num"),
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).as("lev_building"))
+      .orderBy("c_custkey")
+
+  val r11StringsSql: String =
+    """SELECT c_custkey,
+      |  upper(c_mktsegment[1]) || lower(c_mktsegment[2:]) AS seg_title,
+      |  reverse(c_name) AS name_rev,
+      |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+      |  repeat(substring(c_name, 1, 2), 2) AS name2x,
+      |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_pad,
+      |  split_part(c_name, '#', 2) AS name_num,
+      |  CAST(levenshtein(c_mktsegment, 'BUILDING') AS INTEGER) AS lev_building
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** R11f — null-handling family: coalesce/nullif/greatest/least and a
+    * null-flag projection, over derived nullable columns (fixtures carry
+    * no raw NULLs — SURVEY N-notes).
+    */
+  def r11Nulls(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("f_price", when(col("o_orderstatus") === "F", col("o_totalprice")))
+      .select(
+        col("o_orderkey"),
+        coalesce(col("f_price"), lit(0.0)).as("f_or_zero"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_nz"),
+        greatest(col("o_totalprice"), lit(100000.0)).as("at_least"),
+        least(col("o_totalprice"), lit(100000.0)).as("at_most"),
+        col("f_price").isNull.cast("int").as("f_missing"))
+      .orderBy("o_orderkey")
+
+  val r11NullsSql: String =
+    """SELECT o_orderkey,
+      |  coalesce(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END, 0.0) AS f_or_zero,
+      |  nullif(o_orderstatus, 'O') AS status_nz,
+      |  greatest(o_totalprice, 100000.0) AS at_least,
+      |  least(o_totalprice, 100000.0) AS at_most,
+      |  CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END IS NULL AS INTEGER) AS f_missing
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   def r11Functions(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .select(
