@@ -40,6 +40,8 @@ object SparkEntry {
     "a4_dlq_routing" -> (Pipeline.a4DlqRouting _),
     "l5_upsert_last_wins" -> (Pipeline.l5Upsert _),
     "r1_join_multi" -> (Relational.r1JoinMulti _),
+    "r1_outer_join" -> (Relational.r1OuterJoin _),
+    "r14_sql_entry" -> (Relational.r14SqlEntry _),
     "r2_broadcast_join" -> (Relational.r2BroadcastJoin _),
     "r3_semi_join" -> (Relational.r3Semi _),
     "r3_anti_join" -> (Relational.r3Anti _),
@@ -135,6 +137,8 @@ object SparkEntry {
     "a4_dlq_routing" -> Pipeline.a4Sql,
     "l5_upsert_last_wins" -> Pipeline.l5Sql,
     "r1_join_multi" -> Relational.r1Sql,
+    "r1_outer_join" -> Relational.r1OuterJoinSql,
+    "r14_sql_entry" -> Relational.r14SqlEntrySql,
     "r2_broadcast_join" -> Relational.r2Sql,
     "r3_semi_join" -> Relational.r3SemiSql,
     "r3_anti_join" -> Relational.r3AntiSql,

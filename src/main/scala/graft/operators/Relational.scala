@@ -328,6 +328,61 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** R1b — full outer join with null-filled sides: high-balance
+    * customers ⟗ per-customer order counts (each side holds rows the
+    * other lacks). Same shuffle discipline as the inner form; outer
+    * joins simply keep the unmatched build/probe rows.
+    */
+  def r1OuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_name"))
+    val ords = Tables.orders(s, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    cust.join(ords, cust("c_custkey") === ords("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("custkey")
+  }
+
+  val r1OuterJoinSql: String =
+    """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,
+      |  coalesce(o.n_orders, 0) AS n_orders
+      |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000) c
+      |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
+      |  ON c.c_custkey = o.o_custkey
+      |ORDER BY custkey""".stripMargin
+
+  /** R14 — the SQL entry path: fixture tables registered as temp views,
+    * the query given as SQL text (`spark.sql`), including an
+    * uncorrelated scalar subquery. Identical Catalyst plan to the
+    * DataFrame form — proof that a SQL-preferring user of the reference
+    * can drive this engine with strings. The subquery threshold is
+    * decimal-summed on both engines so the float cut is identical.
+    */
+  def r14SqlEntry(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT c.c_mktsegment, count(*) AS n_big,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+        |FROM orders_v o JOIN customer_v c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_totalprice > (
+        |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+        |  FROM orders_v)
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)
+  }
+
+  val r14SqlEntrySql: String =
+    """SELECT c.c_mktsegment, count(*) AS n_big,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE o.o_totalprice > (
+      |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+      |  FROM orders)
+      |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin
+
   /** R9c — ranking/distribution window family: dense_rank, ntile,
     * percent_rank, cume_dist. Unique (price, key) ordering keeps the
     * distribution functions deterministic across engines.
