@@ -88,5 +88,15 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
       (children: Seq[Expression]) => DotProductF64(
         Cast(children(0), ArrayType(DoubleType)),
         Cast(children(1), ArrayType(DoubleType)))))
+    extensions.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => MinHashSig(
+        Cast(children(0), ArrayType(org.apache.spark.sql.types.StringType)))))
+    extensions.injectFunction((
+      FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+      (children: Seq[Expression]) => SimHashSig(
+        Cast(children(0), ArrayType(org.apache.spark.sql.types.StringType)))))
   }
 }

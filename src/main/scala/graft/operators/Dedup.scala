@@ -248,6 +248,49 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** X2c' — portable SimHash fingerprint: the oracle-checkable twin of
+    * [[x2SimHash]]'s hash stage. The native path hashes tokens with
+    * xxhash64 (engine-specific, so the driver can only row-count it);
+    * this form derives a 60-bit fingerprint from md5 — which DuckDB
+    * computes identically — putting the SimHash *construction* (per-token
+    * hash → signed bit counts → sign fingerprint) under the hash-compare
+    * gate. Same strict-majority tie rule as the native expression
+    * (bit set iff signed count > 0).
+    *
+    * The explicit bit explode (×60) is the price of portability; the
+    * scale path remains the native [[graft.functions.SimHashSig]] single
+    * compiled loop.
+    */
+  def x2SimHashPortable(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      // 15 hex chars = 60 bits — stays positive in a signed 64-bit long
+      // on both engines
+      .select(col("doc_id"),
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("hv"))
+    tok.select(col("doc_id"), col("hv"), explode(sequence(lit(0), lit(59))).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(expr("(shiftright(hv, b) & 1) * 2 - 1")).as("sgn"))
+      .withColumn("bit", when(col("sgn") > 0, 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("shiftleft(bit, b)")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  val x2SimHashPortableSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |h AS (
+      |  SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS hv
+      |  FROM tok),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |    CASE WHEN SUM(((hv >> b) & 1) * 2 - 1) > 0 THEN 1 ELSE 0 END AS bit
+      |  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bs
+      |  GROUP BY doc_id, b)
+      |SELECT doc_id, CAST(SUM(CAST(bit AS BIGINT) << b) AS BIGINT) AS fp
+      |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** X2d — embedding-cosine near-dup: pairs above a cosine threshold.
     * Brute-force form (oracle twin); the scale path shares the LSH
     * bucketing of [[Similarity.x3AnnLsh]].

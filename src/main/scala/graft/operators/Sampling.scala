@@ -71,4 +71,49 @@ object Sampling {
       |          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS bucket
       |        FROM documents))
       |GROUP BY split ORDER BY split""".stripMargin
+
+  /** X6c — sequence packing: assign documents to fixed token-budget
+    * context windows (GPT-style concat-and-cut: documents are laid out in
+    * a deterministic order and the stream is cut every `budget` tokens, so
+    * a bin may overflow by the one document straddling its boundary).
+    *
+    * Scale shape: packing is a running sum, which is inherently sequential
+    * — so it runs PER SHARD, not globally: the window partitions by
+    * (lang, source) and each shard packs independently in parallel. Shard
+    * count grows with the data (at 100 TB the shard key would include a
+    * date/bucket component), so no single partition ever holds the corpus.
+    * The order within a shard is the md5 of the doc id — the same portable
+    * deterministic shuffle as [[x6HashSplit]], identical in any engine.
+    */
+  def x6PackSequences(s: SparkSession, dir: String): DataFrame = {
+    val budget = 256
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("lang"), col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("pre", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin_id", floor(col("pre") / budget.toDouble).cast("long"))
+      .groupBy(col("lang"), col("source"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+      .orderBy("lang", "source", "bin_id")
+  }
+
+  val x6PackSequencesSql: String =
+    """WITH t AS (
+      |  SELECT lang, source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    md5(CAST(doc_id AS VARCHAR)) AS r
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, source, n_tokens,
+      |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, source
+      |      ORDER BY r, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+      |  FROM t)
+      |SELECT lang, source, CAST(FLOOR(pre / 256.0) AS BIGINT) AS bin_id,
+      |  count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+      |FROM c GROUP BY lang, source, bin_id
+      |ORDER BY lang, source, bin_id""".stripMargin
 }

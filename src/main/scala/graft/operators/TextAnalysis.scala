@@ -259,4 +259,54 @@ object TextAnalysis {
       |  SELECT doc_id, term, tfidf,
       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rk
       |  FROM scored) WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  /** X4h — corpus bigram language-model scoring: per-document mean
+    * log-likelihood under the corpus's own bigram MLE,
+    * lp(w1 w2) = ln(c(w1 w2) / c(w1·)), where c(w1·) counts w1 as a
+    * bigram prefix. This is the KenLM-style perplexity quality filter of
+    * production training-data pipelines (docs whose bigrams are corpus-
+    * atypical score low), expressed with the corpus itself as the LM.
+    *
+    * Scale shape: one explode to bigram rows, two two-phase hash
+    * aggregates for the bigram/prefix counts (vocabulary-sized outputs —
+    * tiny next to the corpus), joins back on the bigram/prefix keys (AQE
+    * broadcasts them when they fit), then a per-doc aggregate. Per-bigram
+    * log-probs are rounded and decimal-summed (Exact) so the mean is
+    * partition-order-independent.
+    */
+  def x4NgramLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bigrams = docs.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1), i =>
+          struct(element_at(col("toks"), i).as("w1"),
+            concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1)).as("bg")))).as("e"))
+      .select(col("doc_id"), col("e.w1").as("w1"), col("e.bg").as("bg"))
+      .persist() // feeds both count aggregates and the scoring join
+    val cb = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val cp = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("cp"))
+    bigrams.join(cb, Seq("bg")).join(cp, Seq("w1"))
+      .withColumn("lp", round(log(col("cb").cast("double") / col("cp")), 6))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.engine.Exact.davg(col("lp")).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  val x4NgramLmSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |b AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bg
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tk)),
+      |cb AS (SELECT bg, count(*) AS cb FROM b GROUP BY bg),
+      |cp AS (SELECT w1, count(*) AS cp FROM b GROUP BY w1)
+      |SELECT b.doc_id, count(*) AS n_bigrams,
+      |  CAST(SUM(CAST(round(ln(cb.cb * 1.0 / cp.cp), 6) AS DECIMAL(28,6))) AS DOUBLE)
+      |    / count(*) AS avg_logp
+      |FROM b JOIN cb ON b.bg = cb.bg JOIN cp ON b.w1 = cp.w1
+      |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
 }

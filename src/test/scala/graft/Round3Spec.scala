@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
+import graft.functions.GraftExtensions
+import graft.operators.{Analytics, Dedup, Sampling, TextAnalysis}
+import graft.plans.RangeJoin
+
+/** Round-3 additions: binned range join, headline analytics, sequence
+  * packing, bigram-LM scoring, portable SimHash, SQL-surface extensions.
+  * Values are pinned by the DuckDB oracle at sf0.01; these specs pin the
+  * invariants and PLAN shapes the oracle can't see.
+  */
+class Round3Spec extends SparkSpec {
+  import spark.implicits._
+
+  // --- binned range join ----------------------------------------------------
+
+  test("R4b: pointInInterval boundary semantics — [lo, hi), bin-spanning, no dups") {
+    val points = Seq(0L, 6L, 7L, 13L, 14L, 20L).toDF("p")
+    val ivs = Seq((0L, 7L, "a"), (7L, 14L, "b"), (0L, 21L, "c")).toDF("lo", "hi", "tag")
+    val got = RangeJoin.pointInInterval(points, "p", ivs, "lo", "hi", binWidth = 7)
+      .select(col("p"), col("tag")).as[(Long, String)].collect().toSet
+    val want = for {
+      p <- Set(0L, 6L, 7L, 13L, 14L, 20L)
+      (lo, hi, t) <- Set((0L, 7L, "a"), (7L, 14L, "b"), (0L, 21L, "c"))
+      if p >= lo && p < hi
+    } yield (p, t)
+    assert(got == want)
+  }
+
+  test("R4b: binned form equals the naive theta join") {
+    val naive = {
+      val epoch = lit("1970-01-01").cast("date")
+      val li = graft.engine.Tables.lineitem(spark, sfDir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("l_extendedprice"),
+          datediff(col("l_shipdate").cast("date"), epoch).as("d"))
+      val ord = graft.engine.Tables.orders(spark, sfDir)
+        .select(col("o_orderpriority"),
+          datediff(col("o_orderdate").cast("date"), epoch).as("s"))
+      li.join(ord, col("d") >= col("s") && col("d") < col("s") + 7)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("o_orderpriority")
+        .as[(String, Long)].collect().toSeq
+    }
+    val binned = RangeJoin.r4bBinnedRangeJoin(spark, sfDir)
+      .select(col("o_orderpriority"), col("n_pairs"))
+      .as[(String, Long)].collect().toSeq
+    assert(binned == naive)
+    assert(naive.map(_._2).sum > 0, "fixture window produced no pairs — vacuous")
+  }
+
+  test("R4b: plan is a shuffle join on the bin key even with broadcast disabled") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = RangeJoin.r4bBinnedRangeJoin(spark, sfDir)
+      df.collect() // finalize AQE so the pinned plan is the executed one
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+      assert(!p.contains("CartesianProduct"), p.take(800))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p.take(800))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  // --- headline analytics ---------------------------------------------------
+
+  test("Q3/Q10: top-k analytics plan as TakeOrderedAndProject, revenue descending") {
+    for (q <- Seq(Analytics.q3ShippingPriority _, Analytics.q10ReturnedItems _)) {
+      val df = q(spark, sfDir)
+      assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+      val revs = df.select(col("revenue")).as[Double].collect()
+      assert(revs.nonEmpty && revs.sameElements(revs.sortBy(-_)))
+    }
+  }
+
+  test("Q5: every result nation is in ASIA and revenue is positive") {
+    val rows = Analytics.q5LocalSupplier(spark, sfDir)
+      .as[(String, Double)].collect()
+    assert(rows.nonEmpty)
+    val asia = graft.engine.Tables.nation(spark, sfDir)
+      .join(graft.engine.Tables.region(spark, sfDir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name")).as[String].collect().toSet
+    assert(rows.map(_._1).toSet.subsetOf(asia))
+    assert(rows.forall(_._2 > 0))
+  }
+
+  // --- sequence packing -----------------------------------------------------
+
+  test("X6c: packing conserves docs and tokens; bins start at 0 per shard") {
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(count(lit(1)), sum(col("n"))).as[(Long, Long)].head()
+    val packed = Sampling.x6PackSequences(spark, sfDir)
+    val (nDocs, nTokens) = packed
+      .agg(sum(col("n_docs")), sum(col("bin_tokens"))).as[(Long, Long)].head()
+    assert((nDocs, nTokens) == docs, "packing must be a partition of the corpus")
+    val badStart = packed.groupBy(col("lang"), col("source"))
+      .agg(min(col("bin_id")).as("m")).filter(col("m") =!= 0).count()
+    assert(badStart == 0, "every shard's first bin must be 0")
+    assert(packed.filter(col("n_docs") < 1).count() == 0)
+  }
+
+  // --- bigram LM scoring ----------------------------------------------------
+
+  test("X4h: bigram log-likelihoods are non-positive and bigram counts add up") {
+    val lm = TextAnalysis.x4NgramLm(spark, sfDir)
+    assert(lm.filter(col("avg_logp") > 0).count() == 0,
+      "MLE bigram probability cannot exceed 1")
+    val fromLm = lm.agg(sum(col("n_bigrams")), count(lit(1))).as[(Long, Long)].head()
+    val expected = graft.engine.Tables.documents(spark, sfDir)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .filter(col("n") >= 2)
+      .agg(sum(col("n") - 1), count(lit(1))).as[(Long, Long)].head()
+    assert(fromLm == expected, "each doc contributes exactly n_tokens - 1 bigrams")
+  }
+
+  // --- portable SimHash -----------------------------------------------------
+
+  test("X2c': portable fingerprints are 60-bit, total, and deterministic") {
+    val a = Dedup.x2SimHashPortable(spark, sfDir).as[(Long, Long)].collect()
+    assert(a.length ==
+      graft.engine.Tables.documents(spark, sfDir).count().toInt)
+    assert(a.forall { case (_, fp) => fp >= 0L && fp < (1L << 60) })
+    val b = Dedup.x2SimHashPortable(spark, sfDir).as[(Long, Long)].collect()
+    assert(a.sameElements(b))
+  }
+
+  // --- SQL-surface extensions ------------------------------------------------
+
+  test("GraftExtensions registers dot_f64 / minhash_sig / simhash_sig for SQL") {
+    // The classic SparkSession constructor is private in Spark 4, and
+    // getOrCreate() returns the already-active session without re-running
+    // extension injection — so clear the singletons, build a sibling
+    // session over the same SparkContext, and restore afterwards.
+    import org.apache.spark.sql.classic.{SparkSession => CS}
+    CS.clearDefaultSession(); CS.clearActiveSession()
+    val s2 =
+      try CS.builder().withExtensions(e => new GraftExtensions().apply(e)).getOrCreate()
+      finally {
+        CS.setDefaultSession(spark.asInstanceOf[CS])
+        CS.setActiveSession(spark.asInstanceOf[CS])
+      }
+    val dot = s2.sql("SELECT dot_f64(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(dot == 11.0)
+    val sig = s2.sql("SELECT minhash_sig(array('a b c', 'b c d')) AS s")
+      .collect().head.getSeq[Long](0)
+    assert(sig.length == graft.functions.MinHashSig.NumPerms)
+    // SQL surface and Column surface are the same expression — same result
+    val viaSql = s2.sql("SELECT simhash_sig(array('x y', 'y z')) AS h")
+      .collect().head.getLong(0)
+    val viaColumn = Seq(Seq("x y", "y z")).toDF("t")
+      .select(graft.functions.SimHashSig(col("t")).as("h"))
+      .collect().head.getLong(0)
+    assert(viaSql == viaColumn)
+  }
+}
