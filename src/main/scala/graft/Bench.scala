@@ -11,6 +11,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .withExtensions(e => new graft.functions.GraftExtensions()(e))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session once before timing: file-index + parquet footer

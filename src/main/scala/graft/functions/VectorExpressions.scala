@@ -82,6 +82,9 @@ object VectorFunctions {
   */
 class GraftExtensions extends SparkSessionExtensionsProvider {
   override def apply(extensions: SparkSessionExtensions): Unit = {
+    // Optimizer rule: rewrite big×big range-band theta joins (BNLJ-bound)
+    // to a binned equi-join — see graft.plans.BinnedRangeJoinRule.
+    extensions.injectOptimizerRule(graft.plans.BinnedRangeJoinRule)
     extensions.injectFunction((
       FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[DotProductF64].getName, "dot_f64"),

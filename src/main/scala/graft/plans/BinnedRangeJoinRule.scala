@@ -1,0 +1,148 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Optimizer rule making the binned range join (`RangeJoin.pointInInterval`)
+  * transparent: an inner join whose only cross-side predicates are a range
+  * band — `p >= lo AND p < hi` in any comparison flavor, `p` integral and
+  * from one side, `lo`/`hi` integral and from the other — is rewritten to
+  * an equi-join on a quantized bin key plus the original predicates as
+  * residual filters.
+  *
+  * Without the rewrite Spark's only strategy for such a join is
+  * BroadcastNestedLoopJoin (fine when a side is dimension-sized, quadratic
+  * death when both are fact tables — the 100 TB failure mode). With it,
+  * the planner sees an equi-key and picks a shuffle hash / sort-merge
+  * join: partition-parallel, shuffle ∝ rows × bins-per-interval, per-bin
+  * work ∝ true candidate count. Same idea as Databricks' range-join
+  * binning hint, done as a stock `Rule[LogicalPlan]` via
+  * `SparkSessionExtensions.injectOptimizerRule` (SURVEY.md §2.8
+  * escalation step (c): custom plan rewrites only where composition
+  * can't see the whole picture — here, inside the optimizer, where the
+  * user just wrote SQL).
+  *
+  * Safety:
+  *  - fires only on `Inner` joins with no join hint and no existing
+  *    cross-side equality conjunct (so it never interferes with a join
+  *    the planner can already hash);
+  *  - fires only when BOTH sides' size estimates exceed the broadcast
+  *    threshold (a broadcastable side makes BNLJ acceptable and cheaper
+  *    than adding a shuffle) — with broadcasting disabled (threshold ≤ 0)
+  *    every side counts as large;
+  *  - the full original condition is kept as a residual filter, so the
+  *    rewrite can only drop candidate pairs that could never match;
+  *    bins are a superset of the touched range ([floor(lo/w), floor(hi/w)]
+  *    regardless of bound strictness — at most one junk bin per side of
+  *    the interval, discarded by the residual);
+  *  - a (point, interval) candidate meets in exactly one bin — the
+  *    point's own — so the rewrite introduces no duplicates;
+  *  - the rewritten join has an equi-conjunct, so the rule cannot
+  *    re-fire on its own output (fixed-point safe).
+  *
+  * Config: `spark.graft.binnedRangeJoin.enabled` (default true),
+  * `spark.graft.binnedRangeJoin.binWidth` (default 32 — pick near the
+  * typical interval width; affects performance, never correctness).
+  */
+case class BinnedRangeJoinRule(session: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.binnedRangeJoin.enabled", "true").toBoolean
+  private def binWidth: Long =
+    conf.getConfString("spark.graft.binnedRangeJoin.binWidth", "32").toLong
+
+  private def integral(e: Expression): Boolean = e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled || binWidth <= 0) plan
+    else plan.transformUp {
+      case j @ Join(l, r, Inner, Some(cond), hint)
+          if hint == JoinHint.NONE && bothLarge(l, r) =>
+        rewrite(j, cond).getOrElse(j)
+    }
+
+  private def bothLarge(l: LogicalPlan, r: LogicalPlan): Boolean = {
+    val t = conf.autoBroadcastJoinThreshold
+    t <= 0 || (l.stats.sizeInBytes > t && r.stats.sizeInBytes > t)
+  }
+
+  /** A bound fact `p OP b` (directed: `p` is the bounded expression). */
+  private case class Bound(p: Expression, b: Expression, src: Expression)
+
+  private def rewrite(j: Join, cond: Expression): Option[LogicalPlan] = {
+    val l = j.left
+    val r = j.right
+    val conjuncts = splitConjunctivePredicates(cond)
+
+    def splitSides(a: Expression, b: Expression): Boolean =
+      a.references.nonEmpty && b.references.nonEmpty &&
+        ((a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet)) ||
+          (a.references.subsetOf(r.outputSet) && b.references.subsetOf(l.outputSet)))
+
+    // An existing cross-side equality means the planner already has a
+    // hash key — adding a bin key would only widen the shuffle.
+    val hasEqui = conjuncts.exists {
+      case EqualTo(a, b)       => splitSides(a, b)
+      case EqualNullSafe(a, b) => splitSides(a, b)
+      case _                   => false
+    }
+    if (hasEqui) return None
+
+    val lowers = scala.collection.mutable.ArrayBuffer.empty[Bound]
+    val uppers = scala.collection.mutable.ArrayBuffer.empty[Bound]
+    conjuncts.foreach {
+      case c @ GreaterThan(a, b) if splitSides(a, b) && integral(a) && integral(b) =>
+        lowers += Bound(a, b, c); uppers += Bound(b, a, c)
+      case c @ GreaterThanOrEqual(a, b) if splitSides(a, b) && integral(a) && integral(b) =>
+        lowers += Bound(a, b, c); uppers += Bound(b, a, c)
+      case c @ LessThan(a, b) if splitSides(a, b) && integral(a) && integral(b) =>
+        uppers += Bound(a, b, c); lowers += Bound(b, a, c)
+      case c @ LessThanOrEqual(a, b) if splitSides(a, b) && integral(a) && integral(b) =>
+        uppers += Bound(a, b, c); lowers += Bound(b, a, c)
+      case _ => ()
+    }
+
+    // Find a point expression bounded from below AND above by the other
+    // side (two distinct conjuncts — one conjunct registers both a lower
+    // for its left operand and an upper for its right, never a band).
+    val band = (for {
+      lo <- lowers.iterator
+      hi <- uppers.iterator
+      if !(lo.src eq hi.src) && lo.p.semanticEquals(hi.p)
+    } yield (lo, hi)).nextOption()
+
+    band.map { case (lo, hi) =>
+      val p = lo.p
+      val pointIsLeft = p.references.subsetOf(l.outputSet)
+      val pointChild = if (pointIsLeft) l else r
+      val ivChild = if (pointIsLeft) r else l
+
+      val w = Literal(binWidth.toDouble)
+      def binOf(e: Expression): Expression = Floor(Divide(Cast(e, DoubleType), w))
+
+      val pbin = Alias(binOf(p), "__gr_pbin")()
+      val pointPlan = Project(pointChild.output :+ pbin, pointChild)
+
+      // Sequence is TimeZoneAwareExpression — without an explicit zone it
+      // stays unresolved and the optimizer's plan-integrity check fails.
+      val gen = Explode(Sequence(binOf(lo.b), binOf(hi.b), None,
+        Some(conf.sessionLocalTimeZone)))
+      val elem = gen.elementSchema.head
+      val ibin = AttributeReference("__gr_ibin", elem.dataType, elem.nullable)()
+      val ivPlan = Generate(gen, unrequiredChildIndex = Nil, outer = false,
+        qualifier = None, generatorOutput = Seq(ibin), child = ivChild)
+
+      val newCond = (EqualTo(pbin.toAttribute, ibin) +: conjuncts).reduce(And)
+      val (nl, nr) = if (pointIsLeft) (pointPlan, ivPlan) else (ivPlan, pointPlan)
+      Project(j.output, Join(nl, nr, Inner, Some(newCond), JoinHint.NONE))
+    }
+  }
+}

@@ -130,6 +130,89 @@ class Round3Spec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  // --- binned-range-join optimizer rule --------------------------------------
+
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  private def bandJoinDf() = {
+    val pts = spark.range(0, 2000).select(col("id").as("p"))
+    val ivs = spark.range(0, 300).select(
+      (col("id") * 7).as("lo"), (col("id") * 7 + 21).as("hi"))
+    pts.join(ivs, col("p") >= col("lo") && col("p") < col("hi"))
+      .groupBy(col("lo")).agg(count(lit(1)).as("n"))
+  }
+
+  test("BinnedRangeJoinRule: rewrites a big-big band join to a shuffle join, same rows") {
+    val expected = withConf("spark.graft.binnedRangeJoin.enabled" -> "false") {
+      bandJoinDf().as[(Long, Long)].collect().toSet
+    }
+    assert(expected.nonEmpty)
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+             "spark.graft.binnedRangeJoin.binWidth" -> "16") {
+      val df = bandJoinDf()
+      val got = df.as[(Long, Long)].collect().toSet
+      assert(got == expected)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(800))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p.take(800))
+    }
+  }
+
+  test("BinnedRangeJoinRule: transparent for SQL text") {
+    spark.range(0, 500).select(col("id").as("p"))
+      .createOrReplaceTempView("gr_pts")
+    spark.range(0, 50).select((col("id") * 11).as("lo"), (col("id") * 11 + 30).as("hi"))
+      .createOrReplaceTempView("gr_ivs")
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(
+        "SELECT count(*) AS n FROM gr_pts JOIN gr_ivs ON p >= lo AND p < hi")
+      val exact = spark.sql(
+        """SELECT count(*) AS n FROM
+          |  (SELECT p FROM gr_pts) CROSS JOIN (SELECT lo, hi FROM gr_ivs)
+          |WHERE p >= lo AND p < hi""".stripMargin)
+      assert(!df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      assert(df.as[Long].head() == exact.as[Long].head())
+    }
+  }
+
+  test("BinnedRangeJoinRule: leaves broadcastable and equi-keyed joins alone") {
+    // small side under the default 10 MB threshold → BNLJ is the right plan
+    val smallBand = bandJoinDf()
+    assert(smallBand.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    // an existing cross-side equality → planner already hash-joins; the
+    // rule must not add a bin key
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val pts = spark.range(0, 100).select(col("id").as("p"), (col("id") % 5).as("k"))
+      val ivs = spark.range(0, 20).select(
+        (col("id") % 5).as("k2"), (col("id") * 3).as("lo"), (col("id") * 3 + 9).as("hi"))
+      val df = pts.join(ivs,
+        col("k") === col("k2") && col("p") >= col("lo") && col("p") < col("hi"))
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("__gr_pbin"), plan.take(600))
+      assert(df.count() > 0)
+    }
+  }
+
+  test("BinnedRangeJoinRule: null and empty intervals produce no matches, no crash") {
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val pts = spark.range(0, 50).select(col("id").as("p"))
+      val ivs = spark.range(0, 10).select(
+        when(col("id") % 3 === 0, lit(null)).otherwise(col("id") * 50 + 40).as("lo"),
+        (col("id") * 50).as("hi")) // lo > hi or null: all empty
+      val joined = pts.join(ivs, col("p") >= col("lo") && col("p") < col("hi"))
+      assert(joined.count() == 0)
+    }
+  }
+
   // --- SQL-surface extensions ------------------------------------------------
 
   test("GraftExtensions registers dot_f64 / minhash_sig / simhash_sig for SQL") {
