@@ -119,4 +119,136 @@ object Analytics {
       |  AND l_returnflag = 'R'
       |GROUP BY c_custkey, c_name, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  // --- event-stream analytics (A5–A7 [EXT]) ---------------------------------
+  // The reference's events are opaque Kafka payloads counted in aggregate
+  // (dags/kafka_to_mongo_pipeline.py:56-62); these are the product-analytics
+  // shapes an engine user runs on the same stream once it is a table.
+
+  private def events(s: SparkSession, dir: String) =
+    Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+
+  /** A5 — ordered funnel: signup → click (within 12 h) → purchase (within
+    * 24 h of the click), each stage's event strictly after the user's
+    * previous stage time. Every stage is one hash aggregate on user_id
+    * followed by a join back on user_id — the stage frames shrink
+    * monotonically and are co-keyed, so at 100 TB the three shuffles share
+    * a partitioning and the later joins broadcast. Driver-side there is
+    * ONE row per stage — counts move, events don't.
+    */
+  def a5Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + expr("INTERVAL 12 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val counts = s1.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_signup"))
+      .unionByName(s2.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("2_click")))
+      .unionByName(s3.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("3_purchase")))
+    val entered = s1.agg(count(lit(1)).as("n_entered"))
+    counts.crossJoin(entered)
+      .select(col("stage"), col("n_users"),
+        round(col("n_users").cast("double") / col("n_entered"), 6).as("conversion"))
+      .orderBy("stage")
+  }
+
+  val a5FunnelSql: String =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |            WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND ts > t1
+      |         AND ts <= t1 + INTERVAL 12 HOUR GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND ts > t2
+      |         AND ts <= t2 + INTERVAL 24 HOUR GROUP BY e.user_id),
+      |counts AS (
+      |  SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
+      |  UNION ALL SELECT '2_click', count(*) FROM s2
+      |  UNION ALL SELECT '3_purchase', count(*) FROM s3)
+      |SELECT stage, CAST(n_users AS BIGINT) AS n_users,
+      |  round(n_users * 1.0 / (SELECT count(*) FROM s1), 6) AS conversion
+      |FROM counts ORDER BY stage""".stripMargin
+
+  /** A6 — weekly cohort retention: users grouped by the ISO week of their
+    * first signup; a cohort-week cell counts distinct users active (any
+    * event) in week `cohort + offset`. The first-touch frame is one hash
+    * aggregate keyed by user_id; activity re-joins on the same key, then
+    * the distinct+count is keyed by (cohort, offset) — small output, no
+    * driver loops. Both engines truncate weeks to ISO Monday.
+    */
+  def a6Retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val first = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+    ev.join(first, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        (datediff(date_trunc("week", col("ts")).cast("date"), col("cohort_week")) / 7)
+          .cast("int").as("week_offset"))
+      .filter(col("week_offset") >= 0)
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val a6RetentionSql: String =
+    """WITH first_touch AS (
+      |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id)
+      |SELECT cohort_week, week_offset, count(*) AS n_active FROM (
+      |  SELECT DISTINCT e.user_id, f.cohort_week,
+      |    CAST((CAST(date_trunc('week', e.ts) AS DATE) - f.cohort_week) / 7 AS INTEGER)
+      |      AS week_offset
+      |  FROM events e JOIN first_touch f USING (user_id)
+      |  WHERE CAST(date_trunc('week', e.ts) AS DATE) >= f.cohort_week)
+      |GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset""".stripMargin
+
+  /** A7 — daily-total anomaly detection: z-score of each (event_type, day)
+    * revenue against that type's month, flagging |z| ≥ 1.5. Mean and
+    * variance come from exact decimal sums of the daily totals
+    * (Σx, Σx² — one extra agg, no second pass over raw events), so the
+    * z-scores are bit-identical across engines and partition orders; the
+    * naive stddev-over-window form would depend on float summation order.
+    * Two keyed hash aggregates + a broadcast join of per-type stats.
+    */
+  def a7Anomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(Exact.dsum(col("value")).as("daily"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Exact.dsum(col("daily")).as("sx"),
+        Exact.dsum(col("daily") * col("daily")).as("sxx"))
+      .select(col("event_type"), col("n"), col("sx"), col("sxx"),
+        (col("sx") / col("n")).as("mean"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("sd"))
+    daily.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("day"), round(col("daily"), 2).as("daily"),
+        round((col("daily") - col("mean")) / col("sd"), 4).as("z"))
+      .filter(abs(col("z")) >= 1.5)
+      .orderBy("event_type", "day")
+  }
+
+  val a7AnomalySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS daily
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(SUM(CAST(daily AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(daily * daily AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, day, round(daily, 2) AS daily,
+      |  round((daily - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS z
+      |FROM daily JOIN stats USING (event_type)
+      |WHERE abs(round((daily - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 4)) >= 1.5
+      |ORDER BY event_type, day""".stripMargin
 }

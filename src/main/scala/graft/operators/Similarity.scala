@@ -208,6 +208,73 @@ object Similarity {
        |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
   }
 
+  /** X3e — SQ8 scalar quantization + measured recall@5. Each vector is
+    * compressed to `array<tinyint>` (symmetric per-vector scale
+    * q = round(x·127/max_abs)) — 8× narrower than the float64 working set,
+    * the standard first rung of vector-index compression: at 100 TB the
+    * quantized corpus is what sits in memory/shuffle, and candidates are
+    * rescored from the exact vectors only when needed. Scoring uses the
+    * approximate cosine dot(q_a,q_b)·ma_a·ma_b / (127²·‖a‖·‖b‖); the
+    * query reports per-query recall of SQ8 top-5 vs exact top-5, and the
+    * DuckDB twin regenerates the identical quantization (same rounding,
+    * same tie-breaks) so the compression loss is an oracle-checked number.
+    */
+  def x3Sq8Recall(s: SparkSession, dir: String): DataFrame = {
+    val corpus = normed(s, dir)
+      .withColumn("ma", expr("aggregate(e, 0D, (acc, x) -> greatest(acc, abs(x)))"))
+      .withColumn("q8", expr("transform(e, x -> cast(round(x * 127.0D / ma, 0) as tinyint))"))
+      .persist()
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("q8").as("qq8"),
+        col("ma").as("qma"), col("norm").as("qnorm"))
+    val scored = corpus.select(col("vec_id"), col("q8"), col("ma"), col("norm"))
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("s", round(
+        dotF64(col("qq8"), col("q8")) * col("qma") * col("ma") /
+          (lit(16129.0) * col("qnorm") * col("norm")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("s").desc, col("vec_id"))
+    val sq8Top = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    val exact = bruteTopK(corpus).select(col("q_id"), col("vec_id"))
+    exact.join(sq8Top, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("q_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall_at_5"))
+      .orderBy("q_id")
+  }
+
+  val x3Sq8RecallSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+      |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+      |  list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS ma
+      |  FROM embeddings),
+      |q8 AS (SELECT vec_id, norm, ma,
+      |  list_transform(e, x -> round(x * 127.0 / ma, 0)) AS q8 FROM e),
+      |sq8_scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+      |    round(list_dot_product(q.q8, c.q8) * q.ma * c.ma
+      |          / (16129.0 * q.norm * c.norm), 6) AS s
+      |  FROM q8 q JOIN q8 c ON q.vec_id < 10 AND c.vec_id != q.vec_id),
+      |sq8 AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q_id, vec_id,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY s DESC, vec_id) AS rk
+      |    FROM sq8_scored) WHERE rk <= 5),
+      |ex AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY round(list_dot_product(q.e, c.e) / (q.norm * c.norm), 6) DESC, c.vec_id) AS rk
+      |    FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id != q.vec_id) WHERE rk <= 5)
+      |SELECT ex.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+      |  CAST(sum(CASE WHEN sq8.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+      |  round(sum(CASE WHEN sq8.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS recall_at_5
+      |FROM ex LEFT JOIN sq8 ON ex.q_id = sq8.q_id AND ex.vec_id = sq8.vec_id
+      |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
+
   /** X3c — IVF (inverted-file) approximate top-k, the coarse-quantization
     * scale path: the corpus is partitioned into `nlist` cells around
     * centroids, each query probes only its `nprobe` nearest cells.

@@ -58,7 +58,7 @@ object RangeJoin {
       .drop("__gr_pbin", "__gr_ibin")
   }
 
-  /** R4b query — pairs (lineitem shipped in 1996 Q1) × (orders whose
+  /** R4b query — pairs (lineitem shipped in January 1996) × (orders whose
     * 7-day shipping window contains that ship date), aggregated per
     * order priority. Both join inputs are fact tables; the plan must be
     * a shuffle join on the bin key (pinned in PlanSpec — no
@@ -68,7 +68,7 @@ object RangeJoin {
     val epoch = lit("1970-01-01").cast("date")
     val li = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
       .select(col("l_extendedprice"),
         datediff(col("l_shipdate").cast("date"), epoch).as("ship_day"))
     val ord = Tables.orders(s, dir)
@@ -92,6 +92,6 @@ object RangeJoin {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
       |FROM lineitem JOIN orders
       |  ON l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 7 DAY
-      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 }

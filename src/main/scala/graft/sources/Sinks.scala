@@ -32,6 +32,12 @@ object Sinks {
   def replaceTable(df: DataFrame, tablePath: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(tablePath)
 
+  /** L10 [EXT] — ORC sink (the scan twin is `Sources.readOrc`): same
+    * partition-parallel columnar write as parquet, different container.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** L4 — document append sink (ref: insert_many,
     * dags/etl_data_pipeline_mongodb.py:38).
     */

@@ -149,6 +149,32 @@ object Sources {
     """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
       |FROM orders WHERE o_totalprice > 1000.0 ORDER BY o_orderkey""".stripMargin
 
+  /** S10 [EXT] — ORC scan. ORC is self-describing (schema in the footer,
+    * like parquet) and splittable; it is the other columnar format a
+    * warehouse migration hands this engine. No schema argument: trusting
+    * the footer IS the 100 TB form here, unlike CSV/JSON.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** S10 as a driver-checked query: land supplier as ORC, scan it back,
+    * filter + project — the ORC write→scan path under the correctness
+    * gate, with the oracle reading the parquet-side table. Timestamps and
+    * doubles round-trip through ORC's own type system.
+    */
+  def s10OrcScan(s: SparkSession, dir: String): DataFrame = {
+    val landing = s"${System.getProperty("java.io.tmpdir")}/graft-landing-orc"
+    Sinks.writeOrc(graft.engine.Tables.supplier(s, dir), landing)
+    readOrc(s, landing)
+      .filter(col("s_acctbal") > 2500.0)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+      .orderBy("s_suppkey")
+  }
+
+  val s10OrcScanSql: String =
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      |FROM supplier WHERE s_acctbal > 2500.0 ORDER BY s_suppkey""".stripMargin
+
   /** S8 — HTML scrape: h1 texts + first 10 hrefs, tagged with a 1-based
     * index (ref: dags/scrap_to_kafka_to_mongo_pipeline.py:43-68). Pure
     * Column expressions — regexp extraction + posexplode — so it runs

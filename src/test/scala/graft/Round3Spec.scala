@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.functions._
 import graft.functions.GraftExtensions
-import graft.operators.{Analytics, Dedup, Sampling, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Sampling, Similarity, TextAnalysis}
 import graft.plans.RangeJoin
 
 /** Round-3 additions: binned range join, headline analytics, sequence
@@ -34,7 +34,7 @@ class Round3Spec extends SparkSpec {
       val epoch = lit("1970-01-01").cast("date")
       val li = graft.engine.Tables.lineitem(spark, sfDir)
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
         .select(col("l_extendedprice"),
           datediff(col("l_shipdate").cast("date"), epoch).as("d"))
       val ord = graft.engine.Tables.orders(spark, sfDir)
@@ -128,6 +128,75 @@ class Round3Spec extends SparkSpec {
     assert(a.forall { case (_, fp) => fp >= 0L && fp < (1L << 60) })
     val b = Dedup.x2SimHashPortable(spark, sfDir).as[(Long, Long)].collect()
     assert(a.sameElements(b))
+  }
+
+  // --- event analytics --------------------------------------------------------
+
+  test("A5: funnel stages shrink monotonically and stage 1 converts at 1.0") {
+    val rows = Analytics.a5Funnel(spark, sfDir)
+      .select(col("stage"), col("n_users"), col("conversion"))
+      .as[(String, Long, Double)].collect()
+    assert(rows.map(_._1).toSeq == Seq("1_signup", "2_click", "3_purchase"))
+    val ns = rows.map(_._2)
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2), ns.mkString(","))
+    assert(ns(0) > 0)
+    assert(rows(0)._3 == 1.0)
+    assert(rows.forall { case (_, _, c) => c >= 0.0 && c <= 1.0 })
+  }
+
+  test("A6: week-0 retention equals cohort size and cells never exceed it") {
+    val ret = Analytics.a6Retention(spark, sfDir)
+      .as[(java.sql.Date, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(ret.nonEmpty)
+    // every signup user is active in their own week 0 (the signup itself)
+    for ((_, cells) <- ret) {
+      assert(cells.head._2 == 0, "first cell must be offset 0")
+      val week0 = cells.head._3
+      assert(cells.forall(_._3 <= week0), s"retention above cohort size: $cells")
+    }
+  }
+
+  test("A7: anomaly z-scores are honest — flagged days match a recomputed z") {
+    val daily = graft.engine.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(graft.engine.Exact.dsum(col("value")).as("daily"))
+      .as[(String, java.sql.Date, Double)].collect()
+      .groupBy(_._1)
+    val expected = daily.toSeq.flatMap { case (et, rows) =>
+      val xs = rows.map(_._3)
+      val n = xs.length
+      val mean = xs.sum / n
+      val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (n - 1))
+      rows.collect {
+        case (_, day, x) if math.abs(
+          BigDecimal((x - mean) / sd).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) >= 1.5 =>
+          (et, day)
+      }
+    }.toSet
+    val got = Analytics.a7Anomaly(spark, sfDir)
+      .select(col("event_type"), col("day")).as[(String, java.sql.Date)].collect().toSet
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
+  // --- SQ8 quantized similarity ----------------------------------------------
+
+  test("X3e: SQ8 recall@5 stays above 0.6 and quantized arrays are tinyint") {
+    val rec = Similarity.x3Sq8Recall(spark, sfDir)
+      .select(col("recall_at_5")).as[Double].collect()
+    assert(rec.nonEmpty)
+    assert(rec.forall(_ >= 0.6), rec.mkString(","))
+  }
+
+  // --- ORC round trip ----------------------------------------------------------
+
+  test("S10: ORC round-trips schema and values bit-exactly") {
+    val src = graft.engine.Tables.supplier(spark, sfDir)
+    val landing = tmpDir("graft-orc-test")
+    graft.sources.Sinks.writeOrc(src, landing)
+    val back = graft.sources.Sources.readOrc(spark, landing)
+    assert(back.schema == src.schema, s"${back.schema} != ${src.schema}")
+    assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
   }
 
   // --- binned-range-join optimizer rule --------------------------------------
