@@ -85,6 +85,9 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
     // Optimizer rule: rewrite big×big range-band theta joins (BNLJ-bound)
     // to a binned equi-join — see graft.plans.BinnedRangeJoinRule.
     extensions.injectOptimizerRule(graft.plans.BinnedRangeJoinRule)
+    // Planner strategy: whole-operator bounded-heap top-k per group —
+    // see graft.plans.TopKPerGroup.
+    extensions.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     extensions.injectFunction((
       FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[DotProductF64].getName, "dot_f64"),

@@ -1,0 +1,157 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.graftshim.ColumnBridge
+
+/** R8g [EXT] — whole-operator top-k per group, the (c) escalation rung of
+  * SURVEY.md §2.8: custom `LogicalPlan` + `Strategy` + `SparkPlan`,
+  * registered through `SparkSessionExtensions.injectPlannerStrategy`.
+  *
+  * The declarative form — `row_number().over(Window.partitionBy(g)
+  * .orderBy(o)) <= k` — is what the engine's own X3 queries use, and it
+  * plans as exchange + FULL SORT of every partition: O(rows log rows)
+  * time and O(partition) sort memory (spill) to keep k rows per group.
+  * This operator computes the same result aggregation-style: a partial
+  * pass holds a bounded k-row heap per group per input partition, the
+  * exchange moves only survivors (≤ groups×k×partitions rows, vs ALL
+  * rows), and a final pass merges heaps per group. At 100 TB with k=5
+  * and a thousand groups the shuffle shrinks by orders of magnitude and
+  * nothing ever sorts more than k rows at once.
+  *
+  * Semantics: rows of `child`, keeping for each distinct value of
+  * `groupExprs` the first `k` rows by `sortOrder`. The caller supplies a
+  * TOTAL order (tie-break included) for deterministic output, same as
+  * they would for the window form. Output order within/across groups is
+  * not defined (order explicitly downstream, as after any aggregate).
+  */
+case class TopKPerGroup(
+    groupExprs: Seq[Expression],
+    sortOrder: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+object TopKPerGroup {
+  /** Column-API entry: `TopKPerGroup(df, Seq($"g"), Seq($"x".desc, $"id"), 5)`.
+    * Plain columns in `orderBy` sort ascending; use `.desc`/`.asc_nulls_last`
+    * markers for anything else.
+    */
+  def apply(df: DataFrame, groupBy: Seq[Column], orderBy: Seq[Column], k: Int): DataFrame = {
+    // In Spark 4 a Column is a lazy ColumnNode resolved only when the
+    // analyzer sees it inside a KNOWN operator — inside a custom node it
+    // would reach execution unresolved (and unserializable). Route the
+    // columns through two throwaway analyzed operators and harvest the
+    // resolved catalyst expressions from them.
+    import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort}
+    val sorted = ColumnBridge.logicalPlan(df.sortWithinPartitions(orderBy: _*))
+      .asInstanceOf[Sort]
+    val projected = ColumnBridge.logicalPlan(df.select(groupBy: _*))
+      .asInstanceOf[Project]
+    val g = projected.projectList.map {
+      case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+      case e => e
+    }
+    ColumnBridge.ofRows(df.sparkSession,
+      new TopKPerGroup(g, sorted.order, k, sorted.child))
+  }
+
+  /** R8g query — top-3 orders by total price per order priority, through
+    * the native operator (total order: price desc, orderkey asc). The
+    * oracle twin is the window form — same rows, different machinery.
+    */
+  def r8gTopKGrouped(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val o = graft.engine.Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    apply(o, Seq(col("o_orderpriority")),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3)
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  val r8gSql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders)
+      |WHERE rk <= 3
+      |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
+}
+
+/** Planner strategy: logical TopKPerGroup → partial exec (bounded heaps
+  * per input partition) feeding a final exec that demands clustering on
+  * the group key — EnsureRequirements inserts the (survivor-only)
+  * exchange between them, exactly like partial/final hash aggregation.
+  */
+object TopKPerGroupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(g, so, k, child) =>
+      val part = TopKPerGroupExec(g, so, k, planLater(child), partial = true)
+      TopKPerGroupExec(g, so, k, part, partial = false) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerGroupExec(
+    groupExprs: Seq[Expression],
+    sortOrder: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan,
+    partial: Boolean) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartial" else "TopKPerGroupFinal"
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val gExprs = groupExprs
+    val order = sortOrder
+    val kk = k
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(gExprs, childOutput)
+      // "row comes first" ordering; the heap is a max-heap under it, so
+      // the head is the worst row currently kept for the group
+      val lt = GenerateOrdering.generate(
+        BindReferences.bindReferences(order, childOutput))
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      val heapOrd = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int = lt.compare(b, a)
+      }
+      iter.foreach { row =>
+        val key = keyProj(row)
+        var pq = heaps.get(key)
+        if (pq == null) {
+          pq = new java.util.PriorityQueue[InternalRow](kk + 1, heapOrd)
+          heaps.put(key.copy(), pq)
+        }
+        if (pq.size() < kk) pq.add(row.copy())
+        else if (lt.compare(row, pq.peek()) < 0) {
+          pq.poll()
+          pq.add(row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}

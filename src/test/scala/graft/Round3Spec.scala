@@ -282,6 +282,42 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  // --- whole-operator top-k per group ----------------------------------------
+
+  test("R8g: TopKPerGroup equals the window form, including ties and short groups") {
+    import graft.plans.TopKPerGroup
+    val ev = graft.engine.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val native = TopKPerGroup(ev, Seq(col("event_type")),
+        Seq(col("value").desc, col("event_id")), k = 7)
+      .select(col("event_type"), col("event_id"))
+      .as[(String, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))
+    val windowed = ev.withColumn("rk", row_number().over(w)).filter(col("rk") <= 7)
+      .select(col("event_type"), col("event_id"))
+      .as[(String, Long)].collect().toSet
+    assert(native == windowed && native.nonEmpty)
+    // k exceeding the group size keeps whole groups
+    val tiny = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("g", "x")
+    assert(graft.plans.TopKPerGroup(tiny, Seq(col("g")), Seq(col("x")), k = 10)
+      .count() == 3)
+  }
+
+  test("R8g: plan is partial/final heaps around one exchange — no Sort, no Window") {
+    val df = graft.plans.TopKPerGroup.r8gTopKGrouped(spark, sfDir)
+    df.collect()
+    // AQE's toString appends an "== Initial Plan ==" echo after the final
+    // plan — inspect only the final plan section
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroupFinal"), p.take(900))
+    assert(!p.contains("Window"), p.take(900))
+    // the only sort allowed is the query's own final presentation orderBy,
+    // which sits ABOVE the final top-k operator
+    val belowFinal = p.substring(p.indexOf("TopKPerGroupFinal"))
+    assert(!belowFinal.contains("Sort"), belowFinal.take(900))
+  }
+
   // --- SQL-surface extensions ------------------------------------------------
 
   test("GraftExtensions registers dot_f64 / minhash_sig / simhash_sig for SQL") {
