@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import graft.functions.VectorFunctions.dotF64
+import graft.plans.TopKPerGroup
 
 /** [EXT] Embedding similarity search (SURVEY.md §2.7 X3).
   *
@@ -42,9 +43,11 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("dot", dotF64(col("qe"), col("e")))
       .withColumn("cosine", round(col("dot") / (col("qnorm") * col("norm")), 6))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+      // prune BEFORE the top-k node (opaque to Catalyst column pruning)
+      // so the survivor shuffle carries 3 scalars, not the embeddings
+      .select(col("q_id"), col("vec_id"), col("cosine"))
+    TopKPerGroup.topKRanked(scored, Seq(col("q_id")),
+        Seq(col("cosine").desc, col("vec_id")), 5, "rank")
       .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
       .orderBy("q_id", "rank")
   }
@@ -139,9 +142,9 @@ object Similarity {
       .join(broadcast(cand), Seq("vec_id"))
       .join(broadcast(queries), Seq("q_id"))
       .withColumn("cosine", round(dotF64(col("qe"), col("e")) / (col("qnorm") * col("norm")), 6))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"), col("cosine"))
+    TopKPerGroup.topKRanked(scored, Seq(col("q_id")),
+        Seq(col("cosine").desc, col("vec_id")), 5, "rank")
       .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
       .orderBy("q_id", "rank")
   }
@@ -233,9 +236,8 @@ object Similarity {
       .withColumn("s", round(
         dotF64(col("qq8"), col("q8")) * col("qma") * col("ma") /
           (lit(16129.0) * col("qnorm") * col("norm")), 6))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("s").desc, col("vec_id"))
-    val sq8Top = scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+    val sq8Top = TopKPerGroup(scored.select(col("q_id"), col("vec_id"), col("s")),
+        Seq(col("q_id")), Seq(col("s").desc, col("vec_id")), 5)
       .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
     val exact = bruteTopK(corpus).select(col("q_id"), col("vec_id"))
     exact.join(sq8Top, Seq("q_id", "vec_id"), "left")
@@ -338,17 +340,16 @@ object Similarity {
       val scored = queries.crossJoin(broadcast(refined))
         .withColumn("sim", dotF64(col("qe"), col("ce")) /
           (col("qnorm") * sqrt(dotF64(col("ce"), col("ce")))))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= nprobe)
+      TopKPerGroup(scored, Seq(col("q_id")), Seq(col("sim").desc, col("c_id")), nprobe)
         .select(col("q_id"), col("qe"), col("qnorm"), col("c_id"))
     }
     val scored = lists.join(broadcast(qCells), Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine",
         round(dotF64(col("qe"), col("e")) / (col("qnorm") * col("norm")), 6))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"), col("cosine"))
+    TopKPerGroup.topKRanked(scored, Seq(col("q_id")),
+        Seq(col("cosine").desc, col("vec_id")), 5, "rank")
       .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
       .orderBy("q_id", "rank")
   }

@@ -67,6 +67,22 @@ object TopKPerGroup {
       new TopKPerGroup(g, sorted.order, k, sorted.child))
   }
 
+  /** Top-k per group plus a 1-based `rankCol`, through the native
+    * operator: the bounded-heap passes reduce each group to k rows, and
+    * only the ≤ groups×k survivors go through the rank window — its
+    * exchange and sort never see the full input. Callers should
+    * pre-project to the columns they need: the node is opaque to
+    * Catalyst column pruning, so every column of `df` rides the
+    * survivor shuffle.
+    */
+  def topKRanked(df: DataFrame, groupBy: Seq[Column], orderBy: Seq[Column],
+                 k: Int, rankCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    apply(df, groupBy, orderBy, k).withColumn(rankCol,
+      row_number().over(Window.partitionBy(groupBy: _*).orderBy(orderBy: _*)))
+  }
+
   /** R8g query — top-3 orders by total price per order priority, through
     * the native operator (total order: price desc, orderkey asc). The
     * oracle twin is the window form — same rows, different machinery.
