@@ -120,6 +120,38 @@ object Analytics {
       |GROUP BY c_custkey, c_name, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** Q18 shape — large-volume orders: orders whose total lineitem
+    * quantity exceeds 250, with customer attribution, top 20 by
+    * quantity. The HAVING subquery is a two-phase hash aggregate over
+    * the biggest fact table; only its ~1% survivors join orders (AQE
+    * shrinks that shuffle at runtime) and the customer join rides the
+    * surviving keys. The top-k is TakeOrderedAndProject — never a full
+    * sort.
+    */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(Exact.dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 250.0)
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val q18Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+      |FROM (SELECT l_orderkey,
+      |        CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) > 250.0) big
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin
+
   // --- event-stream analytics (A5–A7 [EXT]) ---------------------------------
   // The reference's events are opaque Kafka payloads counted in aggregate
   // (dags/kafka_to_mongo_pipeline.py:56-62); these are the product-analytics

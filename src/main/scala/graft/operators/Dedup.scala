@@ -363,4 +363,80 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy("vec_a", "vec_b")
   }
+
+  /** X2g — INCREMENTAL near-dup admission: a new batch of documents
+    * (doc_id % 5 == 0, 20% of the corpus at every SF) is admitted against
+    * the already-ingested corpus (the other 80%); a batch doc is dropped
+    * when MinHash-LSH banding + exact verification finds a corpus
+    * near-dup at Jaccard ≥ 0.8.
+    *
+    * This is the production dedup loop at 100 TB — dedup never re-runs
+    * over the whole corpus when data arrives: the corpus's 128-perm
+    * signatures and (band, band-hash) table are PRECOMPUTED state
+    * (~1 KB/doc, bucketed by band hash); a batch computes signatures for
+    * its own docs only (narrow map), probes the band store with a
+    * candidate join co-located on the bucket, exactly verifies the
+    * candidates, and the admitted survivors' bands are appended to the
+    * store. Per-batch cost scales with the batch and its candidate
+    * pairs; the corpus text is never re-scanned and nothing is ever
+    * all-pairs. (Batch-internal duplicates are the SAME mechanism applied
+    * within the batch — [[x2MinHashLsh]] restricted to it — kept out of
+    * this query so the admission semantics stay single-purpose.)
+    *
+    * Oracle: exact all-pairs batch×corpus Jaccard (the quadratic DuckDB
+    * twin). At 32 bands × 4 rows a J=0.8 pair collides in ≥1 band with
+    * p = 1-(1-0.8⁴)³² ≈ 1-3e-9, so LSH+verify equals exact — the same
+    * discipline that makes `x2_minhash_lsh` hash-checkable.
+    */
+  def x2IncrementalLsh(s: SparkSession, dir: String): DataFrame = {
+    // signatures feed the band probe and the verification joins — persist
+    // (in production: read the corpus side from the signature store)
+    val sig = docShingles(s, dir).withColumn("sig", minhashSig).persist()
+    def bandsOf(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("doc_id").as(idAs),
+        posexplode(expr("transform(sequence(0, 31), b -> xxhash64(concat_ws(',', slice(sig, b * 4 + 1, 4))))"))
+          .as(Seq("band", "bh")))
+    val corpus = sig.filter(col("doc_id") % 5 =!= 0)
+    val batch  = sig.filter(col("doc_id") % 5 === 0)
+    val cand = bandsOf(batch, "batch_id")
+      .join(bandsOf(corpus, "corpus_id"), Seq("band", "bh"))
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct()
+    val dropped = cand
+      .join(batch.select(col("doc_id"), col("sh").as("sh_b")), col("batch_id") === col("doc_id")).drop("doc_id")
+      .join(corpus.select(col("doc_id"), col("sh").as("sh_c")), col("corpus_id") === col("doc_id")).drop("doc_id")
+      .withColumn("c", size(array_intersect(col("sh_b"), col("sh_c"))).cast("double"))
+      .filter(round(col("c") / (size(col("sh_b")) + size(col("sh_c")) - col("c")), 6) >= 0.8)
+      .select(col("batch_id").as("doc_id"))
+      .distinct()
+    // admit from the full batch (docs under 3 tokens have no shingles and
+    // are admitted by construction)
+    Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val x2IncrementalSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                                for i in range(1, len(toks) - 1)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |  WHERE len(toks) >= 3
+      |), ex AS (SELECT doc_id, unnest(s) AS s FROM sh),
+      |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      |inter AS (
+      |  SELECT b.doc_id AS batch_id, a.doc_id AS corpus_id, count(*) AS c
+      |  FROM ex a JOIN ex b ON a.s = b.s
+      |  WHERE a.doc_id % 5 != 0 AND b.doc_id % 5 = 0
+      |  GROUP BY 1, 2),
+      |dropped AS (
+      |  SELECT DISTINCT batch_id FROM (
+      |    SELECT batch_id, round(c * 1.0 / (sc.n + sb.n - c), 6) AS j
+      |    FROM inter JOIN sizes sc ON corpus_id = sc.doc_id
+      |               JOIN sizes sb ON batch_id = sb.doc_id)
+      |  WHERE j >= 0.8)
+      |SELECT doc_id, source, n_chars FROM documents
+      |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT batch_id FROM dropped)
+      |ORDER BY doc_id""".stripMargin
 }

@@ -18,20 +18,19 @@ object Sampling {
     * (event_type), chosen by md5-rank of the row id — a portable
     * deterministic shuffle both engines compute identically.
     *
-    * Scale shape: one shuffle on the stratum key, per-group heap via the
-    * rank filter. Strata far larger than k should be pre-thinned with a
-    * hash-threshold filter (`md5 < t` with t sized to ~4k survivors)
-    * before ranking, which keeps the per-group sort bounded; at fixture
-    * scale the direct rank is the clearer form.
+    * Scale shape: the per-stratum rank runs through the native
+    * [[graft.plans.TopKPerGroup]] bounded-heap operator — each input
+    * partition keeps at most k rows per stratum, the shuffle moves only
+    * those survivors, and nothing ever sorts more than k rows (the
+    * window form would shuffle the whole table into one task per
+    * stratum and sort it).
     */
   def x6StratifiedSample(s: SparkSession, dir: String): DataFrame = {
     val k = 20
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(md5(col("event_id").cast("string")), col("event_id"))
-    Tables.events(s, dir)
-      .select(col("event_id"), col("event_type"), col("user_id"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    graft.plans.TopKPerGroup.topKRanked(
+        Tables.events(s, dir).select(col("event_id"), col("event_type"), col("user_id")),
+        Seq(col("event_type")),
+        Seq(md5(col("event_id").cast("string")), col("event_id")), k, "rk")
       .select(col("event_type"), col("rk"), col("event_id"), col("user_id"))
       .orderBy("event_type", "rk")
   }
@@ -116,4 +115,72 @@ object Sampling {
       |  count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
       |FROM c GROUP BY lang, source, bin_id
       |ORDER BY lang, source, bin_id""".stripMargin
+
+  /** X6d — weighted mixture sampling: the "data mix" stage of training
+    * assembly. Each source is down-sampled to a target rate by a
+    * deterministic hash-Bernoulli draw — uniform u from the md5 of the
+    * doc id against the source's rate — so the mix is bit-reproducible
+    * on any engine and any rerun, and composes with incremental
+    * ingestion (a doc's fate depends only on its own id, never on the
+    * rest of the data). Pure narrow map; the only shuffle is the
+    * summary aggregate. The u and the rates are exact binary fractions
+    * (k/2¹⁶ vs .25/.5/1.0), so the comparison is portable across
+    * engines — no float-rounding edge.
+    */
+  def x6Mixture(s: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+      .cast("long").cast("double") / lit(65536.0)
+    val rate = when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 1.0)
+      .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 0.5)
+      .otherwise(0.25)
+    Tables.documents(s, dir)
+      .withColumn("keep", u < rate)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        min(when(col("keep"), col("doc_id"))).as("first_kept"))
+      .orderBy("source")
+  }
+
+  val x6MixtureSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  min(CASE WHEN keep THEN doc_id END) AS first_kept
+      |FROM (SELECT source, doc_id,
+      |    (CAST(('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) / 65536.0)
+      |      < CAST(CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1.0
+      |              WHEN source IN ('src5','src6','src7','src8','src9') THEN 0.5
+      |              ELSE 0.25 END AS DOUBLE) AS keep
+      |  FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  /** X6e — sharded export order: the deterministic global shuffle a
+    * training run reads, realized scalably. Shard = hash bucket of the
+    * shuffle key; position = rank within the shard by the same key. No
+    * global sort ever happens — each shard orders independently under a
+    * partitioned window, which is exactly the writer plan
+    * `repartition(shard).sortWithinPartitions(key)` producing one file
+    * per shard. At 100 TB the shard count grows with the corpus, so no
+    * partition ever holds more than one shard's rows.
+    */
+  def x6ExportShards(s: SparkSession, dir: String): DataFrame = {
+    val nshards = 8
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("shard", conv(substring(col("k"), 1, 4), 16, 10).cast("long") % nshards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))))
+      .select(col("shard"), col("pos"), col("doc_id"))
+      .orderBy("shard", "pos")
+  }
+
+  val x6ExportShardsSql: String =
+    """SELECT shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS INTEGER) AS pos,
+      |  doc_id
+      |FROM (SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k,
+      |        CAST(('0x' || substring(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS shard
+      |      FROM documents)
+      |ORDER BY shard, pos""".stripMargin
 }

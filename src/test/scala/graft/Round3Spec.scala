@@ -318,6 +318,48 @@ class Round3Spec extends SparkSpec {
     assert(!belowFinal.contains("Sort"), belowFinal.take(900))
   }
 
+  // --- incremental dedup / mixture / export shards ---------------------------
+
+  test("X2g: incremental admission drops exactly the batch docs with a corpus near-dup") {
+    import graft.operators.Dedup
+    val kept = Dedup.x2IncrementalLsh(spark, sfDir).select("doc_id").as[Long].collect().toSet
+    val batch = graft.engine.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 0).select("doc_id").as[Long].collect().toSet
+    // ground truth from the exact all-pairs twin: batch members of a
+    // crossing near-dup pair are the ones that must be dropped
+    val pairs = Dedup.x2Jaccard(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val expectedDropped = pairs.flatMap { case (a, b) =>
+      Seq(a, b).filter(d => d % 5 == 0 && Seq(a, b).exists(o => o % 5 != 0))
+    }.toSet
+    assert(expectedDropped.nonEmpty, "fixture must have crossing near-dup pairs")
+    assert(kept.subsetOf(batch) && (batch -- kept) == expectedDropped)
+  }
+
+  test("X6d: mixture keeps every doc of rate-1.0 sources and thins the rest deterministically") {
+    val m = graft.operators.Sampling.x6Mixture(spark, sfDir)
+      .select("source", "n_docs", "n_kept").as[(String, Long, Long)].collect()
+    val full = m.filter(r => Set("src0", "src1", "src2", "src3", "src4")(r._1))
+    assert(full.nonEmpty && full.forall(r => r._2 == r._3))
+    val thinned = m.filter(r => !Set("src0", "src1", "src2", "src3", "src4")(r._1))
+    assert(thinned.forall(r => r._3 < r._2) && thinned.exists(r => r._3 > 0))
+    // deterministic: a second run draws the identical sample
+    val again = graft.operators.Sampling.x6Mixture(spark, sfDir)
+      .select("source", "n_docs", "n_kept").as[(String, Long, Long)].collect()
+    assert(m.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
+  test("X6e: export shards partition the corpus with dense per-shard positions") {
+    val sh = graft.operators.Sampling.x6ExportShards(spark, sfDir)
+      .select("shard", "pos", "doc_id").as[(Long, Int, Long)].collect()
+    val nDocs = graft.engine.Tables.documents(spark, sfDir).count()
+    assert(sh.length == nDocs && sh.map(_._3).distinct.length == nDocs)
+    sh.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.sameElements(1 to rows.length))
+    }
+    assert(sh.map(_._1).distinct.length == 8)
+  }
+
   // --- SQL-surface extensions ------------------------------------------------
 
   test("GraftExtensions registers dot_f64 / minhash_sig / simhash_sig for SQL") {
