@@ -135,6 +135,40 @@ class StreamingSpec extends SparkSpec {
       s"streaming store diverged from the batch composite (${got.length} vs ${want.length} rows)")
   }
 
+  test("T11: streaming dedup admission — near-dups dropped vs the store and within a batch") {
+    import org.apache.spark.sql.types._
+    val topic = tmpDir("doctopic")
+    val store = tmpDir("sigstore")
+    val admitted = tmpDir("admitted")
+    val ckpt = tmpDir("ckpt")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def src() = spark.readStream.schema(docSchema).json(topic)
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    val baseA = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val nearA = (1 to 50).map(i => if (i == 25) "zzz" else s"tok$i").mkString(" ")
+    val baseB = (1 to 50).map(i => s"utok$i").mkString(" ")
+    val nearB = (1 to 50).map(i => if (i == 25) "qqq" else s"utok$i").mkString(" ")
+    val other = (1 to 50).map(i => s"w$i").mkString(" ")
+
+    Files.writeString(Paths.get(s"$topic/b1.json"),
+      Seq(doc(1, baseA), doc(2, other)).mkString("\n"))
+    Streams.dedupAdmitSink(src(), store, admitted, ckpt).awaitTermination(60000)
+    assert(spark.read.parquet(admitted).select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L))
+
+    // batch 2: 3 ~ near-dup of stored 1 (dropped vs store); 5 ~ near-dup
+    // of 4 (dropped within batch, min-id wins); 4 is new
+    Files.writeString(Paths.get(s"$topic/b2.json"),
+      Seq(doc(3, nearA), doc(4, baseB), doc(5, nearB)).mkString("\n"))
+    Streams.dedupAdmitSink(src(), store, admitted, ckpt).awaitTermination(60000)
+    assert(spark.read.parquet(admitted).select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 4L))
+    // the store carries exactly the admitted signatures for batch n+1
+    assert(spark.read.parquet(store).select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 4L))
+  }
+
   test("T9: stream-static join enriches events with a broadcast dimension") {
     import spark.implicits._
     val topic = writeTopic(Seq(msg(0, 1, "click", 1.0, 5), msg(1, 2, "view", 2.0, 6)))
