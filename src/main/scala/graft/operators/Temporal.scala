@@ -102,4 +102,44 @@ object Temporal {
       |  count(*) AS n_events
       |FROM numbered GROUP BY user_id, session_no
       |ORDER BY user_id, session_no""".stripMargin
+
+  /** R15 [EXT] — SCD type-2 dimension build from a change log: the
+    * event stream is compressed to state-CHANGE rows per user (drop
+    * events equal to the previous state), each change opens a validity
+    * interval [valid_from, valid_to) closed by the next change;
+    * the open interval is the current state. The standard
+    * slowly-changing-dimension construction every warehouse maintains.
+    *
+    * Both window passes (lag to detect changes, lead to close
+    * intervals) partition by user_id — one shuffle, one sort, the
+    * second window reuses the first's ordering. At 100 TB the change
+    * log is date-partitioned and the rebuild is incremental per
+    * partition; the per-key window never holds more than one user's
+    * history.
+    */
+  def r15Scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from")
+  }
+
+  val r15Scd2Sql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |changes AS (
+      |  SELECT user_id, event_id, ts, event_type FROM ordered
+      |  WHERE prev IS NULL OR prev != event_type)
+      |SELECT user_id, event_type AS state, ts AS valid_from,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+      |FROM changes ORDER BY user_id, valid_from""".stripMargin
 }

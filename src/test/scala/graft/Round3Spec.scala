@@ -360,6 +360,40 @@ class Round3Spec extends SparkSpec {
     assert(sh.map(_._1).distinct.length == 8)
   }
 
+  // --- plan pins for the round-3 operators -----------------------------------
+
+  test("X2g/Q18 plans: candidate joins are equi-joins (no cartesian), top-k never full-sorts") {
+    val inc = graft.operators.Dedup.x2IncrementalLsh(spark, sfDir)
+    val incPlan = inc.queryExecution.executedPlan.toString
+    assert(!incPlan.contains("CartesianProduct") && !incPlan.contains("BroadcastNestedLoop"),
+      incPlan.take(600))
+    val q18 = graft.operators.Analytics.q18LargeOrders(spark, sfDir)
+    val p18 = q18.queryExecution.executedPlan.toString
+    assert(p18.contains("TakeOrderedAndProject"), p18.take(600))
+  }
+
+  test("runtime bloom filter: a selective dim filter injects might_contain into the fact side") {
+    // the rule is size-gated for real workloads; at fixture scale, lower
+    // the gates to show the machinery fires (at 100 TB the defaults do)
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val l = graft.engine.Tables.lineitem(spark, sfDir)
+      val o = graft.engine.Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"), opt.take(900))
+      assert(j.collect().nonEmpty)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   // --- SQL-surface extensions ------------------------------------------------
 
   test("GraftExtensions registers dot_f64 / minhash_sig / simhash_sig for SQL") {
