@@ -86,8 +86,10 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
     // to a binned equi-join — see graft.plans.BinnedRangeJoinRule.
     extensions.injectOptimizerRule(graft.plans.BinnedRangeJoinRule)
     // Planner strategy: whole-operator bounded-heap top-k per group —
-    // see graft.plans.TopKPerGroup.
+    // see graft.plans.TopKPerGroup. The pruning rule restores column
+    // pruning through the (otherwise opaque) custom node.
     extensions.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    extensions.injectOptimizerRule(_ => graft.plans.TopKColumnPruning)
     extensions.injectFunction((
       FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[DotProductF64].getName, "dot_f64"),

@@ -43,8 +43,8 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("dot", dotF64(col("qe"), col("e")))
       .withColumn("cosine", round(col("dot") / (col("qnorm") * col("norm")), 6))
-      // prune BEFORE the top-k node (opaque to Catalyst column pruning)
-      // so the survivor shuffle carries 3 scalars, not the embeddings
+      // explicit pre-projection: the survivor shuffle carries 3 scalars,
+      // not the embeddings (TopKColumnPruning would also enforce this)
       .select(col("q_id"), col("vec_id"), col("cosine"))
     TopKPerGroup.topKRanked(scored, Seq(col("q_id")),
         Seq(col("cosine").desc, col("vec_id")), 5, "rank")

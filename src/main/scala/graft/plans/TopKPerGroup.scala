@@ -70,10 +70,9 @@ object TopKPerGroup {
   /** Top-k per group plus a 1-based `rankCol`, through the native
     * operator: the bounded-heap passes reduce each group to k rows, and
     * only the ≤ groups×k survivors go through the rank window — its
-    * exchange and sort never see the full input. Callers should
-    * pre-project to the columns they need: the node is opaque to
-    * Catalyst column pruning, so every column of `df` rides the
-    * survivor shuffle.
+    * exchange and sort never see the full input. Unreferenced child
+    * columns are pruned beneath the node by [[TopKColumnPruning]], so
+    * wide payloads never ride the survivor shuffle uninvited.
     */
   def topKRanked(df: DataFrame, groupBy: Seq[Column], orderBy: Seq[Column],
                  k: Int, rankCol: String): DataFrame = {
@@ -104,6 +103,35 @@ object TopKPerGroup {
       |  FROM orders)
       |WHERE rk <= 3
       |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
+}
+
+/** Column pruning through [[TopKPerGroup]]: a custom logical node is
+  * opaque to Catalyst's built-in `ColumnPruning`, so without help every
+  * column of the child — embeddings included — would ride the survivor
+  * shuffle even when the query above selects three scalars. This rule
+  * restores the standard behavior: when a parent `Project` (or the
+  * node's own group/order expressions) doesn't need some child outputs,
+  * a narrowing `Project` is pushed beneath the node, where the built-in
+  * rules then merge it on down into the scan.
+  */
+object TopKColumnPruning extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, topk @ TopKPerGroup(g, so, k, child))
+        if child.resolved && {
+          val required = p.references ++
+            AttributeSet(g.flatMap(_.references)) ++
+            AttributeSet(so.flatMap(_.references))
+          (child.outputSet -- required).nonEmpty
+        } =>
+      val required = p.references ++
+        AttributeSet(g.flatMap(_.references)) ++
+        AttributeSet(so.flatMap(_.references))
+      p.copy(child = TopKPerGroup(g, so, k,
+        Project(child.output.filter(required.contains), child)))
+  }
 }
 
 /** Planner strategy: logical TopKPerGroup → partial exec (bounded heaps

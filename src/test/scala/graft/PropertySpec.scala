@@ -118,4 +118,19 @@ class PropertySpec extends SparkSpec {
       assert(got == expect)
     }
   }
+
+  test("TopKPerGroup == window row_number form on arbitrary grouped data") {
+    forAll(rows, Gen.chooseNum(1, 6)) { (xs, k) =>
+      val df = xs.toDF("g", "v")
+      val native = graft.plans.TopKPerGroup(df, Seq(col("g")),
+          Seq(col("v").desc, col("g")), k)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("g"))
+      val windowed = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select(col("g"), col("v"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      assert(native == windowed)
+    }
+  }
 }

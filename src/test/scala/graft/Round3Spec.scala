@@ -362,6 +362,17 @@ class Round3Spec extends SparkSpec {
 
   // --- plan pins for the round-3 operators -----------------------------------
 
+  test("TopKColumnPruning: unused wide columns never reach the top-k survivor shuffle") {
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    val df = graft.plans.TopKPerGroup(emb, Seq(col("label")), Seq(col("vec_id")), 3)
+      .select(col("label"), col("vec_id"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the column (schema entry "embedding:array<...>") must be pruned out;
+    // the fixture path itself contains the word "embeddings"
+    assert(!plan.contains("embedding:"), plan.take(900))
+    assert(df.count() > 0)
+  }
+
   test("X2g/Q18 plans: candidate joins are equi-joins (no cartesian), top-k never full-sorts") {
     val inc = graft.operators.Dedup.x2IncrementalLsh(spark, sfDir)
     val incPlan = inc.queryExecution.executedPlan.toString
