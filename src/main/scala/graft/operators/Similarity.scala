@@ -169,10 +169,11 @@ object Similarity {
       .orderBy("q_id")
   }
 
-  /** DuckDB twin of [[x3AnnRecall]], generated from the same plane
-    * constants so both engines derive identical band buckets.
+  /** Shared DuckDB CTE block regenerating the banded-LSH ANN pipeline
+    * from the same deterministic plane constants as the Spark side —
+    * feeds both the [[x3AnnLshSql]] twin and the [[x3AnnRecallSql]] one.
     */
-  val x3AnnRecallSql: String = {
+  private def annPipelineCtes: String = {
     val bandSelects = (0 until LshBands).map { b =>
       val bv = (0 until LshRowsPerBand).map { r =>
         val p = b * LshRowsPerBand + r
@@ -180,7 +181,7 @@ object Similarity {
       }.mkString(" + ")
       s"SELECT vec_id, $b AS band, $bv AS bv FROM e"
     }.mkString("\n  UNION ALL ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS e,
        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
        |  FROM embeddings),
        |bands AS (
@@ -192,7 +193,26 @@ object Similarity {
        |ann_scored AS (
        |  SELECT c.q_id, c.vec_id,
        |    round(list_dot_product(q.e, v.e) / (q.norm * v.norm), 6) AS cosine
-       |  FROM cand c JOIN e v ON c.vec_id = v.vec_id JOIN e q ON c.q_id = q.vec_id),
+       |  FROM cand c JOIN e v ON c.vec_id = v.vec_id JOIN e q ON c.q_id = q.vec_id)""".stripMargin
+  }
+
+  /** DuckDB twin of [[x3AnnLsh]] itself — "approximate" does not mean
+    * "unverifiable": the twin regenerates the identical banded pipeline,
+    * so the driver hash-checks the ANN output, not just its recall.
+    */
+  val x3AnnLshSql: String =
+    s"""WITH $annPipelineCtes
+       |SELECT q_id, rank, vec_id, cosine FROM (
+       |  SELECT q_id, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+       |  FROM ann_scored)
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** DuckDB twin of [[x3AnnRecall]], generated from the same plane
+    * constants so both engines derive identical band buckets.
+    */
+  val x3AnnRecallSql: String = {
+    s"""WITH $annPipelineCtes,
        |ann AS (
        |  SELECT q_id, vec_id FROM (
        |    SELECT q_id, vec_id,
@@ -302,8 +322,10 @@ object Similarity {
     val e = normed(s, dir).persist()
 
     // deterministic seed centroids: first nlist corpus vectors in
-    // xxhash64(vec_id) order (an unbiased sample, reproducible anywhere)
-    val seeds = e.withColumn("h", xxhash64(col("vec_id")))
+    // md5(vec_id) order — an unbiased sample ANY engine reproduces
+    // bit-identically (md5 is the portable hash; the DuckDB twin below
+    // regenerates the identical seed set)
+    val seeds = e.withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy("h").limit(nlist)
       .select(row_number().over(Window.orderBy(col("h"))).as("c_id"), col("e").as("ce"))
 
@@ -320,13 +342,16 @@ object Similarity {
           max(struct(col("sim"), (-col("c_id")).as("nc"))).as("top"))
         .select(col("vec_id"), col("e"), col("norm"), (-col("top.nc")).as("c_id"))
 
-    // one Lloyd refinement: new centroid = per-cell dimension-wise mean
+    // one Lloyd refinement: new centroid = per-cell dimension-wise mean.
+    // The mean is EXACT (decimal sum / count): double summation order is
+    // partition-dependent in Spark, and the oracle twin must derive
+    // bit-identical centroids
     val assigned0 = assign(e, seeds)
     // nlist rows; persisted because both the list build and the query
     // probe consume it (recomputing would re-run the Lloyd pipeline)
     val refined = assigned0
       .select(col("c_id"), posexplode(col("e")).as(Seq("dim", "v")))
-      .groupBy(col("c_id"), col("dim")).agg(avg(col("v")).as("m"))
+      .groupBy(col("c_id"), col("dim")).agg(graft.engine.Exact.davg(col("v"), 16).as("m"))
       .groupBy(col("c_id"))
       .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
       .select(col("c_id"), expr("transform(dm, x -> x.m)").as("ce"))
@@ -353,4 +378,60 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
       .orderBy("q_id", "rank")
   }
+
+  /** DuckDB twin of [[x3AnnIvf]] — the full IVF pipeline (md5-ordered
+    * seed sample, argmax assignment, one exact-mean Lloyd refinement,
+    * nprobe=6 probe, probe-limited scoring) regenerated in SQL. Every
+    * stage is bit-deterministic on both engines: md5 is the portable
+    * seed order, the centroid means are exact decimal sums, and the
+    * dot/argmax arithmetic is IEEE double evaluated in the same element
+    * order. Like the LSH twin, this converts "approximate" from a
+    * rows-only claim into a hash-checked result.
+    */
+  val x3AnnIvfSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+      |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY h) AS INTEGER) AS c_id, ce FROM (
+      |    SELECT md5(CAST(vec_id AS VARCHAR)) AS h, e AS ce FROM e
+      |    ORDER BY h LIMIT 16)),
+      |a0 AS (
+      |  SELECT vec_id, e, norm, c_id FROM (
+      |    SELECT v.vec_id, v.e, v.norm, s.c_id,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_dot_product(v.e, s.ce) / (v.norm * sqrt(list_dot_product(s.ce, s.ce))) DESC,
+      |        s.c_id) AS rk
+      |    FROM e v CROSS JOIN seeds s) WHERE rk = 1),
+      |refined AS (
+      |  SELECT c_id, list(m ORDER BY dim) AS ce FROM (
+      |    SELECT c_id, dim,
+      |      CAST(SUM(CAST(val AS DECIMAL(28,16))) AS DOUBLE) / COUNT(val) AS m
+      |    FROM (SELECT c_id, i AS dim, e[i + 1] AS val
+      |          FROM a0, unnest(range(0, 64)) AS t(i))
+      |    GROUP BY c_id, dim)
+      |  GROUP BY c_id),
+      |lists AS (
+      |  SELECT vec_id, e, norm, c_id FROM (
+      |    SELECT v.vec_id, v.e, v.norm, r.c_id,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_dot_product(v.e, r.ce) / (v.norm * sqrt(list_dot_product(r.ce, r.ce))) DESC,
+      |        r.c_id) AS rk
+      |    FROM e v CROSS JOIN refined r) WHERE rk = 1),
+      |qcells AS (
+      |  SELECT q_id, qe, qnorm, c_id FROM (
+      |    SELECT q.vec_id AS q_id, q.e AS qe, q.norm AS qnorm, r.c_id,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_dot_product(q.e, r.ce) / (q.norm * sqrt(list_dot_product(r.ce, r.ce))) DESC,
+      |        r.c_id) AS rk
+      |    FROM e q CROSS JOIN refined r WHERE q.vec_id < 10) WHERE rk <= 6),
+      |scored AS (
+      |  SELECT qc.q_id, l.vec_id,
+      |    round(list_dot_product(qc.qe, l.e) / (qc.qnorm * l.norm), 6) AS cosine
+      |  FROM lists l JOIN qcells qc ON l.c_id = qc.c_id AND l.vec_id != qc.q_id)
+      |SELECT q_id, rank, vec_id, cosine FROM (
+      |  SELECT q_id, vec_id, cosine,
+      |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 }
