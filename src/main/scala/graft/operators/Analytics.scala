@@ -120,6 +120,38 @@ object Analytics {
       |GROUP BY c_custkey, c_name, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** Q4 shape — order-priority checking: orders of 1996Q3 with at least
+    * one lineitem shipped more than 90 days after the order date,
+    * counted per priority. The EXISTS subquery plans as a left-semi
+    * join with a composite condition (equi key + range residual) — the
+    * probe side short-circuits on first match, no duplication of the
+    * orders side, and the selective date filter prunes the scan before
+    * the shuffle.
+    */
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+    val l = Tables.lineitem(s, dir)
+    o.join(l,
+        o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_late_orders
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o.o_orderkey
+      |                AND l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Q18 shape — large-volume orders: orders whose total lineitem
     * quantity exceeds 250, with customer attribution, top 20 by
     * quantity. The HAVING subquery is a two-phase hash aggregate over

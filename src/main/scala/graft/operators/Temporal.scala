@@ -103,6 +103,60 @@ object Temporal {
       |FROM numbered GROUP BY user_id, session_no
       |ORDER BY user_id, session_no""".stripMargin
 
+  /** T12 [EXT] — time-series resample with LOCF gap fill: each user's
+    * event stream becomes a dense hourly grid carrying the last
+    * observation at or before each grid point — the standard
+    * feature-store/training-label alignment step.
+    *
+    * Three stages, all partitioned by user: last event per (user, hour)
+    * (rank-1 window), per-user grid expansion (`sequence` + explode — a
+    * narrow generator, no driver loop), and a running
+    * last-non-null window over grid order for the carry-forward. At
+    * 100 TB the grid explodes per user in parallel and no partition
+    * holds more than one user's span; the carried value never crosses a
+    * partition boundary.
+    */
+  def t12ResampleLocf(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("user_id") < 10)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val wLast = Window.partitionBy(col("user_id"), col("h"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val hourly = ev
+      .withColumn("h", date_trunc("hour", col("ts")))
+      .withColumn("rk", row_number().over(wLast))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("h"), col("value").as("v"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val wLocf = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("value_locf", last(col("v"), ignoreNulls = true).over(wLocf))
+      .select(col("user_id"), col("h").as("grid_ts"), col("value_locf"))
+      .orderBy("user_id", "grid_ts")
+  }
+
+  val t12ResampleLocfSql: String =
+    """WITH hourly AS (
+      |  SELECT user_id, h, v FROM (
+      |    SELECT user_id, date_trunc('hour', ts) AS h, value AS v,
+      |      row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+      |        ORDER BY ts DESC, event_id DESC) AS rk
+      |    FROM events WHERE user_id < 10) WHERE rk = 1),
+      |span AS (
+      |  SELECT user_id, date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+      |  FROM events WHERE user_id < 10 GROUP BY user_id),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM span)
+      |SELECT g.user_id AS user_id, g.h AS grid_ts,
+      |  last_value(hr.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.h
+      |    ROWS UNBOUNDED PRECEDING) AS value_locf
+      |FROM grid g LEFT JOIN hourly hr ON g.user_id = hr.user_id AND g.h = hr.h
+      |ORDER BY user_id, grid_ts""".stripMargin
+
   /** R15 [EXT] — SCD type-2 dimension build from a change log: the
     * event stream is compressed to state-CHANGE rows per user (drop
     * events equal to the previous state), each change opens a validity

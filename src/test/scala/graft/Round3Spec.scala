@@ -381,6 +381,10 @@ class Round3Spec extends SparkSpec {
     val q18 = graft.operators.Analytics.q18LargeOrders(spark, sfDir)
     val p18 = q18.queryExecution.executedPlan.toString
     assert(p18.contains("TakeOrderedAndProject"), p18.take(600))
+    // Q4's EXISTS plans as a semi join — the probe side never duplicates
+    val p4 = graft.operators.Analytics.q4OrderPriority(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p4.contains("LeftSemi"), p4.take(600))
   }
 
   test("runtime bloom filter: a selective dim filter injects might_contain into the fact side") {
