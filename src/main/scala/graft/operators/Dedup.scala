@@ -112,7 +112,11 @@ object Dedup {
     * Oracle: DuckDB recursive CTE computing min-reachable per doc.
     */
   def x2DupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = x2Jaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    // pairs come from the LSH SCALE path, not the quadratic all-pairs
+    // twin — banding + exact verification yields the identical pair set
+    // (that equality is x2_minhash_lsh's own oracle), so the cluster
+    // result is unchanged while the pair stage stays candidate-bounded
+    val pairs = x2MinHashLsh(s, dir).select(col("doc_a"), col("doc_b"))
     // the dup-pair graph is orders of magnitude smaller than the corpus
     // (near-dups are sparse by definition): materialize it ONCE, eagerly,
     // with lineage truncated — otherwise every propagation round drags
@@ -416,6 +420,54 @@ object Dedup {
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy("doc_id")
   }
+
+  /** X7 [EXT] — benchmark DECONTAMINATION: flag training-split documents
+    * that share any 8-token shingle with an evaluation-split document
+    * (the n-gram-overlap rule used to scrub eval leakage from training
+    * corpora). The split is the same md5 bucketing as `x6_hash_split`
+    * (train < 96, eval ≥ 96), so the check composes with the split it
+    * protects.
+    *
+    * Scale shape: shingles are hashed per doc (narrow map, distinct
+    * within doc), and the overlap join keys on the 8-byte shingle hash.
+    * At 100 TB the eval side is a benchmark suite — megabytes — so its
+    * shingle set BROADCASTS and the train side never shuffles at all;
+    * at fixture scale both sides are corpus splits and the join
+    * shuffles on the hash. Output counts are per flagged train doc
+    * (shared distinct shingles + distinct eval docs hit).
+    */
+  def x7Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val sh = Tables.documents(s, dir)
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long") % 100)
+      .filter(size(toks) >= 8)
+      .select(col("doc_id"), col("bucket"),
+        explode(graft.functions.NGramHashes(toks, 8)).as("sh"))
+    val train = sh.filter(col("bucket") < 96).select(col("doc_id").as("train_id"), col("sh"))
+    val eval_ = sh.filter(col("bucket") >= 96).select(col("doc_id").as("eval_id"), col("sh"))
+    train.join(eval_, Seq("sh"))
+      .groupBy(col("train_id"))
+      .agg(countDistinct(col("sh")).as("n_shared"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy("train_id")
+  }
+
+  val x7DecontaminateSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, text,
+      |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS bucket
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, bucket,
+      |    unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+      |                          for i in range(1, len(toks) - 6)])) AS s
+      |  FROM (SELECT doc_id, bucket, string_split(text, ' ') AS toks FROM b)
+      |  WHERE len(toks) >= 8)
+      |SELECT t.doc_id AS train_id, count(DISTINCT t.s) AS n_shared,
+      |  count(DISTINCT e.doc_id) AS n_eval_docs
+      |FROM sh t JOIN sh e ON t.s = e.s AND t.bucket < 96 AND e.bucket >= 96
+      |GROUP BY t.doc_id ORDER BY train_id""".stripMargin
 
   val x2IncrementalSql: String =
     """WITH sh AS (

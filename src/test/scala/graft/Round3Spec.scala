@@ -360,6 +360,18 @@ class Round3Spec extends SparkSpec {
     assert(sh.map(_._1).distinct.length == 8)
   }
 
+  test("NGramHashes: distinct window count matches the string-shingle HOF formulation") {
+    val toks = split(col("text"), " ")
+    val shingleAt = (i: org.apache.spark.sql.Column) =>
+      concat_ws(" ", (0 until 8).map(j => element_at(toks, i + j)): _*)
+    val both = graft.engine.Tables.documents(spark, sfDir)
+      .filter(size(toks) >= 8)
+      .select(
+        size(graft.functions.NGramHashes(toks, 8)).as("native"),
+        size(array_distinct(transform(sequence(lit(1), size(toks) - 7), shingleAt))).as("hof"))
+    assert(both.count() > 0 && both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
   // --- plan pins for the round-3 operators -----------------------------------
 
   test("TopKColumnPruning: unused wide columns never reach the top-k survivor shuffle") {
