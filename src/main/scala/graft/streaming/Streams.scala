@@ -158,26 +158,27 @@ object Streams {
       .start()
 
   /** T11 [EXT] — streaming corpus dedup: every micro-batch of documents
-    * is admitted against a PERSISTENT MinHash signature store — the
-    * streaming form of [[graft.operators.Dedup.x2IncrementalLsh]]'s
-    * admission loop, which is how a 100 TB training corpus is actually
-    * deduplicated: continuously, batch by batch, never re-running over
-    * history.
+    * is admitted against the PERSISTENT bucketed MinHash signature/band
+    * store ([[BandStore]]) — the streaming form of
+    * [[graft.operators.Dedup.x2IncrementalLsh]]'s admission loop, which
+    * is how a 100 TB training corpus is actually deduplicated:
+    * continuously, batch by batch, never re-running over history.
     *
-    * Per batch: (1) batch docs are shingled and signed (narrow map over
-    * the batch only); (2) candidates = band-hash collisions against the
-    * store PLUS smaller-doc_id batch peers (within-batch dups are the
-    * same mechanism applied internally); (3) candidates are exactly
-    * verified at Jaccard ≥ 0.8; (4) survivors' full rows append to
-    * `admittedDir` and their signatures append to the store, so batch
-    * n+1 dedups against everything batch n admitted. The store holds
-    * (doc_id, sh, sig) — ~1 KB/doc, bucketable by band hash at scale;
-    * the corpus text is never re-read. Docs under 3 tokens carry no
-    * shingles and are admitted by construction.
+    * Each batch runs [[BandStore.admitBatch]]: sign the batch (narrow
+    * map over the batch only), probe the band store reading ONLY the
+    * `pmod(bh, 64)` partitions the batch's own band hashes touch
+    * (partition pruning — per-batch probe cost is O(matching buckets),
+    * never O(corpus)), exactly verify candidates at Jaccard ≥ 0.8
+    * against peer shingles read from only the candidate `sigs/` buckets,
+    * resolve within-batch vetoes to the greedy min-doc_id admission
+    * fixpoint (a dropped doc cannot veto), and overwrite the batch's own
+    * `__batch` partitions in `admittedDir` and the store.
     *
-    * Append-only effects make replay idempotent-per-offset under the
-    * checkpoint; admission order inside a batch is deterministic
-    * (min-doc_id wins), matching the batch twin.
+    * Replay safety: the writes are dynamic-partition overwrites keyed by
+    * batchId and every store read excludes the current batchId, so a
+    * crash after any subset of the writes replays to byte-identical
+    * state — idempotent-per-batch under the checkpoint, with no blind
+    * appends.
     */
   def dedupAdmitSink(stream: DataFrame, storeDir: String, admittedDir: String,
                      checkpoint: String): StreamingQuery =
@@ -185,52 +186,8 @@ object Streams {
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        import graft.operators.Dedup
-        val spark = batch.sparkSession
-        val sig = batch
-          .filter(size(split(col("text"), " ")) >= 3)
-          .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
-          .withColumn("sig", Dedup.minhashSig)
-          .persist()
-        val bandExpr =
-          "transform(sequence(0, 31), b -> xxhash64(concat_ws(',', slice(sig, b * 4 + 1, 4))))"
-        def bandsOf(df: DataFrame, idAs: String): DataFrame =
-          df.select(col("doc_id").as(idAs),
-            posexplode(expr(bandExpr)).as(Seq("band", "bh")))
-        val path = new org.apache.hadoop.fs.Path(storeDir)
-        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val storeExists = fs.exists(path) &&
-          fs.listStatus(path).exists(_.getPath.getName.endsWith(".parquet"))
-        val store = if (storeExists) spark.read.parquet(storeDir)
-          else spark.emptyDataFrame
-        val batchBands = bandsOf(sig, "batch_id")
-        val candVsStore = if (storeExists)
-          batchBands.join(bandsOf(store, "peer_id"), Seq("band", "bh"))
-            .select(col("batch_id"), col("peer_id"))
-        else spark.emptyDataFrame.select(lit(0L).as("batch_id"), lit(0L).as("peer_id")).limit(0)
-        // within-batch: only a SMALLER doc_id can veto (min-id wins)
-        val candInBatch = batchBands.as("a")
-          .join(batchBands.as("b"),
-            col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-              && col("b.batch_id") < col("a.batch_id"))
-          .select(col("a.batch_id"), col("b.batch_id").as("peer_id"))
-        val peers = (if (storeExists) store.select(col("doc_id"), col("sh"))
-          else sig.select(col("doc_id"), col("sh")).limit(0))
-          .unionByName(sig.select(col("doc_id"), col("sh")))
-        val dropped = candVsStore.unionByName(candInBatch).distinct()
-          .join(sig.select(col("doc_id"), col("sh").as("sh_b")), col("batch_id") === col("doc_id")).drop("doc_id")
-          .join(peers.select(col("doc_id"), col("sh").as("sh_p")), col("peer_id") === col("doc_id")).drop("doc_id")
-          .withColumn("c", size(array_intersect(col("sh_b"), col("sh_p"))).cast("double"))
-          .filter(round(col("c") / (size(col("sh_b")) + size(col("sh_p")) - col("c")), 6) >= 0.8)
-          .select(col("batch_id").as("doc_id"))
-          .distinct()
-        val admitted = batch.join(dropped, Seq("doc_id"), "left_anti").persist()
-        admitted.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(admittedDir)
-        sig.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
-          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(storeDir)
-        sig.unpersist()
-        admitted.unpersist()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        BandStore.admitBatch(batch, batchId, storeDir, admittedDir)
         ()
       }
       .start()

@@ -1,0 +1,189 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.streaming.{BandStore, Streams}
+
+/** Round-4 pins: bucket-pruned band-store probe, greedy within-batch
+  * admission, and crash-replay idempotence of the foreachBatch sinks
+  * (VERDICT r3 items 1–3).
+  */
+class Round4Spec extends SparkSpec {
+
+  private def docsDf(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  private def toksA(sub: Option[(Int, String)] = None): String =
+    (1 to 50).map(i => sub.filter(_._1 == i).map(_._2).getOrElse(s"tok$i")).mkString(" ")
+
+  /** Content fingerprint of a parquet directory: sorted row renderings.
+    * (File bytes differ across runs via task UUIDs in file names; replay
+    * idempotence is a CONTENT claim per partition.)
+    */
+  private def contentOf(dir: String, cols: String*): Seq[String] = {
+    val df = spark.read.parquet(dir)
+    df.select(cols.map(col): _*).collect().map(_.toString).toSeq.sorted
+  }
+
+  /** Simulate a crash between the foreachBatch effects and the commit:
+    * the commit record for the latest batch never lands. The Hadoop
+    * local FS keeps a `.N.crc` checksum sibling per commit file — a real
+    * crash writes neither, so both go.
+    */
+  private def dropLatestCommit(ckpt: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val commits = Paths.get(ckpt, "commits")
+    val latest = Files.list(commits).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.forall(_.isDigit))
+      .maxBy(_.toLong)
+    Files.delete(commits.resolve(latest))
+    Files.deleteIfExists(commits.resolve(s".$latest.crc"))
+  }
+
+  test("T11 probe reads only the touched __bb buckets of the band store (partition pruning)") {
+    val store = tmpDir("bstore")
+    val admitted = tmpDir("badmit")
+    BandStore.admitBatch(docsDf(1L -> toksA(), 2L -> (1 to 50).map(i => s"w$i").mkString(" ")),
+      0L, store, admitted)
+    BandStore.admitBatch(docsDf(4L -> (1 to 50).map(i => s"utok$i").mkString(" ")),
+      1L, store, admitted)
+
+    val all = spark.read.parquet(BandStore.bandsDir(store))
+    val totalParts = all.select(col("__batch"), col("__bb")).distinct().count()
+    assert(totalParts > 10, s"fixture store too small to pin pruning (parts=$totalParts)")
+
+    // a probe touching ONE bucket must scan at most one (__batch, __bb)
+    // leaf per stored batch — not the whole store
+    val oneBucket = all.select(pmod(col("bh"), lit(BandStore.BandBuckets)).cast("int"))
+      .head.getInt(0)
+    val probe = BandStore.probeScan(spark, store, Seq(oneBucket), 2L)
+    val scanned = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scanned.nonEmpty && scanned.head <= 2,
+      s"probe must prune to the touched bucket: scanned=$scanned of $totalParts partitions")
+    assert(probe.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      .contains("PartitionFilters: ["), "probe filter must reach the scan as a partition filter")
+  }
+
+  test("T11 within-batch veto is greedy min-id admission: a dropped doc cannot veto") {
+    // chain A(1) ~ B(2) ~ C(3) with A !~ C: sequential min-id admission
+    // admits A, drops B (near A), ADMITS C (its only near peer B was
+    // dropped). The old single-pass veto dropped C too.
+    val a = toksA()
+    val b = toksA(Some(25 -> "zzz"))                       // ~ a (J≈0.88), ~ c
+    // c = b plus one more spaced-out change: J(b,c)=45/51≈0.88 ≥ 0.8 but
+    // J(a,c)=42/54≈0.78 < 0.8 (changes at 25 and 35 damage disjoint shingles)
+    val cTxt = (1 to 50).map(i => if (i == 25) "zzz" else if (i == 35) "yyy" else s"tok$i").mkString(" ")
+    // verify the chain shape holds under the operator's own Jaccard:
+    // J(a,b) >= 0.8, J(b,cTxt) >= 0.8, J(a,cTxt) < 0.8
+    def j(x: String, y: String): Double = {
+      def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val (sx, sy) = (sh(x), sh(y))
+      sx.intersect(sy).size.toDouble / sx.union(sy).size
+    }
+    assert(j(a, b) >= 0.8 && j(b, cTxt) >= 0.8 && j(a, cTxt) < 0.8,
+      s"fixture chain broken: ${j(a, b)} ${j(b, cTxt)} ${j(a, cTxt)}")
+
+    val store = tmpDir("gstore")
+    val admitted = tmpDir("gadmit")
+    BandStore.admitBatch(docsDf(1L -> a, 2L -> b, 3L -> cTxt), 0L, store, admitted)
+    val got = spark.read.parquet(admitted).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L), s"greedy admission should keep {1, 3}, got $got")
+  }
+
+  test("T11 replay idempotence: re-running a batch leaves store and output content-identical") {
+    val store = tmpDir("rstore")
+    val admitted = tmpDir("radmit")
+    val b0 = docsDf(1L -> toksA(), 2L -> (1 to 50).map(i => s"w$i").mkString(" "))
+    val b1 = docsDf(3L -> toksA(Some(25 -> "zzz")), 4L -> (1 to 50).map(i => s"utok$i").mkString(" "))
+    BandStore.admitBatch(b0, 0L, store, admitted)
+    BandStore.admitBatch(b1, 1L, store, admitted)
+    val adm1 = contentOf(admitted, "doc_id", "text", "__batch")
+    val sig1 = contentOf(BandStore.sigsDir(store), "doc_id", "__batch")
+    val bnd1 = contentOf(BandStore.bandsDir(store), "doc_id", "band", "bh", "__batch")
+
+    // crash-replay of batch 1: effects already on disk, commit lost —
+    // the recomputation must overwrite its own partitions with the same
+    // content (the probe excludes __batch=1, so the decision is
+    // unchanged even though batch 1's signatures are already stored)
+    BandStore.admitBatch(b1, 1L, store, admitted)
+    assert(contentOf(admitted, "doc_id", "text", "__batch") == adm1)
+    assert(contentOf(BandStore.sigsDir(store), "doc_id", "__batch") == sig1)
+    assert(contentOf(BandStore.bandsDir(store), "doc_id", "band", "bh", "__batch") == bnd1)
+    assert(spark.read.parquet(admitted).select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 4L))
+  }
+
+  test("T5 upsert sink crash recovery: lost checkpoint commit replays to the uninterrupted state") {
+    import org.apache.spark.sql.types._
+    def topicWith(lines: Seq[String]): String = {
+      val dir = tmpDir("ctopic")
+      Files.writeString(Paths.get(s"$dir/part-0.json"), lines.mkString("\n"))
+      dir
+    }
+    def msg(id: Long, user: Long, typ: String) =
+      s"""{"event_id":$id,"user_id":$user,"event_type":"$typ","value":1.0,"k":1}"""
+    val lines = Seq(msg(10, 1, "a"), msg(11, 1, "b"), msg(12, 2, "c"))
+
+    // uninterrupted run
+    val storeA = tmpDir("storeA")
+    Streams.upsertSink(Streams.subscribe(spark, topicWith(lines)),
+      "user_id", "event_id", storeA, tmpDir("ckA")).awaitTermination(60000)
+
+    // crashed run: batch effects land, then the commit record is lost
+    // (crash between the foreachBatch body and the checkpoint commit);
+    // restart must replay the batch against the already-merged store
+    val storeB = tmpDir("storeB")
+    val topicB = topicWith(lines)
+    val ckB = tmpDir("ckB")
+    Streams.upsertSink(Streams.subscribe(spark, topicB),
+      "user_id", "event_id", storeB, ckB).awaitTermination(60000)
+    dropLatestCommit(ckB)
+    Streams.upsertSink(Streams.subscribe(spark, topicB),
+      "user_id", "event_id", storeB, ckB).awaitTermination(60000)
+
+    def content(dir: String) = spark.read.parquet(dir)
+      .select("event_id", "user_id", "event_type").collect().map(_.toString).toSeq.sorted
+    assert(content(storeB) == content(storeA),
+      "replayed store diverged from the uninterrupted run")
+    assert(spark.read.parquet(storeB).groupBy("user_id").count()
+      .filter(col("count") > 1).count() == 0, "replay must not duplicate keys")
+  }
+
+  test("T11 sink crash recovery: lost commit replays the dedup batch to identical content") {
+    import org.apache.spark.sql.types._
+    val topic = tmpDir("dctopic")
+    val store = tmpDir("dcstore")
+    val admitted = tmpDir("dcadmit")
+    val ckpt = tmpDir("dcck")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def src() = spark.readStream.schema(docSchema).json(topic)
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    Files.writeString(Paths.get(s"$topic/b1.json"),
+      Seq(doc(1, toksA()), doc(2, (1 to 50).map(i => s"w$i").mkString(" "))).mkString("\n"))
+    Streams.dedupAdmitSink(src(), store, admitted, ckpt).awaitTermination(60000)
+    Files.writeString(Paths.get(s"$topic/b2.json"),
+      Seq(doc(3, toksA(Some(25 -> "zzz"))), doc(4, (1 to 50).map(i => s"utok$i").mkString(" "))).mkString("\n"))
+    Streams.dedupAdmitSink(src(), store, admitted, ckpt).awaitTermination(60000)
+    val admBefore = contentOf(admitted, "doc_id", "__batch")
+    val sigBefore = contentOf(BandStore.sigsDir(store), "doc_id", "__batch")
+
+    // lose the second batch's commit and restart: the batch replays
+    dropLatestCommit(ckpt)
+    Streams.dedupAdmitSink(src(), store, admitted, ckpt).awaitTermination(60000)
+
+    assert(contentOf(admitted, "doc_id", "__batch") == admBefore,
+      "replay must not duplicate admitted rows")
+    assert(contentOf(BandStore.sigsDir(store), "doc_id", "__batch") == sigBefore,
+      "replay must not duplicate store signatures")
+    assert(spark.read.parquet(admitted).select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 4L))
+  }
+}

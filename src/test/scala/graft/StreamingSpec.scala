@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-import graft.streaming.Streams
+import graft.streaming.{BandStore, Streams}
 
 /** Live Structured Streaming runs over a file-backed topic
   * (deterministic `Trigger.AvailableNow` micro-batches — SURVEY.md §5.2.5).
@@ -165,8 +165,10 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(admitted).select("doc_id").collect().map(_.getLong(0)).toSet
       == Set(1L, 2L, 4L))
     // the store carries exactly the admitted signatures for batch n+1
-    assert(spark.read.parquet(store).select("doc_id").collect().map(_.getLong(0)).toSet
-      == Set(1L, 2L, 4L))
+    assert(spark.read.parquet(BandStore.sigsDir(store)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+    assert(spark.read.parquet(BandStore.bandsDir(store)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
   }
 
   test("T9: stream-static join enriches events with a broadcast dimension") {
