@@ -44,9 +44,15 @@ import org.apache.spark.sql.types._
   *  - the rewritten join has an equi-conjunct, so the rule cannot
   *    re-fire on its own output (fixed-point safe).
   *
+  *  - reversed/empty intervals generate no bins (runtime `If` guard —
+  *    see the inline note), and a stats-estimable bins-per-interval
+  *    above the cap keeps the original join untouched.
+  *
   * Config: `spark.graft.binnedRangeJoin.enabled` (default true),
   * `spark.graft.binnedRangeJoin.binWidth` (default 32 — pick near the
-  * typical interval width; affects performance, never correctness).
+  * typical interval width; affects performance, never correctness),
+  * `spark.graft.binnedRangeJoin.maxBinsPerInterval` (default 4096 —
+  * plan-time skip cap when CBO column stats bound the interval width).
   */
 case class BinnedRangeJoinRule(session: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
@@ -55,6 +61,8 @@ case class BinnedRangeJoinRule(session: SparkSession)
     conf.getConfString("spark.graft.binnedRangeJoin.enabled", "true").toBoolean
   private def binWidth: Long =
     conf.getConfString("spark.graft.binnedRangeJoin.binWidth", "32").toLong
+  private def maxBinsPerInterval: Long =
+    conf.getConfString("spark.graft.binnedRangeJoin.maxBinsPerInterval", "4096").toLong
 
   private def integral(e: Expression): Boolean = e.dataType match {
     case ByteType | ShortType | IntegerType | LongType => true
@@ -119,7 +127,7 @@ case class BinnedRangeJoinRule(session: SparkSession)
       if !(lo.src eq hi.src) && lo.p.semanticEquals(hi.p)
     } yield (lo, hi)).nextOption()
 
-    band.map { case (lo, hi) =>
+    band.flatMap { case (lo, hi) =>
       val p = lo.p
       val pointIsLeft = p.references.subsetOf(l.outputSet)
       val pointChild = if (pointIsLeft) l else r
@@ -127,22 +135,66 @@ case class BinnedRangeJoinRule(session: SparkSession)
 
       val w = Literal(binWidth.toDouble)
       def binOf(e: Expression): Expression = Floor(Divide(Cast(e, DoubleType), w))
+      val binLo = binOf(lo.b)
+      val binHi = binOf(hi.b)
 
-      val pbin = Alias(binOf(p), "__gr_pbin")()
-      val pointPlan = Project(pointChild.output :+ pbin, pointChild)
+      // Plan-time width estimate: with CBO column stats on the bound
+      // attributes, max(hi) − min(lo) bounds every interval's width from
+      // above; past the cap, keep the original join — a plan the engine
+      // can always run beats one that manufactures per-row bin arrays
+      // with no size bound. (Bounds always reference the interval side's
+      // attributes — splitSides guarantees it — so there is no foldable
+      // case to fold.) Without stats the rewrite proceeds: the runtime
+      // reversed-interval guard below still bounds junk generation, and
+      // the DataFrame API (RangeJoin.pointInInterval) measures the true
+      // width with an aggregate before choosing the binned plan.
+      if (estimatedMaxBins(lo.b, hi.b, ivChild).exists(_ > maxBinsPerInterval)) None
+      else {
+        val pbin = Alias(binOf(p), "__gr_pbin")()
+        val pointPlan = Project(pointChild.output :+ pbin, pointChild)
 
-      // Sequence is TimeZoneAwareExpression — without an explicit zone it
-      // stays unresolved and the optimizer's plan-integrity check fails.
-      val gen = Explode(Sequence(binOf(lo.b), binOf(hi.b), None,
-        Some(conf.sessionLocalTimeZone)))
-      val elem = gen.elementSchema.head
-      val ibin = AttributeReference("__gr_ibin", elem.dataType, elem.nullable)()
-      val ivPlan = Generate(gen, unrequiredChildIndex = Nil, outer = false,
-        qualifier = None, generatorOutput = Seq(ibin), child = ivChild)
+        // Sequence is TimeZoneAwareExpression — without an explicit zone it
+        // stays unresolved and the optimizer's plan-integrity check fails.
+        // Guard: a reversed/empty interval (lo > hi, or a null bound)
+        // generates NO bins — unguarded, Sequence silently DESCENDS on
+        // lo > hi, manufacturing |lo−hi|/binWidth junk bins per row (an
+        // unsatisfiable predicate turned into an OOM for a large
+        // reversal). Dropping the row is exact: an inner-join row with an
+        // empty interval can never match.
+        val seq = Sequence(binLo, binHi, None, Some(conf.sessionLocalTimeZone))
+        val guarded = If(LessThanOrEqual(binLo, binHi), seq,
+          Literal.create(Array.empty[Long], seq.dataType))
+        val gen = Explode(guarded)
+        val elem = gen.elementSchema.head
+        val ibin = AttributeReference("__gr_ibin", elem.dataType, elem.nullable)()
+        val ivPlan = Generate(gen, unrequiredChildIndex = Nil, outer = false,
+          qualifier = None, generatorOutput = Seq(ibin), child = ivChild)
 
-      val newCond = (EqualTo(pbin.toAttribute, ibin) +: conjuncts).reduce(And)
-      val (nl, nr) = if (pointIsLeft) (pointPlan, ivPlan) else (ivPlan, pointPlan)
-      Project(j.output, Join(nl, nr, Inner, Some(newCond), JoinHint.NONE))
+        val newCond = (EqualTo(pbin.toAttribute, ibin) +: conjuncts).reduce(And)
+        val (nl, nr) = if (pointIsLeft) (pointPlan, ivPlan) else (ivPlan, pointPlan)
+        Some(Project(j.output, Join(nl, nr, Inner, Some(newCond), JoinHint.NONE)))
+      }
     }
+  }
+
+  /** Upper bound on bins-per-interval from CBO column stats: every
+    * interval's width is ≤ max(hi) − min(lo) when both bound attributes
+    * carry stats. None when stats are absent (the common un-ANALYZEd
+    * case) or a bound is a computed expression.
+    */
+  private def estimatedMaxBins(loB: Expression, hiB: Expression,
+                               ivChild: LogicalPlan): Option[Long] = {
+    def stat(e: Expression, pick: org.apache.spark.sql.catalyst.plans.logical.ColumnStat => Option[Any]): Option[Long] =
+      e match {
+        case a: Attribute =>
+          ivChild.stats.attributeStats.get(a).flatMap(pick).collect {
+            case n: Number => n.longValue()
+          }
+        case _ => None
+      }
+    for {
+      mn <- stat(loB, _.min)
+      mx <- stat(hiB, _.max)
+    } yield (mx - mn) / binWidth + 1
   }
 }

@@ -40,18 +40,38 @@ object RangeJoin {
     * typical interval width. A (point, interval) pair can only meet in
     * the point's own bin, so the bin join produces no duplicates and
     * needs no post-dedup.
+    *
+    * Robustness (both guards verified in Round4Spec):
+    *  - reversed/empty intervals (`hi <= lo`, or null bounds) generate NO
+    *    bins — without the guard `sequence` silently DESCENDS on a
+    *    reversed interval, manufacturing |lo−hi|/binWidth junk bins per
+    *    row that the residual filter then has to discard (or an OOM when
+    *    the reversal is large);
+    *  - before committing to the binned plan, the TRUE worst-case explode
+    *    factor is measured with one narrow aggregate over the two bound
+    *    columns; when any interval would explode past
+    *    `maxBinsPerInterval`, fall back to the original theta join — the
+    *    pre-rewrite plan — instead of materializing per-row arrays that
+    *    can hit Spark's sequence-length limit. A query that would run
+    *    (however slowly) must never be turned into a runtime failure by
+    *    an optimization.
     */
   def pointInInterval(points: DataFrame, pointCol: String,
                       intervals: DataFrame, loCol: String, hiCol: String,
-                      binWidth: Long): DataFrame = {
+                      binWidth: Long, maxBinsPerInterval: Long = 4096): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    val binLo = floor(col(loCol) / binWidth).cast("long")
+    // hi is exclusive: the last covered value is hi-1
+    val binHi = floor((col(hiCol) - 1) / binWidth).cast("long")
+    val widest = intervals.agg(max(binHi - binLo + 1)).head.get(0)
+    if (widest != null && widest.asInstanceOf[Long] > maxBinsPerInterval)
+      return points.join(intervals,
+        col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
     val p = points.withColumn("__gr_pbin",
       floor(col(pointCol) / binWidth).cast("long"))
     val iv = intervals.withColumn("__gr_ibin",
-      explode(sequence(
-        floor(col(loCol) / binWidth).cast("long"),
-        // hi is exclusive: the last covered value is hi-1
-        floor((col(hiCol) - 1) / binWidth).cast("long"))))
+      explode(when(binLo <= binHi, sequence(binLo, binHi))
+        .otherwise(array().cast("array<long>"))))
     p.join(iv,
         p("__gr_pbin") === iv("__gr_ibin") &&
           col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))

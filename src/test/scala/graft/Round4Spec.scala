@@ -120,6 +120,81 @@ class Round4Spec extends SparkSpec {
       == Set(1L, 2L, 4L))
   }
 
+  // --- binned-range-join guards ---------------------------------------------
+
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("BinnedRangeJoinRule: an OOM-scale reversed interval generates zero bins") {
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // lo − hi ≈ 2e10 → unguarded, Sequence DESCENDS and manufactures
+      // ~6e8 junk bins per interval row (sequence-length error / OOM);
+      // the If guard must turn the unsatisfiable band into zero bins
+      val pts = spark.range(0, 100).select(col("id").as("p"))
+      val ivs = spark.range(0, 5).select(
+        (col("id") + lit(20000000000L)).as("lo"), col("id").as("hi"))
+      val joined = pts.join(ivs, col("p") >= col("lo") && col("p") < col("hi"))
+      assert(joined.count() == 0)
+      // the rewrite DID fire (this is the guard's path, not a BNLJ dodge)
+      assert(joined.queryExecution.optimizedPlan.toString.contains("__gr_pbin"))
+    }
+  }
+
+  test("pointInInterval: wide intervals measured at runtime fall back to the original join") {
+    import graft.plans.RangeJoin
+    val pts = spark.range(0, 2000).select(col("id").as("p"))
+    // one pathological interval covers [0, 1e9): 1e9/7 bins >> 4096 cap
+    val ivs = spark.range(0, 20).select(
+      when(col("id") === 0, lit(0L)).otherwise(col("id") * 7).as("lo"),
+      when(col("id") === 0, lit(1000000000L)).otherwise(col("id") * 7 + 21).as("hi"))
+    val binned = RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi", binWidth = 7)
+    // fallback chosen: no bin machinery in the plan
+    assert(!binned.queryExecution.optimizedPlan.toString.contains("__gr_ibin"),
+      "a >cap interval must disable the binned plan")
+    val exact = pts.join(ivs, col("p") >= col("lo") && col("p") < col("hi"))
+    assert(binned.count() == exact.count() && binned.count() > 0)
+  }
+
+  test("pointInInterval: reversed and null intervals generate no bins on the binned path") {
+    import graft.plans.RangeJoin
+    val pts = spark.range(0, 100).select(col("id").as("p"))
+    val ivs = spark.range(0, 6).select(
+      when(col("id") === 0, lit(20000000000L))        // huge reversal
+        .when(col("id") === 1, lit(null))             // null lo
+        .otherwise(col("id") * 10).as("lo"),
+      when(col("id") === 0, lit(0L)).otherwise(col("id") * 10 + 10).as("hi"))
+    val out = RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi", binWidth = 7)
+    // binned path stays on (max width = reversed < 0 never trips the cap);
+    // normal intervals still match, degenerate ones contribute nothing
+    assert(out.queryExecution.optimizedPlan.toString.contains("__gr_ibin"))
+    val exact = pts.join(ivs, col("p") >= col("lo") && col("p") < col("hi"))
+    assert(out.count() == exact.count() && out.count() > 0)
+  }
+
+  test("BinnedRangeJoinRule: CBO column stats above the cap keep the original join") {
+    val tbl = "gr_r4_wide_ivs"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.range(0, 50).select((col("id") * 7).as("lo"), (col("id") * 7 + 900000000L).as("hi"))
+      .write.saveAsTable(tbl)
+    try {
+      spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS lo, hi")
+      withConf("spark.sql.cbo.enabled" -> "true",
+               "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val pts = spark.range(0, 100).select(col("id").as("p"))
+        val df = pts.join(spark.table(tbl), col("p") >= col("lo") && col("p") < col("hi"))
+        assert(!df.queryExecution.optimizedPlan.toString.contains("__gr_pbin"),
+          "stats-estimated ~1.3e8 bins/interval must skip the rewrite")
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("T5 upsert sink crash recovery: lost checkpoint commit replays to the uninterrupted state") {
     import org.apache.spark.sql.types._
     def topicWith(lines: Seq[String]): String = {
