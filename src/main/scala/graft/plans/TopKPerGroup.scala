@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** R8g [EXT] — whole-operator top-k per group, the (c) escalation rung of
   * SURVEY.md §2.8: custom `LogicalPlan` + `Strategy` + `SparkPlan`,
@@ -148,6 +149,19 @@ object TopKPerGroupStrategy extends SparkStrategy {
   }
 }
 
+/** Physical top-k per group. Fast path: a hash map of bounded k-row
+  * heaps — O(groups-per-partition × k) memory. High group cardinality
+  * would make that unbounded, so past
+  * `spark.graft.topk.fallbackThreshold` distinct keys (default 65536)
+  * the operator degrades gracefully instead of OOMing: keys already in
+  * the map keep their heaps (pre-aggregation stays effective for hot
+  * groups), while rows of NEW keys divert to an
+  * [[org.apache.spark.sql.execution.UnsafeKVExternalSorter]] — Spark's
+  * memory-managed, spill-capable sorter (the `ObjectHashAggregateExec`
+  * fallback discipline). A key is owned by exactly one side, so both
+  * produce exact per-group top-k: the sorter clusters each overflow
+  * group contiguously and a single k-heap streams over each run.
+  */
 case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     sortOrder: Seq[SortOrder],
@@ -163,13 +177,20 @@ case class TopKPerGroupExec(
   override def nodeName: String =
     if (partial) "TopKPerGroupPartial" else "TopKPerGroupFinal"
 
+  override lazy val metrics = Map(
+    "sortFallbackKeys" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "keys diverted to sort fallback"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val gExprs = groupExprs
     val order = sortOrder
     val kk = k
+    val maxKeys = conf.getConfString("spark.graft.topk.fallbackThreshold", "65536").toInt
+    val fallbackMetric = longMetric("sortFallbackKeys")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(gExprs, childOutput)
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       // "row comes first" ordering; the heap is a max-heap under it, so
       // the head is the worst row currently kept for the group
       val lt = GenerateOrdering.generate(
@@ -178,21 +199,76 @@ case class TopKPerGroupExec(
       val heapOrd = new java.util.Comparator[InternalRow] {
         override def compare(a: InternalRow, b: InternalRow): Int = lt.compare(b, a)
       }
-      iter.foreach { row =>
-        val key = keyProj(row)
-        var pq = heaps.get(key)
-        if (pq == null) {
-          pq = new java.util.PriorityQueue[InternalRow](kk + 1, heapOrd)
-          heaps.put(key.copy(), pq)
-        }
+      def newHeap(): java.util.PriorityQueue[InternalRow] =
+        new java.util.PriorityQueue[InternalRow](kk + 1, heapOrd)
+      def offer(pq: java.util.PriorityQueue[InternalRow], row: InternalRow): Unit =
         if (pq.size() < kk) pq.add(row.copy())
         else if (lt.compare(row, pq.peek()) < 0) {
           pq.poll()
           pq.add(row.copy())
         }
+
+      var sorter: org.apache.spark.sql.execution.UnsafeKVExternalSorter = null
+      def createSorter() = {
+        val env = org.apache.spark.SparkEnv.get
+        val keySchema = StructType(gExprs.zipWithIndex.map { case (e, i) =>
+          StructField(s"k$i", e.dataType, e.nullable)
+        })
+        val valueSchema = StructType(childOutput.map(a =>
+          StructField(a.name, a.dataType, a.nullable)))
+        new org.apache.spark.sql.execution.UnsafeKVExternalSorter(
+          keySchema, valueSchema, env.blockManager, env.serializerManager,
+          ColumnBridge.taskPageSizeBytes(),
+          Int.MaxValue, Long.MaxValue)
       }
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => if (sorter != null) sorter.cleanupResources()))
+
+      iter.foreach { row =>
+        val key = keyProj(row)
+        val pq = heaps.get(key)
+        if (pq != null) offer(pq, row)
+        else if (sorter == null && heaps.size() < maxKeys) {
+          val fresh = newHeap()
+          heaps.put(key.copy(), fresh)
+          offer(fresh, row)
+        } else {
+          // map at capacity and this key is not in it: external-sort lane
+          if (sorter == null) sorter = createSorter()
+          fallbackMetric += 1
+          val u = row match {
+            case ur: UnsafeRow => ur
+            case r             => toUnsafe(r)
+          }
+          sorter.insertKV(key, u)
+        }
+      }
+
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      val heapRows = heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      if (sorter == null) heapRows
+      else heapRows ++ new Iterator[InternalRow] {
+        // stream the key-clustered runs: one bounded heap alive at a time
+        private val kv = sorter.sortedIterator()
+        private var kvHasNext = kv.next()
+        private var pending: java.util.Iterator[InternalRow] =
+          java.util.Collections.emptyIterator()
+        override def hasNext: Boolean = pending.hasNext || kvHasNext
+        override def next(): InternalRow = {
+          if (!pending.hasNext) {
+            val pq = newHeap()
+            val runKey = kv.getKey.copy()
+            var inRun = true
+            while (inRun) {
+              offer(pq, kv.getValue)
+              kvHasNext = kv.next()
+              inRun = kvHasNext && kv.getKey == runKey
+            }
+            pending = pq.iterator()
+          }
+          pending.next()
+        }
+      }
     }
   }
 

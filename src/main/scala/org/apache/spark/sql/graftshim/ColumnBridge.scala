@@ -30,4 +30,11 @@ object ColumnBridge {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed
+
+  /** The running task's memory-manager page size
+    * (`TaskContext.taskMemoryManager` is `private[spark]`) — needed to
+    * construct an `UnsafeKVExternalSorter` from a custom exec node.
+    */
+  def taskPageSizeBytes(): Long =
+    org.apache.spark.TaskContext.get().taskMemoryManager().pageSizeBytes()
 }

@@ -195,6 +195,60 @@ class Round4Spec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  // --- spill-safe top-k per group --------------------------------------------
+
+  test("TopKPerGroupExec: 1M distinct groups in one partition survive a tiny hash budget") {
+    import graft.plans.TopKPerGroup
+    withConf("spark.graft.topk.fallbackThreshold" -> "1000") {
+      // 2M rows, 1M groups, ALL in one partition: the hash map may hold
+      // at most 1000 keys; every other group must flow through the
+      // external-sort lane and still produce exact per-group top-1
+      val df = spark.range(0, 2000000).select(
+        (col("id") % 1000000).as("g"),
+        col("id").as("v")).coalesce(1)
+      val topk = TopKPerGroup(df, Seq(col("g")), Seq(col("v").desc), k = 1)
+      val rows = topk.collect()
+      // top-1 by v desc per group g is exactly v = g + 1e6
+      val expectS = (0L until 1000000L).map(_ + 1000000L).sum
+      assert(rows.length == 1000000 && rows.map(_.getLong(1)).sum == expectS,
+        s"got n=${rows.length}")
+      // descend through AQE wrappers/stages — plain collect stops at them
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def deep(p: SparkPlan): Seq[graft.plans.TopKPerGroupExec] = p match {
+        case a: AdaptiveSparkPlanExec => deep(a.executedPlan)
+        case s: QueryStageExec        => deep(s.plan)
+        case t: graft.plans.TopKPerGroupExec => t +: t.children.flatMap(deep)
+        case o                        => o.children.flatMap(deep)
+      }
+      val fallbacks = deep(topk.queryExecution.executedPlan)
+        .map(_.metrics("sortFallbackKeys").value).sum
+      assert(fallbacks > 0, "the sort fallback lane must have engaged")
+    }
+  }
+
+  test("TopKPerGroupExec: fallback path is exact — equals the window form with duplicates and ties") {
+    import graft.plans.TopKPerGroup
+    import org.apache.spark.sql.expressions.Window
+    withConf("spark.graft.topk.fallbackThreshold" -> "7") {
+      // 200 groups of 40 rows with value ties; threshold 7 forces most
+      // groups through the sorter in BOTH the partial and final pass
+      val df = spark.range(0, 8000).select(
+        (col("id") % 200).as("g"),
+        (col("id") % 13).as("v"),
+        col("id").as("tie"))
+      val native = TopKPerGroup(df, Seq(col("g")),
+          Seq(col("v").desc, col("tie")), k = 3)
+        .select(col("g"), col("v"), col("tie"))
+        .collect().map(_.toString).sorted.toSeq
+      val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("tie"))
+      val windowed = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("g"), col("v"), col("tie"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(native == windowed && native.nonEmpty)
+    }
+  }
+
   test("T5 upsert sink crash recovery: lost checkpoint commit replays to the uninterrupted state") {
     import org.apache.spark.sql.types._
     def topicWith(lines: Seq[String]): String = {
