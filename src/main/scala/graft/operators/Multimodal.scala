@@ -140,9 +140,14 @@ object Multimodal {
     * bytes laid out as a 64-wide raster (fixtures carry no real images);
     * the metadata struct is computed in Catalyst, the kernel runs via
     * mapPartitions (the Scala analogue of a batched `mapInPandas` stage),
-    * and the output schema is explicit. Rows-only check (binary
-    * construction is not expressible in the oracle dialect); bytes are
-    * pinned exactly in the unit spec.
+    * and the output schema is explicit.
+    *
+    * Oracle-checkable INCLUDING the bytes: the stub's output byte `i` is
+    * input byte `min(4i, len−1)`, and fixture text is ASCII, so the
+    * oracle rebuilds the selected characters as a string and md5s it —
+    * the same portability move as `x2_simhash_portable`. The md5 column
+    * therefore pins the kernel's exact byte product, not just its
+    * dimensions.
     */
   def x5Resize(s: SparkSession, dir: String): DataFrame = {
     val media = Tables.documents(s, dir)
@@ -154,9 +159,29 @@ object Multimodal {
     media.sparkSession.createDataFrame(
       media.rdd.mapPartitions(resizeStub), resizedSchema)
       .select(col("doc_id"), octet_length(col("payload")).as("resized_len"),
-        col("meta.width").as("width"), col("meta.height").as("height"))
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        md5(col("payload")).as("payload_md5"))
       .orderBy("doc_id")
   }
+
+  /** DuckDB twin of [[x5Resize]]: pure arithmetic for the dimensions and
+    * a character-rebuild + md5 for the byte product (ASCII fixture:
+    * char == byte; `text[i]` is 1-based, the stub's index is 0-based).
+    */
+  val x5ResizeSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, text, strlen(text) AS len,
+      |    greatest(1, CAST(ceil(strlen(text) / 64.0) AS BIGINT) // 2) AS nh
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, text, len, nh,
+      |    least(32 * nh, (len + 3) // 4) AS out_len
+      |  FROM m)
+      |SELECT doc_id, CAST(out_len AS INTEGER) AS resized_len,
+      |  32 AS width, CAST(nh AS INTEGER) AS height,
+      |  md5(array_to_string(
+      |    [text[least(i * 4 + 1, len)] for i in range(0, out_len)], '')) AS payload_md5
+      |FROM r ORDER BY doc_id""".stripMargin
 
   /** X5c — frame sampling over a video-like binary payload, fully
     * declarative: the payload is a sequence of fixed-size frames
