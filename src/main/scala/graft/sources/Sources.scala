@@ -162,8 +162,16 @@ object Sources {
     * gate, with the oracle reading the parquet-side table. Timestamps and
     * doubles round-trip through ORC's own type system.
     */
+  /** Per-process landing directory: a fixed shared path would let two
+    * concurrent runs (Verify and Bench on the same box) overwrite each
+    * other mid-scan; repeated calls within one process overwrite
+    * sequentially, which is safe and keeps the query idempotent.
+    */
+  private lazy val orcLanding: String =
+    Files.createTempDirectory("graft-landing-orc").toString
+
   def s10OrcScan(s: SparkSession, dir: String): DataFrame = {
-    val landing = s"${System.getProperty("java.io.tmpdir")}/graft-landing-orc"
+    val landing = orcLanding
     Sinks.writeOrc(graft.engine.Tables.supplier(s, dir), landing)
     readOrc(s, landing)
       .filter(col("s_acctbal") > 2500.0)

@@ -125,7 +125,10 @@ class LlmOpsSpec extends SparkSpec {
       val recall = exact.join(ivf, Seq("q_id", "vec_id"), "left")
         .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("r"))
         .head.getDouble(0)
-      assert(recall >= 0.6, s"IVF recall@5 $recall below 0.6 floor in $dir")
+      // 32 lists / 16 probed: measured 0.84 / 0.92 / 0.88 at
+      // sf0.001/0.01/0.1 (deterministic pipeline — the DuckDB twin
+      // reproduces the sweep exactly)
+      assert(recall >= 0.8, s"IVF recall@5 $recall below 0.8 floor in $dir")
     }
   }
 
