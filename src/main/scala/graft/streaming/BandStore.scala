@@ -91,6 +91,54 @@ object BandStore {
       .parquet(dir)
   }
 
+  /** Batch id of the compacted base partition: never a live micro-batch
+    * id (those are ≥ 0), so probes' `__batch =!= currentBatchId`
+    * replay-exclusion can never exclude compacted history.
+    */
+  val BaseBatch: Long = -1L
+
+  /** Offline maintenance: rewrite the store's per-batch partition trees
+    * into a single [[BaseBatch]] partition per bucket. Every micro-batch
+    * adds up to [[BandBuckets]] `(__batch, __bb)` leaf directories —
+    * after thousands of batches the file LISTING, not the data, becomes
+    * the probe's cost (the small-files tax of high-frequency sinks, same
+    * problem [[graft.sources.Sinks.compact]] solves for flat dirs).
+    * Compaction restores O(buckets) listing while preserving bucketing,
+    * so probe pruning is untouched.
+    *
+    * Run it like any maintenance job: between drains, with the stream's
+    * checkpoint fully committed. (A replay of a pre-compaction batch
+    * would re-append that batch's partitions alongside the base copy —
+    * the admission decision stays correct because candidate pairs are
+    * `distinct()`ed, but the store would carry duplicate signature rows
+    * until the next compaction. With a committed checkpoint the engine
+    * never replays those batches.)
+    *
+    * Staged to a temp sibling and swapped with two renames, so a reader
+    * sees the old or the new layout, never a mix.
+    */
+  def compactStore(spark: SparkSession, storeDir: String): Unit = {
+    def rewrite(dir: String, bucketCol: String): Unit = {
+      val path = new org.apache.hadoop.fs.Path(dir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(path)) return
+      val staging = new org.apache.hadoop.fs.Path(
+        path.getParent, s".${path.getName}-compact-${java.util.UUID.randomUUID}")
+      val old = new org.apache.hadoop.fs.Path(
+        path.getParent, s".${path.getName}-old-${java.util.UUID.randomUUID}")
+      spark.read.parquet(dir)
+        .withColumn("__batch", lit(BaseBatch))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("__batch", bucketCol)
+        .parquet(staging.toString)
+      require(fs.rename(path, old), s"compactStore: could not move $path aside")
+      require(fs.rename(staging, path), s"compactStore: could not swap $staging in")
+      fs.delete(old, true)
+    }
+    rewrite(bandsDir(storeDir), "__bb")
+    rewrite(sigsDir(storeDir), "__db")
+  }
+
   /** The pruned probe scan of `bands/` for one batch: only partitions in
     * `touchedBb`, never rows of `batchId` itself (replay safety). Public
     * to let the plan pin assert partition pruning on the exact scan the

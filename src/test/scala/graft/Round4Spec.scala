@@ -120,6 +120,49 @@ class Round4Spec extends SparkSpec {
       == Set(1L, 2L, 4L))
   }
 
+  test("T11 store compaction collapses per-batch partitions, preserves admission and pruning") {
+    val store = tmpDir("cstore")
+    val admitted = tmpDir("cadmit")
+    val docsB0 = docsDf(1L -> toksA(), 2L -> (1 to 50).map(i => s"w$i").mkString(" "))
+    val docsB1 = docsDf(4L -> (1 to 50).map(i => s"utok$i").mkString(" "))
+    // batch 3 holds a near-dup of a doc admitted in batch 0 — the
+    // compacted store must still veto it
+    val docsB3 = docsDf(5L -> toksA(Some(25 -> "zzz")), 6L -> (1 to 50).map(i => s"q$i").mkString(" "))
+    BandStore.admitBatch(docsB0, 0L, store, admitted)
+    BandStore.admitBatch(docsB1, 1L, store, admitted)
+
+    val partsBefore = spark.read.parquet(BandStore.bandsDir(store))
+      .select(col("__batch"), col("__bb")).distinct().count()
+    BandStore.compactStore(spark, store)
+    val partsAfter = spark.read.parquet(BandStore.bandsDir(store))
+      .select(col("__batch"), col("__bb")).distinct().count()
+    assert(partsAfter < partsBefore,
+      s"compaction must shrink the partition tree ($partsBefore -> $partsAfter)")
+    assert(spark.read.parquet(BandStore.bandsDir(store))
+      .select(col("__batch").cast("long")).distinct().collect().map(_.getLong(0)).toSeq
+      == Seq(BandStore.BaseBatch))
+    // signature content survives compaction intact
+    assert(spark.read.parquet(BandStore.sigsDir(store)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+
+    // probe pruning still holds on the compacted layout
+    val oneBucket = spark.read.parquet(BandStore.bandsDir(store))
+      .select(pmod(col("bh"), lit(BandStore.BandBuckets)).cast("int")).head.getInt(0)
+    val probe = BandStore.probeScan(spark, store, Seq(oneBucket), 3L)
+    val scanned = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scanned.nonEmpty && scanned.head <= 1,
+      s"compacted probe must scan one leaf per touched bucket, got $scanned")
+
+    // admission against the compacted store: near-dup of batch-0 doc
+    // vetoed, fresh doc admitted
+    BandStore.admitBatch(docsB3, 3L, store, admitted)
+    assert(spark.read.parquet(admitted).select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 4L, 6L))
+  }
+
   // --- binned-range-join guards ---------------------------------------------
 
   private def withConf[A](pairs: (String, String)*)(body: => A): A = {
