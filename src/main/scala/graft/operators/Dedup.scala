@@ -129,12 +129,30 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(col("doc_a").as("doc")).distinct()
       .withColumn("label", col("doc"))
-    for (_ <- 1 to 4) {
+      .localCheckpoint()
+    // iterate to the FIXPOINT, not a fixed round count: a duplicate
+    // chain longer than any hardcoded k would silently mislabel.
+    // Min-propagation labels only decrease, so an unchanged label sum
+    // proves convergence — one cheap aggregate per round over the
+    // (tiny, lineage-truncated) label table. One-hop propagation covers
+    // component diameter ≤ rounds, so the cap bounds correctness at
+    // diameter 50 (fixture diameters are ≤ 3, converging in 2-3
+    // rounds); a production corpus with deeper chains would add
+    // pointer-doubling/large-star to converge in O(log n) rounds.
+    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
       val viaNeighbor = edges
         .join(labels, edges("doc_b") === labels("doc"))
         .select(edges("doc_a").as("doc"), col("label"))
       labels = labels.unionByName(viaNeighbor)
         .groupBy(col("doc")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val s = labels.agg(sum(col("label"))).head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      rounds += 1
     }
     labels.select(col("doc").as("doc_id"), col("label").as("cluster_rep"))
       .orderBy("doc_id")

@@ -163,6 +163,37 @@ class Round4Spec extends SparkSpec {
       == Set(1L, 2L, 4L, 6L))
   }
 
+  test("X2e: cluster propagation converges past any fixed round count (10-deep chain)") {
+    // docs 0..9: consecutive pairs are near-dups (one spaced token apart,
+    // J≈0.88), distant pairs are not — one component of DIAMETER 9. The
+    // old fixed-4-round loop would leave the tail mislabeled; the
+    // fixpoint loop must collapse everything to representative 0.
+    val dir = tmpDir("chain")
+    import spark.implicits._
+    val docs = (0 until 10).map { d =>
+      val txt = (1 to 60).map { t =>
+        // doc d flips spaced slots 5, 10, ..., 5d — each hop changes one
+        val slot = t % 5 == 0 && t / 5 <= d
+        if (slot) s"alt${t}" else s"tok$t"
+      }.mkString(" ")
+      (d.toLong, txt, "synthetic", "en", txt.length)
+    }.toDF("doc_id", "text", "source", "lang", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // sanity: consecutive docs qualify, the chain's ends do not
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    def j(a: String, b: String) = {
+      val (x, y) = (sh(a), sh(b)); x.intersect(y).size.toDouble / x.union(y).size
+    }
+    val texts = docs.orderBy("doc_id").collect().map(_.getString(1))
+    assert(j(texts(0), texts(1)) >= 0.8 && j(texts(8), texts(9)) >= 0.8)
+    assert(j(texts(0), texts(9)) < 0.8)
+
+    val labels = graft.operators.Dedup.x2DupClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 10 && labels.values.toSet == Set(0L),
+      s"10-deep chain must collapse to one cluster rep, got $labels")
+  }
+
   // --- binned-range-join guards ---------------------------------------------
 
   private def withConf[A](pairs: (String, String)*)(body: => A): A = {
