@@ -132,13 +132,15 @@ object Dedup {
       .localCheckpoint()
     // iterate to the FIXPOINT, not a fixed round count: a duplicate
     // chain longer than any hardcoded k would silently mislabel.
-    // Min-propagation labels only decrease, so an unchanged label sum
-    // proves convergence — one cheap aggregate per round over the
-    // (tiny, lineage-truncated) label table. One-hop propagation covers
-    // component diameter ≤ rounds, so the cap bounds correctness at
-    // diameter 50 (fixture diameters are ≤ 3, converging in 2-3
-    // rounds); a production corpus with deeper chains would add
-    // pointer-doubling/large-star to converge in O(log n) rounds.
+    // Each round combines one edge hop (neighbor's label) with pointer
+    // DOUBLING (my label's label — a label is the min REACHABLE doc, so
+    // it is itself a key in the table), squaring the reach per round:
+    // convergence in O(log diameter) rounds, the distributed
+    // connected-components discipline. Min-propagation labels only
+    // decrease, so an unchanged label sum proves convergence — one
+    // cheap aggregate per round over the (tiny, lineage-truncated)
+    // label table. The 50-round cap is a backstop at diameter ~2^50;
+    // fixture components converge in 2-3 rounds.
     var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
     var converged = false
     var rounds = 0
@@ -146,7 +148,10 @@ object Dedup {
       val viaNeighbor = edges
         .join(labels, edges("doc_b") === labels("doc"))
         .select(edges("doc_a").as("doc"), col("label"))
-      labels = labels.unionByName(viaNeighbor)
+      val viaDouble = labels.as("a")
+        .join(labels.as("b"), col("a.label") === col("b.doc"))
+        .select(col("a.doc").as("doc"), col("b.label").as("label"))
+      labels = labels.unionByName(viaNeighbor).unionByName(viaDouble)
         .groupBy(col("doc")).agg(min(col("label")).as("label"))
         .localCheckpoint()
       val s = labels.agg(sum(col("label"))).head.getLong(0)
