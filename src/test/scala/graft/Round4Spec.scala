@@ -120,6 +120,29 @@ class Round4Spec extends SparkSpec {
       == Set(1L, 2L, 4L))
   }
 
+  test("T11 degenerate batches: short docs admitted by construction, empty batch is a no-op") {
+    val store = tmpDir("estore")
+    val admitted = tmpDir("eadmit")
+    // batch 0: one signable doc + one 2-token doc (no shingles — must be
+    // admitted without touching the dedup machinery)
+    BandStore.admitBatch(docsDf(1L -> toksA(), 2L -> "too short"), 0L, store, admitted)
+    assert(spark.read.parquet(admitted).select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L))
+    // only the signable doc enters the signature store
+    assert(spark.read.parquet(BandStore.sigsDir(store)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    // batch 1: empty — no writes, no errors, store untouched
+    BandStore.admitBatch(docsDf(), 1L, store, admitted)
+    assert(spark.read.parquet(admitted).select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L))
+    // batch 2: near-dup of the signable doc still vetoed; a new short
+    // doc still sails through
+    BandStore.admitBatch(docsDf(3L -> toksA(Some(25 -> "zzz")), 4L -> "also short"),
+      2L, store, admitted)
+    assert(spark.read.parquet(admitted).select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 4L))
+  }
+
   test("T11 store compaction collapses per-batch partitions, preserves admission and pruning") {
     val store = tmpDir("cstore")
     val admitted = tmpDir("cadmit")
