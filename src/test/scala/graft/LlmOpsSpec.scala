@@ -124,7 +124,7 @@ class LlmOpsSpec extends SparkSpec {
         .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
       val recall = exact.join(ivf, Seq("q_id", "vec_id"), "left")
         .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("r"))
-        .head.getDouble(0)
+        .head().getDouble(0)
       // 32 lists / 16 probed: measured 0.84 / 0.92 / 0.88 at
       // sf0.001/0.01/0.1 (deterministic pipeline — the DuckDB twin
       // reproduces the sweep exactly)

@@ -25,10 +25,10 @@ class PropertySpec extends SparkSpec {
     forAll(Gen.zip(ga, gb))(t => body(t._1, t._2))
 
   test("R6: approx_count_distinct lands within 2x the configured rsd of the exact count") {
-    val row = graft.operators.Relational.r6Approx(spark, sfDir).head
+    val row = graft.operators.Relational.r6Approx(spark, sfDir).head()
     assert(row.getBoolean(1), s"approx drifted beyond 4% of exact=${row.getLong(0)}")
     assert(row.getLong(0) ==
-      graft.operators.Relational.r6DistinctCount(spark, sfDir).head.getLong(0))
+      graft.operators.Relational.r6DistinctCount(spark, sfDir).head().getLong(0))
   }
 
   test("dedup idempotence: dropDuplicates(dropDuplicates(x)) == dropDuplicates(x)") {

@@ -59,7 +59,7 @@ class Round4Spec extends SparkSpec {
     // a probe touching ONE bucket must scan at most one (__batch, __bb)
     // leaf per stored batch — not the whole store
     val oneBucket = all.select(pmod(col("bh"), lit(BandStore.BandBuckets)).cast("int"))
-      .head.getInt(0)
+      .head().getInt(0)
     val probe = BandStore.probeScan(spark, store, Seq(oneBucket), 2L)
     val scanned = probe.queryExecution.executedPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
@@ -170,7 +170,7 @@ class Round4Spec extends SparkSpec {
 
     // probe pruning still holds on the compacted layout
     val oneBucket = spark.read.parquet(BandStore.bandsDir(store))
-      .select(pmod(col("bh"), lit(BandStore.BandBuckets)).cast("int")).head.getInt(0)
+      .select(pmod(col("bh"), lit(BandStore.BandBuckets)).cast("int")).head().getInt(0)
     val probe = BandStore.probeScan(spark, store, Seq(oneBucket), 3L)
     val scanned = probe.queryExecution.executedPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
