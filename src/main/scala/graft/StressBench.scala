@@ -87,13 +87,33 @@ object StressBench {
       val (xs, xr) = timeOne(name, bigOut)
       name -> (bs, xs, br, xr)
     }
+
+    // the VERDICT-1 claim measured directly: admit the 10x corpus as 10
+    // sequential micro-batches against a growing band store — per-batch
+    // wall time must stay FLAT (probe cost is bucket-bounded, never
+    // O(store)); before the bucketed store each batch rescanned and
+    // re-banded the full signature history, so batch 10 cost ~10x batch 1
+    val admStore = s"$work/admstore"
+    val admOut = s"$work/admout"
+    val allDocs = spark.read.parquet(s"$bigOut/documents.parquet").persist()
+    val perBatch = allDocs.count() / 10
+    val admSecs = (0 until 10).map { b =>
+      val batch = allDocs.filter(col("doc_id") >= b * perBatch && col("doc_id") < (b + 1) * perBatch)
+      val t0 = System.nanoTime()
+      graft.streaming.BandStore.admitBatch(batch, b.toLong, admStore, admOut)
+      (System.nanoTime() - t0) / 1e9
+    }
+    allDocs.unpersist()
     def cnt(dir: String, t: String) = spark.read.parquet(s"$dir/$t.parquet").count()
     val qs = stats.map { case (n, (bs, xs, br, xr)) =>
       f""""$n":{"base_sec":$bs%.3f,"x10_sec":$xs%.3f,"ratio":${xs / bs}%.2f,"base_rows":$br,"x10_rows":$xr}"""
     }.mkString("{", ",", "}")
+    val admJson = admSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
     println(s"""{"stress":"dedup10x","copies":$copies,""" +
       s""""base_docs":${cnt(baseOut, "documents")},"x10_docs":${cnt(bigOut, "documents")},""" +
       s""""base_vecs":${cnt(baseOut, "embeddings")},"x10_vecs":${cnt(bigOut, "embeddings")},""" +
+      s""""admission_batch_secs":$admJson,""" +
+      s""""admitted":${spark.read.parquet(admOut).count()},""" +
       s""""queries":$qs}""")
     spark.stop()
   }
