@@ -236,12 +236,17 @@ object BandStore {
     //     difference. The cap is a backstop for pathological chain depth;
     //     hitting it keeps the conservative (over-dropping) last iterate,
     //     deterministically.
+    // the verified pair graph is tiny (near-dups are sparse): one
+    // partition keeps every fixpoint round at a handful of tasks
     val pairsLive = verified(candInBatch, sig.select(col("doc_id"), col("sh").as("sh_p")))
       .join(storeDropped.withColumnRenamed("doc_id", "peer_id"), Seq("peer_id"), "left_anti")
+      .coalesce(1)
       .localCheckpoint()
     var batchDropped = pairsLive.select(col("batch_id").as("doc_id")).distinct()
       .localCheckpoint()
-    var converged = false
+    // fast path: most production batches carry no within-batch
+    // near-dups — skip the fixpoint machinery entirely
+    var converged = batchDropped.isEmpty
     var rounds = 0
     while (!converged && rounds < 32) {
       val next = pairsLive
