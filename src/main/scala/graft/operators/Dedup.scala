@@ -141,8 +141,14 @@ object Dedup {
     // cheap aggregate per round over the (tiny, lineage-truncated)
     // label table. The 50-round cap is a backstop at diameter ~2^50;
     // fixture components converge in 2-3 rounds.
-    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
-    var converged = false
+    // coalesce the convergence aggregate: a duplicate-free corpus has an
+    // empty edge set, sum(label) over zero rows is NULL, and a bare
+    // getLong would NPE (the loop below is then a no-op — already at
+    // fixpoint)
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = labels.isEmpty
     var rounds = 0
     while (!converged && rounds < 50) {
       val viaNeighbor = edges
@@ -154,7 +160,7 @@ object Dedup {
       labels = labels.unionByName(viaNeighbor).unionByName(viaDouble)
         .groupBy(col("doc")).agg(min(col("label")).as("label"))
         .localCheckpoint()
-      val s = labels.agg(sum(col("label"))).head.getLong(0)
+      val s = labelSum(labels)
       converged = s == prevSum
       prevSum = s
       rounds += 1

@@ -187,6 +187,12 @@ object BandStore {
         if (touched.isEmpty) emptyPairs("batch_id", "peer_id")
         else probeScan(spark, storeDir, touched, batchId)
           .join(batchBands, Seq("band", "bh"))
+          // drop self-pairs: impossible in normal operation (reads exclude
+          // __batch = batchId), but after compactStore rewrites rows into
+          // __batch = BaseBatch, a checkpoint replay of a pre-compaction
+          // batch would see its own docs as store peers and self-veto them
+          // (Jaccard 1.0), silently un-admitting previously admitted docs
+          .filter(col("peer_id") =!= col("batch_id"))
           .select(col("batch_id"), col("peer_id"))
           .distinct()
       }
