@@ -103,12 +103,11 @@ object Dedup {
     * per component, not per pair; A–B and B–C must collapse to one
     * cluster even though A–C was never compared).
     *
-    * Each iteration is one distributed join+min-aggregate and propagates
-    * labels one hop, so k iterations cover diameter ≤ k (fixture
-    * components are ≤ 3 nodes; k = 4 leaves slack ×2). At 100 TB the
-    * same loop runs O(log n) iterations with the large-star/small-star
-    * optimization and a checkpoint every few rounds to cut lineage —
-    * the driver-side `for` is iteration control, not data movement.
+    * Each round combines one edge hop with pointer doubling, so k rounds
+    * cover diameter ≤ 2^k — O(log diameter) total, the same convergence
+    * class as the large-star/small-star discipline but with the label
+    * table (not a rewritten edge set) as the iterated state; the
+    * driver-side loop is iteration control, not data movement.
     * Oracle: DuckDB recursive CTE computing min-reachable per doc.
     */
   def x2DupClusters(s: SparkSession, dir: String): DataFrame = {
@@ -116,7 +115,14 @@ object Dedup {
     // twin — banding + exact verification yields the identical pair set
     // (that equality is x2_minhash_lsh's own oracle), so the cluster
     // result is unchanged while the pair stage stays candidate-bounded
-    val pairs = x2MinHashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    clusterPairs(x2MinHashLsh(s, dir).select(col("doc_a"), col("doc_b")))._1
+  }
+
+  /** Min-label connected components over an undirectable (doc_a, doc_b)
+    * pair set; returns (labels, rounds-to-fixpoint) — the round count is
+    * what the planted long-chain stress asserts stays logarithmic.
+    */
+  private[graft] def clusterPairs(pairs: DataFrame): (DataFrame, Int) = {
     // the dup-pair graph is orders of magnitude smaller than the corpus
     // (near-dups are sparse by definition): materialize it ONCE, eagerly,
     // with lineage truncated — otherwise every propagation round drags
@@ -139,16 +145,14 @@ object Dedup {
     // connected-components discipline. Min-propagation labels only
     // decrease, so an unchanged label sum proves convergence — one
     // cheap aggregate per round over the (tiny, lineage-truncated)
-    // label table. The 50-round cap is a backstop at diameter ~2^50;
-    // fixture components converge in 2-3 rounds.
-    // coalesce the convergence aggregate: a duplicate-free corpus has an
-    // empty edge set, sum(label) over zero rows is NULL, and a bare
-    // getLong would NPE (the loop below is then a no-op — already at
-    // fixpoint)
+    // label table. The 50-round cap is a backstop at diameter ~2^50.
+    // On an empty edge set the first round's sum is 0 == the initial sum,
+    // so the loop exits after one trivial pass over empty frames — no
+    // separate emptiness action.
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
     var prevSum = labelSum(labels)
-    var converged = labels.isEmpty
+    var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
       val viaNeighbor = edges
@@ -165,8 +169,8 @@ object Dedup {
       prevSum = s
       rounds += 1
     }
-    labels.select(col("doc").as("doc_id"), col("label").as("cluster_rep"))
-      .orderBy("doc_id")
+    (labels.select(col("doc").as("doc_id"), col("label").as("cluster_rep"))
+      .orderBy("doc_id"), rounds)
   }
 
   val x2DupClustersSql: String =
@@ -198,6 +202,61 @@ object Dedup {
 
   private val P = 1000000007L
 
+  /** Per-(band, band-hash) bucket population cap for LSH candidate
+    * generation (`spark.graft.lsh.bucketCap`, default 512). See
+    * [[cappedSelfPairs]] for the overflow policy.
+    */
+  private[graft] val BucketCapConf = "spark.graft.lsh.bucketCap"
+  private[graft] def bucketCap(s: SparkSession): Int =
+    s.conf.get(BucketCapConf, "512").toInt
+
+  /** Candidate pairs from an exploded (id, band, bh) band table, guarded
+    * against hot buckets — the boilerplate-skew killer of LSH at crawl
+    * scale: a (band, bh) value collecting n near-identical docs makes the
+    * unguarded self-join generate n²/2 rows for that key, quadratic in
+    * the hottest bucket.
+    *
+    * Policy: one cheap (map-side-combinable) population count per bucket,
+    * then
+    *   - buckets with population ≤ cap: all within-bucket pairs (exact —
+    *     the normal path; fixture buckets are orders of magnitude below
+    *     the cap, so oracle outputs are unchanged);
+    *   - buckets over the cap: a STAR — every member pairs with the
+    *     bucket's min id only (n−1 pairs, not n²/2).
+    * Overflow is conservative in the admit-more direction only: star
+    * pairs are still exactly verified downstream, so no false dup is ever
+    * produced; a true pair whose bucket overflowed AND whose smaller side
+    * is not the bucket min is missed *in that band* — each of the other
+    * 31 bands (a J=0.8 pair collides per band with p≈0.41) independently
+    * retains the chance, and in the dominant overflow shape (a
+    * boilerplate clique, mutually near-dup) the star keeps every member
+    * connected to the representative, which is exactly the greedy
+    * min-id dedup outcome. Exact-duplicate skew never reaches this guard
+    * at all: callers pre-collapse identical texts first (X1 contract).
+    */
+  private[graft] def cappedSelfPairs(bands: DataFrame, idCol: String, cap: Int,
+                                     outA: String, outB: String): DataFrame = {
+    val stats = bands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__bmin"))
+    val sized = bands.join(stats, Seq("band", "bh"))
+    val small = sized.filter(col("__n") <= cap)
+      .select(col(idCol), col("band"), col("bh"))
+    val smallPairs = small.as("a").join(small.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as(outA), col(s"b.$idCol").as(outB))
+    val starPairs = sized.filter(col("__n") > cap && col(idCol) =!= col("__bmin"))
+      .select(col("__bmin").as(outA), col(idCol).as(outB))
+    smallPairs.unionByName(starPairs).distinct()
+  }
+
+  /** 32 bands × 4 rows over the 128-perm `sig` column — the one banding
+    * expression every MinHash consumer (batch LSH, incremental admission,
+    * the band store) shares.
+    */
+  private[graft] val bandSql =
+    "transform(sequence(0, 31), b -> xxhash64(concat_ws(',', slice(sig, b * 4 + 1, 4))))"
+
   /** 128-permutation MinHash signature — the native compiled loop
     * [[graft.functions.MinHashSig]] (one xxhash64 per shingle, 128 fused
     * multiply-add-min passes). The equivalent pure-HOF formulation
@@ -213,31 +272,64 @@ object Dedup {
     * J=0.9. Candidates are verified with exact Jaccard via array
     * intersection (no re-explosion), so the output equals the exact
     * all-pairs query — which is also its oracle.
+    *
+    * Boilerplate-skew guard (the crawl-corpus scale killer): identical
+    * texts are collapsed to their min-doc_id representative BEFORE
+    * signing — the X1 exact-dedup ordering `dag_training_prep` runs,
+    * here made a contract of the near-dup path itself — so a template
+    * repeated k times contributes ONE row per band bucket instead of k
+    * (whose unguarded self-join would be k²/2 per band). Distinct-but-
+    * near-identical pileups that survive the collapse are bounded by the
+    * per-bucket population cap of [[cappedSelfPairs]]. Results are
+    * expanded back to doc granularity afterwards: within-group pairs are
+    * J=1.0 by construction, and a verified rep pair holds for every
+    * member combination (identical text ⇒ identical shingle set), so the
+    * output still equals the exact all-pairs oracle while candidate
+    * generation stays rep- and cap-bounded.
     */
   def x2MinHashLsh(s: SparkSession, dir: String): DataFrame = {
+    val cap = bucketCap(s)
+    val docs = Tables.documents(s, dir)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), col("text"))
+    // doc → exact-group key (8-byte text digest); feeds the collapse, the
+    // within-group expansion, and the cross-group expansion
+    val memb = docs.select(col("doc_id"), xxhash64(col("text")).as("th")).persist()
+    val reps = memb.groupBy(col("th")).agg(min(col("doc_id")).as("doc_id"))
     // The signature stage feeds four consumers (both band sides, both
     // verification joins) — persist it so the signatures are computed
-    // once. At 100 TB this is the standard "materialize signatures"
-    // checkpoint of a MinHash pipeline (storage ~= 1 KB/doc).
-    val sig = docShingles(s, dir)
+    // once, for representatives only. At 100 TB this is the standard
+    // "materialize signatures" checkpoint of a MinHash pipeline
+    // (storage ~= 1 KB/doc).
+    val sig = docs.join(reps.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
       .withColumn("sig", minhashSig)
       .persist()
-    val bands = sig.select(col("doc_id"),
-        posexplode(expr("transform(sequence(0, 31), b -> xxhash64(concat_ws(',', slice(sig, b * 4 + 1, 4))))"))
-          .as(Seq("band", "bh")))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val withSets = cand
-      .join(sig.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id")).drop("doc_id")
-      .join(sig.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id")).drop("doc_id")
-    withSets
+    val bands = sig.select(col("doc_id"), posexplode(expr(bandSql)).as(Seq("band", "bh")))
+    val cand = cappedSelfPairs(bands, "doc_id", cap, "rep_a", "rep_b")
+    val verified = cand
+      .join(sig.select(col("doc_id"), col("sh").as("sh_a")), col("rep_a") === col("doc_id")).drop("doc_id")
+      .join(sig.select(col("doc_id"), col("sh").as("sh_b")), col("rep_b") === col("doc_id")).drop("doc_id")
       .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", round(col("c") / (size(col("sh_a")) + size(col("sh_b")) - col("c")), 6))
       .filter(col("jaccard") >= 0.8)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .select(col("rep_a"), col("rep_b"), col("jaccard"))
+    // expansion back to doc granularity. Within-group pairs ARE the true
+    // answer for identical texts (J = 1.0) — their count is output size,
+    // not candidate work. Cross-group: every member pair of a verified
+    // rep pair shares its jaccard (identical text ⇒ identical shingles).
+    val withinGroup = memb.as("a").join(memb.as("b"),
+        col("a.th") === col("b.th") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    val grp = memb.join(reps.withColumnRenamed("doc_id", "rep_id"), Seq("th"))
+      .select(col("doc_id"), col("rep_id"))
+    val crossGroup = verified
+      .join(grp.select(col("rep_id").as("rep_a"), col("doc_id").as("da")), Seq("rep_a"))
+      .join(grp.select(col("rep_id").as("rep_b"), col("doc_id").as("db")), Seq("rep_b"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+    withinGroup.unionByName(crossGroup)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -262,24 +354,74 @@ object Dedup {
       |        (s, h) -> s + if(shiftright(h, k) % 2 != 0, 1L, -1L)) > 0L,
       |      shiftleft(1L, k), 0L)))""".stripMargin)
 
-  /** X2c — SimHash hamming-distance near-dup: 4×16-bit band buckets (a
-    * pair within hamming ≤ 3 of 64 bits must agree on ≥1 of 4 bands by
-    * pigeonhole), then exact hamming verification via bit_count(xor).
-    * No SQL oracle (hash-function-specific); pinned by unit tests.
+  /** X2c — SimHash hamming-distance near-dup, fully self-gated (the
+    * `r5_approx_percentiles` discipline: emit the engine-specific value
+    * NEXT TO an in-query check the oracle asserts as a literal). Three
+    * facts in one row per document:
+    *   - `fp`: the PORTABLE 60-bit SimHash built from md5 token hashes
+    *     ([[portableFp]]) — DuckDB computes md5 identically, so the
+    *     sketch construction (per-token hash → signed bit counts → sign
+    *     fingerprint) is hash-checked end to end;
+    *   - `native_eq_hof`: the native compiled digest
+    *     ([[graft.functions.SimHashSig]]) compared in-query against the
+    *     independent interpreted HOF formulation [[simhashSigHof]] of the
+    *     same spec — the xxhash64 base can never be portable, so the
+    *     native expression is gated against a second in-engine
+    *     implementation instead (oracle asserts TRUE);
+    *   - `n_near`: partner count at hamming ≤ 3 through 4×15-bit band
+    *     buckets over `fp` (≤ 3 differing bits across 4 bands leave ≥ 1
+    *     band identical, the pigeonhole guarantee) with exact
+    *     bit_count(xor) verification — the banding+verification PAIR
+    *     stage, previously rows-only, now hash-checked on the portable
+    *     digest.
     */
   def x2SimHash(s: SparkSession, dir: String): DataFrame = {
-    val sig = Tables.documents(s, dir).select(col("doc_id"), simhashSig.as("sig")).persist()
-    val bands = sig.select(col("doc_id"), col("sig"),
-      posexplode(expr("transform(sequence(0, 3), b -> (sig >> (b * 16)) % 65536)")).as(Seq("band", "bv")))
-    bands.as("a").join(bands.as("b"),
+    val fp = portableFp(s, dir).persist()
+    val gate = Tables.documents(s, dir)
+      .select(col("doc_id"), (simhashSig === simhashSigHof).as("native_eq_hof"))
+    val bands = fp.select(col("doc_id"), col("fp"),
+      posexplode(expr("transform(sequence(0, 3), b -> shiftright(fp, b * 15) % 32768)"))
+        .as(Seq("band", "bv")))
+    val partners = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+          && col("a.doc_id") =!= col("b.doc_id"))
+      .filter(bit_count(col("a.fp").bitwiseXOR(col("b.fp"))) <= 3)
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("partner"))
       .distinct()
-      .filter(col("hamming") <= 3)
-      .orderBy("doc_a", "doc_b")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near"))
+    fp.join(gate, Seq("doc_id"))
+      .join(partners, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("fp"), col("native_eq_hof"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy("doc_id")
   }
+
+  val x2SimHashSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |h AS (
+      |  SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS hv
+      |  FROM tok),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |    CASE WHEN SUM(((hv >> b) & 1) * 2 - 1) > 0 THEN 1 ELSE 0 END AS bit
+      |  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bs
+      |  GROUP BY doc_id, b),
+      |fp AS (
+      |  SELECT doc_id, CAST(SUM(CAST(bit AS BIGINT) << b) AS BIGINT) AS fp
+      |  FROM bits GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, fp, b AS band, (fp >> (b * 15)) % 32768 AS bv
+      |  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+      |partners AS (
+      |  SELECT DISTINCT a.doc_id, b.doc_id AS partner
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id != b.doc_id
+      |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+      |pc AS (SELECT doc_id, count(*) AS n_near FROM partners GROUP BY doc_id)
+      |SELECT fp.doc_id, fp.fp, TRUE AS native_eq_hof,
+      |  CAST(COALESCE(pc.n_near, 0) AS BIGINT) AS n_near
+      |FROM fp LEFT JOIN pc ON fp.doc_id = pc.doc_id ORDER BY fp.doc_id""".stripMargin
 
   /** X2c' — portable SimHash fingerprint: the oracle-checkable twin of
     * [[x2SimHash]]'s hash stage. The native path hashes tokens with
@@ -294,7 +436,13 @@ object Dedup {
     * scale path remains the native [[graft.functions.SimHashSig]] single
     * compiled loop.
     */
-  def x2SimHashPortable(s: SparkSession, dir: String): DataFrame = {
+  def x2SimHashPortable(s: SparkSession, dir: String): DataFrame =
+    portableFp(s, dir).orderBy("doc_id")
+
+  /** Per-doc portable 60-bit SimHash fingerprint (doc_id, fp) — shared by
+    * [[x2SimHashPortable]] and the self-gated [[x2SimHash]].
+    */
+  private def portableFp(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       // 15 hex chars = 60 bits — stays positive in a signed 64-bit long
@@ -307,7 +455,6 @@ object Dedup {
       .withColumn("bit", when(col("sgn") > 0, 1L).otherwise(0L))
       .groupBy(col("doc_id"))
       .agg(sum(expr("shiftleft(bit, b)")).as("fp"))
-      .orderBy("doc_id")
   }
 
   val x2SimHashPortableSql: String =
@@ -377,22 +524,35 @@ object Dedup {
     * ≥1-(1-0.8)⁶ ≈ 0.9999 of pairs with far sparser buckets — that is
     * the regime this operator is the scale path for.
     */
-  def x2EmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
+  def x2EmbeddingLsh(s: SparkSession, dir: String): DataFrame =
+    x2EmbeddingLshAt(s, dir, Similarity.LshBands, Similarity.LshRowsPerBand, 0.5)
+
+  /** The geometry-parameterized form of [[x2EmbeddingLsh]]. The default
+    * 6×3 geometry is tuned for the fixtures' cosine-0.5 regime (oracle
+    * equality); the near-dup operating regime (cosine ≥ 0.9, the corpus
+    * shape this operator is the scale path for) wants NARROWER buckets —
+    * 8 bands × 8 planes gives 256 bucket values per band (vs 8 at 3
+    * planes), ≥ 1-band collision ≈ 0.99 at cosine 0.95 / 0.93 at 0.9,
+    * and per-bucket populations ~n/256 so candidate generation stays
+    * near-linear where the 3-plane geometry degenerates quadratic. The
+    * planted-near-dup stress (STRESS_r7) measures exactly that path.
+    * Candidate generation shares [[cappedSelfPairs]]'s hot-bucket guard.
+    */
+  private[graft] def x2EmbeddingLshAt(s: SparkSession, dir: String,
+                                      nBands: Int, rowsPerBand: Int,
+                                      threshold: Double): DataFrame = {
+    val cap = bucketCap(s)
     // banded corpus feeds both candidate sides and both verification
     // joins — persist so signatures are computed once
-    val e = Similarity.bandedCorpus(s, dir).persist()
-    val bb = e.select(col("vec_id"), posexplode(col("bands")).as(Seq("band", "bv")))
-    val cand = bb.as("a").join(bb.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
-          && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
+    val e = Similarity.bandedCorpus(s, dir, nBands, rowsPerBand).persist()
+    val bb = e.select(col("vec_id"), posexplode(col("bands")).as(Seq("band", "bh")))
+    val cand = cappedSelfPairs(bb, "vec_id", cap, "vec_a", "vec_b")
     cand
       .join(e.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("norm").as("na")), Seq("vec_a"))
       .join(e.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("norm").as("nb")), Seq("vec_b"))
       .withColumn("dot", graft.functions.VectorFunctions.dotF64(col("ea"), col("eb")))
       .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
-      .filter(col("cosine") >= 0.5)
+      .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy("vec_a", "vec_b")
   }
@@ -426,9 +586,7 @@ object Dedup {
     // (in production: read the corpus side from the signature store)
     val sig = docShingles(s, dir).withColumn("sig", minhashSig).persist()
     def bandsOf(df: DataFrame, idAs: String): DataFrame =
-      df.select(col("doc_id").as(idAs),
-        posexplode(expr("transform(sequence(0, 31), b -> xxhash64(concat_ws(',', slice(sig, b * 4 + 1, 4))))"))
-          .as(Seq("band", "bh")))
+      df.select(col("doc_id").as(idAs), posexplode(expr(bandSql)).as(Seq("band", "bh")))
     val corpus = sig.filter(col("doc_id") % 5 =!= 0)
     val batch  = sig.filter(col("doc_id") % 5 === 0)
     val cand = bandsOf(batch, "batch_id")

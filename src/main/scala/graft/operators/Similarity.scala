@@ -96,26 +96,30 @@ object Similarity {
   private def planeSqlList(p: Int): String =
     planeComponents(p).mkString("[", ",", "]") + "::DOUBLE[]"
 
-  /** Banded random-hyperplane signature: an array of `LshBands` band
-    * values, band b = the `LshRowsPerBand` sign bits of planes
+  /** Banded random-hyperplane signature: an array of `nBands` band
+    * values, band b = the `rowsPerBand` sign bits of planes
     * b*rpb..b*rpb+rpb-1 packed into a long. Pairs collide when ANY band
     * agrees — the MinHash banding discipline at cosine scale. Narrow map,
     * no shuffle; each per-plane dot product runs through the native
     * [[graft.functions.DotProductF64]] codegen loop.
     */
-  private def bandedSig: org.apache.spark.sql.Column =
-    array((0 until LshBands).map { b =>
-      (0 until LshRowsPerBand).map { r =>
-        val p = b * LshRowsPerBand + r
+  private def bandedSig(nBands: Int, rowsPerBand: Int): org.apache.spark.sql.Column =
+    array((0 until nBands).map { b =>
+      (0 until rowsPerBand).map { r =>
+        val p = b * rowsPerBand + r
         when(dotF64(col("e"), planeLit(p)) >= 0d, lit(1L << r)).otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)
 
   /** The banded corpus (vec_id, e, norm, bands) — shared by the ANN
-    * top-k and [[Dedup.x2EmbeddingLsh]]'s near-dup scale path.
+    * top-k and [[Dedup.x2EmbeddingLsh]]'s near-dup scale path. Geometry
+    * defaults to the cosine-0.5 fixture regime; the near-dup regime
+    * passes narrower-bucket geometry (see [[Dedup.x2EmbeddingLshAt]]).
     */
-  private[operators] def bandedCorpus(s: SparkSession, dir: String): DataFrame =
-    normed(s, dir).withColumn("bands", bandedSig)
+  private[graft] def bandedCorpus(s: SparkSession, dir: String,
+                                  nBands: Int = LshBands,
+                                  rowsPerBand: Int = LshRowsPerBand): DataFrame =
+    normed(s, dir).withColumn("bands", bandedSig(nBands, rowsPerBand))
 
   /** X3b — banded-LSH approximate top-k: a query's candidate set is the
     * union of its 6 band buckets (OR across bands), exactly scored, then
@@ -312,17 +316,19 @@ object Similarity {
     */
   def x3AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val nlist = 32
-    // 16/32 cells probed: on the uniform-random fixture embeddings (no
+    // 20/32 cells probed: on the uniform-random fixture embeddings (no
     // cluster structure for the quantizer to exploit) the deterministic
-    // pipeline measures recall@5 vs brute force at 0.84 / 0.92 / 0.88
-    // across sf0.001 / 0.01 / 0.1 — clearing the 0.8 floor pinned in
-    // LlmOpsSpec at every scale (the DuckDB twin makes the sweep exactly
-    // reproducible; 6/16 cells measured 0.66-0.74). Halving the cell
-    // size (32 lists, not 16) buys more recall per scored candidate than
-    // widening the probe at 16 lists. Clustered real-world embeddings
+    // pipeline measures recall@5 vs brute force at 0.90 / 0.96 / 0.96
+    // across sf0.001 / 0.01 / 0.1 — clearing the 0.85 floor pinned in
+    // LlmOpsSpec at every scale. The config was swept OFFLINE through
+    // the bit-identical twin pipeline: extra Lloyd iterations do NOT
+    // help on structureless data (lloyd=2 measured 0.82/0.92/0.86,
+    // lloyd=3 0.86/0.90/0.82 — centroids of a uniform cloud just jitter)
+    // while widening the probe 16→20 lifted the floor 0.84→0.90 for a
+    // 25% larger scored-candidate set. Clustered real-world embeddings
     // hit the same recall at far smaller probed fractions; the probe
     // width is the recall/cost dial.
-    val nprobe = 16
+    val nprobe = 20
     val e = normed(s, dir).persist()
 
     // deterministic seed centroids: first nlist corpus vectors in
@@ -385,7 +391,7 @@ object Similarity {
 
   /** DuckDB twin of [[x3AnnIvf]] — the full IVF pipeline (md5-ordered
     * seed sample, argmax assignment, one exact-mean Lloyd refinement,
-    * nprobe=6 probe, probe-limited scoring) regenerated in SQL. Every
+    * nprobe=20 probe, probe-limited scoring) regenerated in SQL. Every
     * stage is bit-deterministic on both engines: md5 is the portable
     * seed order, the centroid means are exact decimal sums, and the
     * dot/argmax arithmetic is IEEE double evaluated in the same element
@@ -428,7 +434,7 @@ object Similarity {
       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
       |        list_dot_product(q.e, r.ce) / (q.norm * sqrt(list_dot_product(r.ce, r.ce))) DESC,
       |        r.c_id) AS rk
-      |    FROM e q CROSS JOIN refined r WHERE q.vec_id < 10) WHERE rk <= 16),
+      |    FROM e q CROSS JOIN refined r WHERE q.vec_id < 10) WHERE rk <= 20),
       |scored AS (
       |  SELECT qc.q_id, l.vec_id,
       |    round(list_dot_product(qc.qe, l.e) / (qc.qnorm * l.norm), 6) AS cosine

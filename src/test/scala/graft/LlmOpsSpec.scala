@@ -125,10 +125,11 @@ class LlmOpsSpec extends SparkSpec {
       val recall = exact.join(ivf, Seq("q_id", "vec_id"), "left")
         .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("r"))
         .head().getDouble(0)
-      // 32 lists / 16 probed: measured 0.84 / 0.92 / 0.88 at
+      // 32 lists / 20 probed: measured 0.90 / 0.96 / 0.96 at
       // sf0.001/0.01/0.1 (deterministic pipeline — the DuckDB twin
-      // reproduces the sweep exactly)
-      assert(recall >= 0.8, s"IVF recall@5 $recall below 0.8 floor in $dir")
+      // reproduces the sweep exactly; see the nprobe sweep note in
+      // Similarity.x3AnnIvf)
+      assert(recall >= 0.85, s"IVF recall@5 $recall below 0.85 floor in $dir")
     }
   }
 
