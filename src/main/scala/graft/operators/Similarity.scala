@@ -131,16 +131,24 @@ object Similarity {
   def x3AnnLsh(s: SparkSession, dir: String): DataFrame =
     annTopK(bandedCorpus(s, dir).persist())
 
+  /** The banded-LSH ANN top-k at a caller-chosen query-set width — the
+    * hook for driving the FULL ANN pipeline at high group cardinality
+    * (Round7Spec pins that its grouped top-k engages the
+    * TopKPerGroupExec sorter fallback instead of growing hash state).
+    */
+  private[graft] def annTopKAll(s: SparkSession, dir: String, maxQ: Long): DataFrame =
+    annTopK(bandedCorpus(s, dir).persist(), maxQ)
+
   /** Banded-LSH top-5 over a prepared (vec_id, e, norm, bands) corpus. */
-  private def annTopK(e: DataFrame): DataFrame = {
+  private def annTopK(e: DataFrame, maxQ: Long = 10L): DataFrame = {
     val bb = e.select(col("vec_id"), posexplode(col("bands")).as(Seq("band", "bv")))
-    val qb = e.filter(col("vec_id") < 10)
+    val qb = e.filter(col("vec_id") < maxQ)
       .select(col("vec_id").as("q_id"), posexplode(col("bands")).as(Seq("band", "bv")))
     val cand = bb.join(broadcast(qb), Seq("band", "bv"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"))
       .distinct()
-    val queries = e.filter(col("vec_id") < 10)
+    val queries = e.filter(col("vec_id") < maxQ)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("norm").as("qnorm"))
     val scored = e.select(col("vec_id"), col("e"), col("norm"))
       .join(broadcast(cand), Seq("vec_id"))

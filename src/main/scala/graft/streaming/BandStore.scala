@@ -48,11 +48,11 @@ object BandStore {
   def sigsDir(storeDir: String): String = s"$storeDir/sigs"
 
   /** 32 bands × 4 rows over the 128-perm signature — identical banding to
-    * [[Dedup.x2MinHashLsh]] / [[Dedup.x2IncrementalLsh]], so a J=0.8 pair
-    * collides in ≥1 band with p ≈ 1−3e−9 and LSH+verify equals exact.
+    * [[Dedup.x2MinHashLsh]] / [[Dedup.x2IncrementalLsh]] (one shared
+    * expression, [[Dedup.bandSql]]), so a J=0.8 pair collides in ≥1 band
+    * with p ≈ 1−3e−9 and LSH+verify equals exact.
     */
-  private val bandExpr =
-    "transform(sequence(0, 31), b -> xxhash64(concat_ws(',', slice(sig, b * 4 + 1, 4))))"
+  private val bandExpr = Dedup.bandSql
 
   /** Exploded (id, band, bh) table of a signed frame (`doc_id`, `sig`). */
   private[graft] def explodeBands(sig: DataFrame, idAs: String): DataFrame =
@@ -91,52 +91,118 @@ object BandStore {
       .parquet(dir)
   }
 
-  /** Batch id of the compacted base partition: never a live micro-batch
-    * id (those are ≥ 0), so probes' `__batch =!= currentBatchId`
-    * replay-exclusion can never exclude compacted history.
+  /** Batch id of the FIRST compacted base generation. Base generations
+    * are negative and strictly decreasing (−1, −2, …) so they can never
+    * collide with a live micro-batch id (≥ 0) and probes'
+    * `__batch =!= currentBatchId` replay-exclusion can never hide
+    * compacted history.
     */
   val BaseBatch: Long = -1L
 
-  /** Offline maintenance: rewrite the store's per-batch partition trees
-    * into a single [[BaseBatch]] partition per bucket. Every micro-batch
-    * adds up to [[BandBuckets]] `(__batch, __bb)` leaf directories —
-    * after thousands of batches the file LISTING, not the data, becomes
-    * the probe's cost (the small-files tax of high-frequency sinks, same
-    * problem [[graft.sources.Sinks.compact]] solves for flat dirs).
-    * Compaction restores O(buckets) listing while preserving bucketing,
-    * so probe pruning is untouched.
-    *
-    * Run it like any maintenance job: between drains, with the stream's
-    * checkpoint fully committed. (A replay of a pre-compaction batch
-    * would re-append that batch's partitions alongside the base copy —
-    * the admission decision stays correct because candidate pairs are
-    * `distinct()`ed, but the store would carry duplicate signature rows
-    * until the next compaction. With a committed checkpoint the engine
-    * never replays those batches.)
-    *
-    * Staged to a temp sibling and swapped with two renames, so a reader
-    * sees the old or the new layout, never a mix.
+  /** Quiesced full compaction — [[compactStore(spark:SparkSession,storeDir:String,minLiveBatch:Long)*]]
+    * with every batch eligible; run it between drains with the stream's
+    * checkpoint fully committed.
     */
-  def compactStore(spark: SparkSession, storeDir: String): Unit = {
-    def rewrite(dir: String, bucketCol: String): Unit = {
+  def compactStore(spark: SparkSession, storeDir: String): Unit =
+    compactStore(spark, storeDir, Long.MaxValue)
+
+  /** Maintenance: merge the per-batch partition trees of every batch id
+    * `< minLiveBatch` (prior base generations included) into ONE new base
+    * generation per bucket. Every micro-batch adds up to [[BandBuckets]]
+    * `(__batch, __bb)` leaf directories — after thousands of batches the
+    * file LISTING, not the data, becomes the probe's cost (the
+    * small-files tax of high-frequency sinks, same problem
+    * [[graft.sources.Sinks.compact]] solves for flat dirs). Compaction
+    * restores O(buckets) listing while preserving bucketing, so probe
+    * pruning is untouched.
+    *
+    * THE invariant the caller owes this method: `minLiveBatch` must not
+    * exceed any batch id the stream's checkpoint could still REPLAY
+    * (i.e. pass committed-watermark + 1). Structured Streaming replays
+    * at most the one batch whose commit is missing, so everything at or
+    * below the committed watermark is compactable while the stream runs.
+    * Batches ≥ `minLiveBatch` are never read or touched here, which is
+    * what makes concurrent admission safe.
+    *
+    * Why concurrent admission stays CORRECT at every interleaving:
+    *   1. the new base generation is PUBLISHED first, by one atomic
+    *      directory rename, and the merged sources are retired after —
+    *      so the union of visible partitions is always a superset (with
+    *      duplicates, never a deficit) of the logical store;
+    *   2. admission decisions are insensitive to duplicate store rows:
+    *      candidate pairs and drop sets are `distinct()`ed, so a row
+    *      visible under both its source batch and the new base changes
+    *      nothing (note this says NOTHING about replay — see below);
+    *   3. retirement of each merged source is a single atomic rename to
+    *      a dot-prefixed trash name (invisible to Spark listings). The
+    *      one residual race — a probe that LISTED a source partition in
+    *      the instant before its retirement rename — fails that probe's
+    *      scan; admission is an idempotent dynamic overwrite keyed by
+    *      batch id, so the engine's standard task/batch retry recomputes
+    *      the identical decision from the published superset. Leftover
+    *      trash from a crash here is purged on the next compaction.
+    *
+    * Replay interaction (the reason the invariant above is phrased in
+    * checkpoint terms, NOT an appeal to pair-distinctness): a replay of
+    * batch b recomputes its admission against `__batch != b`. If b's own
+    * rows had been compacted into a base generation, b would see its own
+    * docs as store peers — each doc a J=1.0 "duplicate" of itself — and
+    * silently un-admit its entire batch. The probe's self-pair filter
+    * (`peer_id != batch_id`, [[admitBatch]] step 2a) neutralizes exactly
+    * the self-veto and nothing more: b would STILL see docs admitted by
+    * batches AFTER b under the base generation — peers the original run
+    * of b never saw — so its recomputed decision could differ from the
+    * committed one. Only the watermark invariant prevents that; the
+    * filter is defense-in-depth for the self-pair case, not a license to
+    * compact live batches.
+    */
+  def compactStore(spark: SparkSession, storeDir: String,
+                   minLiveBatch: Long): Unit = {
+    def rewrite(dir: String, bucketCol: String,
+                bucketOf: org.apache.spark.sql.Column): Unit = {
       val path = new org.apache.hadoop.fs.Path(dir)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(path)) return
+      // purge trash a crashed predecessor left between retire and delete
+      fs.listStatus(path).filter(_.getPath.getName.startsWith(".trash-"))
+        .foreach(st => fs.delete(st.getPath, true))
+      val ids = fs.listStatus(path)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("__batch="))
+        .map(_.getPath.getName.stripPrefix("__batch=").toLong)
+      val oldIds = ids.filter(_ < minLiveBatch)
+      // nothing to merge: no eligible batches, or a lone already-compacted
+      // base generation (idempotent no-op, no generation churn)
+      if (oldIds.isEmpty || (oldIds.length == 1 && oldIds.head < 0)) return
+      val newBase = math.min(ids.min, 0L) - 1L
+      // distinct() reaps duplicate ROWS (a batch alive in both its source
+      // partition and a prior base after an interrupted run) — benign for
+      // decisions (see above) but worth merging away here
+      val rows = spark.read.parquet(dir)
+        .filter(col("__batch").isin(oldIds: _*))
+        .drop("__batch", bucketCol)
+        .distinct()
       val staging = new org.apache.hadoop.fs.Path(
-        path.getParent, s".${path.getName}-compact-${java.util.UUID.randomUUID}")
-      val old = new org.apache.hadoop.fs.Path(
-        path.getParent, s".${path.getName}-old-${java.util.UUID.randomUUID}")
-      spark.read.parquet(dir)
-        .withColumn("__batch", lit(BaseBatch))
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("__batch", bucketCol)
+        path, s".compact-${java.util.UUID.randomUUID}")
+      rows.withColumn("__batch", lit(newBase))
+        .withColumn(bucketCol, bucketOf)
+        .write.partitionBy("__batch", bucketCol)
         .parquet(staging.toString)
-      require(fs.rename(path, old), s"compactStore: could not move $path aside")
-      require(fs.rename(staging, path), s"compactStore: could not swap $staging in")
-      fs.delete(old, true)
+      // PUBLISH: one atomic rename exposes the whole new generation
+      val pub = new org.apache.hadoop.fs.Path(path, s"__batch=$newBase")
+      require(fs.rename(new org.apache.hadoop.fs.Path(staging, s"__batch=$newBase"), pub),
+        s"compactStore: could not publish $pub")
+      fs.delete(staging, true)
+      // RETIRE: each merged source vanishes atomically into dot-prefixed
+      // trash (invisible to listings), then the trash is deleted
+      oldIds.foreach { id =>
+        val src = new org.apache.hadoop.fs.Path(path, s"__batch=$id")
+        val dst = new org.apache.hadoop.fs.Path(path, s".trash-${java.util.UUID.randomUUID}")
+        require(fs.rename(src, dst), s"compactStore: could not retire $src")
+        fs.delete(dst, true)
+      }
     }
-    rewrite(bandsDir(storeDir), "__bb")
-    rewrite(sigsDir(storeDir), "__db")
+    rewrite(bandsDir(storeDir), "__bb", pmod(col("bh"), lit(BandBuckets)).cast("int"))
+    rewrite(sigsDir(storeDir), "__db", pmod(col("doc_id"), lit(SigBuckets)).cast("int"))
   }
 
   /** The pruned probe scan of `bands/` for one batch: only partitions in
@@ -155,9 +221,13 @@ object BandStore {
     * point (the batch form of the loop [[Dedup.x2IncrementalLsh]] is the
     * oracle twin of).
     *
-    * Per batch: (1) sign batch docs (narrow map over the batch only);
+    * Per batch: (0) exact pre-collapse — identical texts drop to their
+    * min-id representative before anything is signed (see the inline
+    * proof of semantics preservation); (1) sign the representative docs
+    * (narrow map over the batch only);
     * (2) candidates vs the store via the bucket-pruned band probe, plus
-    * within-batch band collisions; (3) exact Jaccard ≥ 0.8 verification —
+    * within-batch band collisions — both through the per-(band, bh)
+    * population cap; (3) exact Jaccard ≥ 0.8 verification —
     * store-peer shingles read only from the `sigs/` buckets holding
     * candidate peers; (4) within-batch vetoes resolved to the GREEDY
     * min-doc_id admission fixpoint: a doc is dropped only by a smaller
@@ -170,7 +240,29 @@ object BandStore {
   def admitBatch(batch: DataFrame, batchId: Long, storeDir: String,
                  admittedDir: String): Unit = {
     val spark = batch.sparkSession
-    val sig = signDocs(batch).persist()
+    val cap = Dedup.bucketCap(spark)
+    // (0) X1 exact pre-collapse — the `dag_training_prep` ordering (exact
+    // dedup BEFORE near-dedup) made a contract of the admission path:
+    // among batch docs with identical text only the min-doc_id
+    // representative enters the signing/probe pipeline; the rest are
+    // exact-dropped up front. This is semantics-preserving for greedy
+    // min-id admission, case by case — a non-rep member M of rep R
+    // (identical text ⇒ identical shingles ⇒ identical near-dup
+    // relations) is dropped in EVERY outcome of the uncollapsed loop: if
+    // R survives, R vetoes M (J=1.0, smaller id, survivor); if R is
+    // store-dropped, M shares R's store peer and is store-dropped too;
+    // if R is batch-dropped by a surviving smaller peer P, the same P
+    // vetoes M. Collapsing is what keeps a boilerplate batch (k copies
+    // of a template — the crawl-corpus norm) from putting k identical
+    // rows into every band bucket; the per-bucket cap below guards what
+    // the collapse can't reach (distinct-but-near-identical pileups).
+    val signable = batch.filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), xxhash64(col("text")).as("__th"))
+    val repIds = signable.groupBy(col("__th")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val exactDropped = signable.select(col("doc_id"))
+      .join(repIds, Seq("doc_id"), "left_anti")
+    val sig = signDocs(batch.join(repIds, Seq("doc_id"), "left_semi")).persist()
     val batchBands = explodeBands(sig, "batch_id").persist()
     val storeExists = hasBatches(spark, bandsDir(storeDir))
 
@@ -185,24 +277,45 @@ object BandStore {
           .select(pmod(col("bh"), lit(BandBuckets)).cast("int").as("__bb"))
           .distinct().collect().map(_.getInt(0)).toSeq // ≤ BandBuckets values
         if (touched.isEmpty) emptyPairs("batch_id", "peer_id")
-        else probeScan(spark, storeDir, touched, batchId)
-          .join(batchBands, Seq("band", "bh"))
-          // drop self-pairs: impossible in normal operation (reads exclude
-          // __batch = batchId), but after compactStore rewrites rows into
-          // __batch = BaseBatch, a checkpoint replay of a pre-compaction
-          // batch would see its own docs as store peers and self-veto them
-          // (Jaccard 1.0), silently un-admitting previously admitted docs
-          .filter(col("peer_id") =!= col("batch_id"))
-          .select(col("batch_id"), col("peer_id"))
-          .distinct()
+        else {
+          val probe = probeScan(spark, storeDir, touched, batchId)
+          // hot-bucket guard, bipartite form: cap the STORE side of each
+          // (band, bh) bucket — an over-cap bucket contributes only its
+          // min peer (star-probe), bounding the candidate join at
+          // |batch bucket| × cap instead of |batch bucket| × |store
+          // bucket|. Store buckets are normally sparse (admitted docs are
+          // mutually non-near-dup by construction), but SUB-threshold
+          // templated corpora can still pile one band value. Overflow
+          // only ever under-drops (a dup slips through and is admitted),
+          // never over-drops — every candidate is still exactly
+          // verified, and a missed peer keeps its chance in each of the
+          // other 31 bands.
+          val stats = probe.groupBy(col("band"), col("bh"))
+            .agg(count(lit(1)).as("__n"), min(col("peer_id")).as("__pmin"))
+          val guarded = probe
+            .join(stats.filter(col("__n") <= cap).select(col("band"), col("bh")),
+              Seq("band", "bh"))
+            .unionByName(stats.filter(col("__n") > cap)
+              .select(col("band"), col("bh"), col("__pmin").as("peer_id")))
+          guarded.join(batchBands, Seq("band", "bh"))
+            // drop self-pairs: impossible in normal operation (reads
+            // exclude __batch = batchId), but if a replayed batch's own
+            // rows sit in a compacted base generation it would see its
+            // own docs as store peers and self-veto them (Jaccard 1.0).
+            // This filter neutralizes ONLY the self-veto — the full
+            // replay hazard is prevented by compactStore's watermark
+            // invariant, not here (see its scaladoc).
+            .filter(col("peer_id") =!= col("batch_id"))
+            .select(col("batch_id"), col("peer_id"))
+            .distinct()
+        }
       }
-    // (2b) within-batch collisions: only a smaller doc_id can veto
-    val candInBatch = batchBands.as("a")
-      .join(batchBands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-          && col("b.batch_id") < col("a.batch_id"))
-      .select(col("a.batch_id"), col("b.batch_id").as("peer_id"))
-      .distinct()
+    // (2b) within-batch collisions: only a smaller doc_id can veto; the
+    // self-join runs through the shared hot-bucket guard (population cap
+    // + star-on-overflow, Dedup.cappedSelfPairs) — outA is the bucket-
+    // ordered smaller id, i.e. the prospective vetoer
+    val candInBatch =
+      Dedup.cappedSelfPairs(batchBands, "batch_id", cap, "peer_id", "batch_id")
 
     // (3) exact verification at Jaccard ≥ 0.8
     def verified(cand: DataFrame, peerSh: DataFrame): DataFrame =
@@ -264,7 +377,8 @@ object BandStore {
       rounds += 1
     }
 
-    val dropped = storeDropped.unionByName(batchDropped).distinct()
+    val dropped = storeDropped.unionByName(batchDropped)
+      .unionByName(exactDropped).distinct()
     val admitted = batch.join(dropped, Seq("doc_id"), "left_anti").persist()
 
     // (5) idempotent writes: dynamic overwrite of this batch's partitions

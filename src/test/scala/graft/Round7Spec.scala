@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+import graft.streaming.BandStore
+
+/** Round-7 pins: the LSH boilerplate-skew guard (exact pre-collapse +
+  * per-bucket population cap, VERDICT r6 item 1), age-based store
+  * compaction concurrent with admission (item 2), the ANN-pipeline
+  * sorter-fallback engagement (item 7), and the long-chain cluster
+  * convergence bound (item 6).
+  */
+class Round7Spec extends SparkSpec {
+
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  private def writeDocs(docs: Seq[(Long, String)], dir: String): Unit = {
+    import spark.implicits._
+    docs.toDF("doc_id", "text")
+      .withColumn("source", lit("s"))
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  private def tokens(prefix: String, n: Int): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  // templates use disjoint vocabularies so cross-template Jaccard is 0
+  private def template(t: Int): String = tokens(s"t${t}w", 12)
+
+  test("X2 skew guard: planted boilerplate corpus — guarded LSH equals exact all-pairs") {
+    // 3 templates × 12 identical copies (exact pre-collapse territory),
+    // 6 near-identical-but-distinct docs off template 0 (J=10/11 vs the
+    // template, 10/12 pairwise), 20 unique docs (no pairs)
+    val docs =
+      (0 until 36).map(i => (i.toLong, template(i % 3))) ++
+      (0 until 6).map(i => ((100 + i).toLong, template(0) + s" uniq$i")) ++
+      (0 until 20).map(i => ((200 + i).toLong, tokens(s"x${i}w", 8)))
+    val dir = tmpDir("r7-boiler")
+    writeDocs(docs, dir)
+    val lsh = Dedup.x2MinHashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Dedup.x2Jaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == exact,
+      s"guarded LSH must equal exact all-pairs: missing=${(exact -- lsh).take(5)} extra=${(lsh -- exact).take(5)}")
+    // sanity on the shape: 3 × C(12,2) within-group + template0 group
+    // (12 copies) × 6 near-identicals + C(6,2) among near-identicals
+    assert(exact.size == 3 * 66 + 12 * 6 + 15, s"fixture shape changed: ${exact.size}")
+  }
+
+  test("X2 skew guard: over-cap buckets star to the bucket min — subset of exact, clique stays one cluster") {
+    // 12 DISTINCT near-identical docs (a J≈0.83 clique — the collapse
+    // can't touch them) force the per-bucket population cap at cap=4
+    val clique = (0 until 12).map(i => ((10 + i).toLong, template(0) + s" uniq$i"))
+    val docs = clique ++ (0 until 8).map(i => ((900 + i).toLong, tokens(s"z${i}w", 8)))
+    val dir = tmpDir("r7-cap")
+    writeDocs(docs, dir)
+    withConf(Dedup.BucketCapConf -> "4") {
+      val lsh = Dedup.x2MinHashLsh(spark, dir)
+        .select(col("doc_a"), col("doc_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = Dedup.x2Jaccard(spark, dir)
+        .select(col("doc_a"), col("doc_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(lsh.nonEmpty && lsh.subsetOf(exact),
+        s"star overflow may only drop pairs, never invent them: ${(lsh -- exact).take(5)}")
+      // the overflow policy's contract: the clique remains ONE connected
+      // component (every member reaches the min through star pairs), so
+      // dedup clustering still collapses it to one representative
+      import spark.implicits._
+      val (labels, _) = Dedup.clusterPairs(
+        lsh.toSeq.toDF("doc_a", "doc_b"))
+      val reps = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(clique.map(_._1).forall(d => reps(d) == 10L),
+        s"clique must cluster to doc 10: $reps")
+    }
+  }
+
+  test("T11 skew guard: boilerplate batch pre-collapses before signing; admission = greedy min-id") {
+    import spark.implicits._
+    val store = tmpDir("r7-admstore")
+    val out = tmpDir("r7-admout")
+    def frame(docs: Seq[(Long, String)]): DataFrame =
+      docs.toDF("doc_id", "text").withColumn("n_chars", length(col("text")).cast("long"))
+    // batch 0: 10 identical copies of template 1 + two unique docs
+    val b0 = (0 until 10).map(i => (i.toLong, template(1))) ++
+      Seq((100L, tokens("aw", 8)), (101L, tokens("bw", 8)))
+    BandStore.admitBatch(frame(b0), 0L, store, out)
+    val admitted0 = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted0 == Set(0L, 100L, 101L),
+      s"only the min-id template rep and the uniques survive: $admitted0")
+    // batch 1: 5 more copies of template 1 (exact vs store rep) + one
+    // near-identical variant (J=10/11 vs stored template) + one unique
+    val b1 = (0 until 5).map(i => ((200 + i).toLong, template(1))) ++
+      Seq((300L, template(1) + " uniqX"), (301L, tokens("cw", 8)))
+    BandStore.admitBatch(frame(b1), 1L, store, out)
+    val admitted1 = spark.read.parquet(out)
+      .filter(col("__batch") === 1L).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted1 == Set(301L),
+      s"store dups (exact AND near) must all drop: $admitted1")
+  }
+
+  test("compactStore(minLiveBatch) concurrent with admission equals serial admission") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").persist()
+    def batchOf(b: Int): DataFrame =
+      docs.filter(col("doc_id") >= b * 125 && col("doc_id") < (b + 1) * 125)
+    def admitted(out: String): Set[Long] =
+      spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // serial reference: 4 batches, no compaction
+    val (storeA, outA) = (tmpDir("r7-serA"), tmpDir("r7-serA-out"))
+    (0 until 4).foreach(b => BandStore.admitBatch(batchOf(b), b.toLong, storeA, outA))
+
+    // concurrent: admit 0,1; then compact batches < 2 WHILE admitting 2,3.
+    // A probe that lists a source partition in the instant before its
+    // retirement rename can fail — admission is an idempotent dynamic
+    // overwrite, so the one-retry here mirrors the streaming engine's
+    // batch replay (see compactStore's scaladoc).
+    val (storeB, outB) = (tmpDir("r7-conB"), tmpDir("r7-conB-out"))
+    (0 until 2).foreach(b => BandStore.admitBatch(batchOf(b), b.toLong, storeB, outB))
+    val compactor = new Thread(() => BandStore.compactStore(spark, storeB, 2L))
+    compactor.start()
+    (2 until 4).foreach { b =>
+      try BandStore.admitBatch(batchOf(b), b.toLong, storeB, outB)
+      catch { case scala.util.control.NonFatal(_) =>
+        BandStore.admitBatch(batchOf(b), b.toLong, storeB, outB) }
+    }
+    compactor.join()
+    assert(admitted(outA) == admitted(outB),
+      "admission decisions must be interleaving-invariant under compaction")
+    // live batches were never touched: 2 and 3 still sit in their own
+    // partitions; 0 and 1 were merged into the base generation
+    val bandBatches = new java.io.File(BandStore.bandsDir(storeB)).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__batch="))
+      .map(_.getName.stripPrefix("__batch=").toLong).toSet
+    assert(bandBatches == Set(BandStore.BaseBatch, 2L, 3L), s"got $bandBatches")
+
+    // and the compacted store still drives identical future decisions
+    val probe = docs.filter(col("doc_id") >= 0 && col("doc_id") < 500)
+    val (o2a, o2b) = (tmpDir("r7-probeA"), tmpDir("r7-probeB"))
+    BandStore.admitBatch(probe, 9L, storeA, o2a)
+    BandStore.admitBatch(probe, 9L, storeB, o2b)
+    assert(admitted(o2a) == admitted(o2b), "post-compaction probe decisions diverged")
+    docs.unpersist()
+  }
+
+  test("replay of a live batch after age-based compaction recomputes the identical decision") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def batchOf(b: Int): DataFrame =
+      docs.filter(col("doc_id") >= b * 125 && col("doc_id") < (b + 1) * 125)
+    val (store, out) = (tmpDir("r7-replay"), tmpDir("r7-replay-out"))
+    (0 until 3).foreach(b => BandStore.admitBatch(batchOf(b), b.toLong, store, out))
+    val before = spark.read.parquet(out).filter(col("__batch") === 2L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // compact everything the checkpoint could no longer replay (< 2),
+    // then replay the LIVE batch 2 — the one crash recovery could re-run
+    BandStore.compactStore(spark, store, 2L)
+    BandStore.admitBatch(batchOf(2), 2L, store, out)
+    val after = spark.read.parquet(out).filter(col("__batch") === 2L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(before == after, "replay after compaction must be idempotent")
+  }
+
+  test("full ANN pipeline at high query cardinality engages the top-k sorter fallback") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def deep(p: SparkPlan): Seq[graft.plans.TopKPerGroupExec] = p match {
+      case a: AdaptiveSparkPlanExec        => deep(a.executedPlan)
+      case s: QueryStageExec               => deep(s.plan)
+      case t: graft.plans.TopKPerGroupExec => t +: t.children.flatMap(deep)
+      case o                               => o.children.flatMap(deep)
+    }
+    val dir = "/root/testdata/sf0.01"
+    // every vector is a query: 500 top-k groups through the real banded
+    // pipeline; with the hash budget capped at 64 keys the final top-k
+    // must divert to the UnsafeKVExternalSorter lane instead of OOMing
+    val capped = withConf("spark.graft.topk.fallbackThreshold" -> "64") {
+      val df = Similarity.annTopKAll(spark, dir, 500L)
+      val rows = df.collect()
+      val fallbacks = deep(df.queryExecution.executedPlan)
+        .map(_.metrics("sortFallbackKeys").value).sum
+      assert(fallbacks > 0, "the sorter fallback lane must have engaged")
+      rows
+    }
+    // and the fallback lane is exact: identical output with an
+    // effectively-unbounded hash budget
+    val unbounded = Similarity.annTopKAll(spark, dir, 500L).collect()
+    assert(capped.map(_.toString).sorted.toSeq == unbounded.map(_.toString).sorted.toSeq,
+      "fallback lane must not change ANN results")
+  }
+
+  test("X2e: 64-doc near-dup chain clusters in O(log diameter) propagation rounds") {
+    // doc i = tokens w(4i)..w(4i+39): consecutive docs overlap at
+    // J = 34/42 ≈ 0.81 (an edge), distance-2 at 30/46 ≈ 0.65 (no edge) —
+    // a pure 63-hop chain, the worst diameter shape for propagation
+    val docs = (0 until 64).map(i =>
+      (i.toLong, (0 until 40).map(j => s"w${4 * i + j}").mkString(" ")))
+    val dir = tmpDir("r7-chain")
+    writeDocs(docs, dir)
+    val pairs = Dedup.x2MinHashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    assert(pairs.count() == 63, "exactly the 63 consecutive chain edges")
+    val (labels, rounds) = Dedup.clusterPairs(pairs)
+    val reps = labels.collect().map(r => r.getLong(1)).toSet
+    assert(reps == Set(0L), s"one cluster rooted at doc 0, got reps $reps")
+    // pointer doubling squares the reach each round: ⌈log₂ 63⌉ = 6 plus
+    // the fixpoint-detection round and slack — far under the 63 rounds
+    // one-hop propagation would need
+    assert(rounds <= 10, s"expected O(log diameter) convergence, took $rounds rounds")
+  }
+}
