@@ -53,6 +53,75 @@ object StressBench {
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
   }
 
+  /** Planted-boilerplate corpus (VERDICT r7 item 1): 30% of the docs
+    * (doc_id % 10 < 3) are replaced by one of 40 templates — the
+    * templated/identical-doc shape of a crawl corpus, ~37 copies per
+    * template at sf0.1. The embeddings table is copied through unchanged.
+    */
+  private def boilerize(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    val templates = docs.filter(col("doc_id") < 40)
+      .select(col("doc_id").as("tid"), col("text").as("ttext"))
+    docs.withColumn("tid", when(col("doc_id") % 10 < 3, col("doc_id") % 40))
+      .join(broadcast(templates), Seq("tid"), "left")
+      .withColumn("text", coalesce(col("ttext"), col("text")))
+      .drop("tid", "ttext")
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
+    spark.read.parquet(s"$baseDir/embeddings.parquet")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
+  }
+
+  /** Candidate-stage diagnostics for the skew guard: per-(band, bh)
+    * bucket populations summed as pair counts. `unguarded` is what the
+    * pre-guard self-join would have generated (Σ n·(n−1)/2 over ALL
+    * docs' band rows — quadratic in the hottest bucket); `guarded` is
+    * what the shipped path generates (identical texts collapsed to reps
+    * first, over-cap buckets starred to n−1 pairs).
+    */
+  private def candStats(spark: SparkSession, dir: String): (Long, Long) = {
+    import graft.operators.Dedup
+    val cap = Dedup.bucketCap(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), col("text"))
+    def bucketSizes(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+        .withColumn("sig", Dedup.minhashSig)
+        .select(col("doc_id"), posexplode(expr(Dedup.bandSql)).as(Seq("band", "bh")))
+        .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
+    val unguarded = bucketSizes(docs)
+      .agg(sum(col("n") * (col("n") - 1) / 2)).head.getDouble(0).toLong
+    val reps = docs.groupBy(xxhash64(col("text")).as("th"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .join(docs, Seq("doc_id"))
+    val guarded = bucketSizes(reps)
+      .agg(sum(when(col("n") <= cap, col("n") * (col("n") - 1) / 2)
+        .otherwise(col("n") - 1))).head.getDouble(0).toLong
+    (guarded, unguarded)
+  }
+
+  /** Embedding corpus with PLANTED near-dups in the operating regime
+    * (VERDICT r7 item 3): after the sign-flip replication, every 50th
+    * vector gains a twin whose dimensions are scaled by a deterministic
+    * ±10% pattern — cosine ≈ 1/√1.01 ≈ 0.995 to its source, ≈ 0 to
+    * everything else — so the TRUE ≥0.9 pair count equals the planted
+    * count and scales linearly with the corpus.
+    */
+  private def plantEmbeddings(spark: SparkSession, srcDir: String, outDir: String): Long = {
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val planted = emb.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        expr("""transform(embedding, (v, j) ->
+               |  CAST(v * (1.0D + 0.1D * (CAST(pmod(xxhash64(j * 31 + vec_id), 2) AS DOUBLE) * 2.0D - 1.0D)) AS FLOAT))"""
+          .stripMargin).as("embedding"))
+    val n = planted.count()
+    emb.unionByName(planted)
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
+    n
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft-stress"
@@ -104,17 +173,81 @@ object StressBench {
       (System.nanoTime() - t0) / 1e9
     }
     allDocs.unpersist()
+
+    // --- planted boilerplate corpus (VERDICT r7 item 1): ~30% identical
+    // docs; the guard must keep candidate count and wall time bounded ---
+    val boilOut = s"$work/boiler"
+    boilerize(spark, baseDir, boilOut)
+    val (boilSec, boilRows) = timeOne("x2_minhash_lsh", boilOut)
+    val (gCand, uCand) = candStats(spark, boilOut)
+    val bAdmStore = s"$work/boiler-admstore"
+    val bAdmOut = s"$work/boiler-admout"
+    val bDocs = spark.read.parquet(s"$boilOut/documents.parquet").persist()
+    val bPer = bDocs.count() / 10
+    val boilAdmSecs = (0 until 10).map { b =>
+      val batch = bDocs.filter(col("doc_id") >= b * bPer && col("doc_id") < (b + 1) * bPer)
+      val t0 = System.nanoTime()
+      graft.streaming.BandStore.admitBatch(batch, b.toLong, bAdmStore, bAdmOut)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val boilAdmitted = spark.read.parquet(bAdmOut).count()
+    bDocs.unpersist()
+
+    // --- planted embedding near-dups at cosine ≥ 0.9 (r7 item 3): the
+    // 8×8 narrow-bucket geometry measured in its operating regime ---
+    val embBase = s"$work/embplant-base"
+    val embBig = s"$work/embplant-x10"
+    val plantedBase = plantEmbeddings(spark, baseOut, embBase)
+    val plantedBig = plantEmbeddings(spark, bigOut, embBig)
+    def timeEmb(dir: String): (Double, Long) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val rows = graft.operators.Dedup.x2EmbeddingLshAt(spark, dir, 8, 8, 0.9).count()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    val (ebSec, ebRows) = timeEmb(embBase)
+    val (exSec, exRows) = timeEmb(embBig)
+
+    // --- long-chain clustering (r7 item 6): 256-doc pure chain, the
+    // worst diameter shape — propagation must stay logarithmic ---
+    val chainDir = s"$work/chain"
+    locally {
+      import spark.implicits._
+      (0 until 256).map(i =>
+          (i.toLong, (0 until 40).map(j => s"w${4 * i + j}").mkString(" ")))
+        .toDF("doc_id", "text")
+        .withColumn("source", lit("s")).withColumn("lang", lit("en"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(8)
+        .write.mode(SaveMode.Overwrite).parquet(s"$chainDir/documents.parquet")
+    }
+    val tChain = System.nanoTime()
+    val chainPairs = graft.operators.Dedup.x2MinHashLsh(spark, chainDir)
+      .select(col("doc_a"), col("doc_b")).persist()
+    val chainEdges = chainPairs.count()
+    val (chainLabels, chainRounds) = graft.operators.Dedup.clusterPairs(chainPairs)
+    val chainClusters = chainLabels.select(col("cluster_rep")).distinct().count()
+    val chainSec = (System.nanoTime() - tChain) / 1e9
+
     def cnt(dir: String, t: String) = spark.read.parquet(s"$dir/$t.parquet").count()
     val qs = stats.map { case (n, (bs, xs, br, xr)) =>
       f""""$n":{"base_sec":$bs%.3f,"x10_sec":$xs%.3f,"ratio":${xs / bs}%.2f,"base_rows":$br,"x10_rows":$xr}"""
     }.mkString("{", ",", "}")
     val admJson = admSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
+    val boilAdmJson = boilAdmSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
     println(s"""{"stress":"dedup10x","copies":$copies,""" +
       s""""base_docs":${cnt(baseOut, "documents")},"x10_docs":${cnt(bigOut, "documents")},""" +
       s""""base_vecs":${cnt(baseOut, "embeddings")},"x10_vecs":${cnt(bigOut, "embeddings")},""" +
       s""""admission_batch_secs":$admJson,""" +
       s""""admitted":${spark.read.parquet(admOut).count()},""" +
-      s""""queries":$qs}""")
+      s""""queries":$qs,""" +
+      f""""boiler":{"docs":${cnt(boilOut, "documents")},"minhash_sec":$boilSec%.3f,"pairs":$boilRows,""" +
+      f""""cand_guarded":$gCand,"cand_unguarded":$uCand,""" +
+      s""""admission_batch_secs":$boilAdmJson,"admitted":$boilAdmitted},""" +
+      f""""embplant":{"planted_base":$plantedBase,"planted_x10":$plantedBig,""" +
+      f""""base_sec":$ebSec%.3f,"base_pairs":$ebRows,"x10_sec":$exSec%.3f,"x10_pairs":$exRows,""" +
+      f""""time_ratio":${exSec / ebSec}%.2f,"pair_ratio":${exRows.toDouble / math.max(ebRows, 1)}%.2f},""" +
+      f""""chain":{"docs":256,"edges":$chainEdges,"rounds":$chainRounds,"clusters":$chainClusters,"sec":$chainSec%.3f}}""")
     spark.stop()
   }
 }

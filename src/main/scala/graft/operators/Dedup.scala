@@ -580,26 +580,67 @@ object Dedup {
     * twin). At 32 bands × 4 rows a J=0.8 pair collides in ≥1 band with
     * p = 1-(1-0.8⁴)³² ≈ 1-3e-9, so LSH+verify equals exact — the same
     * discipline that makes `x2_minhash_lsh` hash-checkable.
+    *
+    * Skew guard, mirroring [[graft.streaming.BandStore.admitBatch]]:
+    * each side is exact-collapsed to min-id representatives SEPARATELY
+    * (collapsing across the batch/corpus split would move a doc's probe
+    * to the wrong side), the corpus side of each (band, bh) bucket is
+    * capped with the star-probe overflow, and a batch member's fate is
+    * its representative's fate (identical text ⇒ identical corpus
+    * near-dup relations), re-expanded through the group table at the
+    * end. On boilerplate corpora candidate generation is rep- and
+    * cap-bounded; on the fixtures (no identical texts) every doc is its
+    * own rep and the output is byte-identical to the unguarded form.
     */
   def x2IncrementalLsh(s: SparkSession, dir: String): DataFrame = {
+    val cap = bucketCap(s)
+    val docs = Tables.documents(s, dir)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), col("text"))
+    // per-side exact pre-collapse (X1 first — the dag_training_prep
+    // ordering): group key = 8-byte text digest
+    val memb = docs.select(col("doc_id"), xxhash64(col("text")).as("th"),
+      (col("doc_id") % 5 === 0).as("is_batch")).persist()
+    val reps = memb.groupBy(col("th"), col("is_batch"))
+      .agg(min(col("doc_id")).as("doc_id"))
     // signatures feed the band probe and the verification joins — persist
-    // (in production: read the corpus side from the signature store)
-    val sig = docShingles(s, dir).withColumn("sig", minhashSig).persist()
+    // (in production: read the corpus side from the signature store);
+    // representatives only
+    val sig = docs.join(reps.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .withColumn("sig", minhashSig)
+      .persist()
     def bandsOf(df: DataFrame, idAs: String): DataFrame =
       df.select(col("doc_id").as(idAs), posexplode(expr(bandSql)).as(Seq("band", "bh")))
     val corpus = sig.filter(col("doc_id") % 5 =!= 0)
     val batch  = sig.filter(col("doc_id") % 5 === 0)
+    // corpus-side bucket cap (star-probe on overflow — under-drops only,
+    // every candidate still exactly verified; see admitBatch)
+    val corpusBands = bandsOf(corpus, "corpus_id")
+    val stats = corpusBands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("__n"), min(col("corpus_id")).as("__cmin"))
+    val guardedCorpus = corpusBands
+      .join(stats.filter(col("__n") <= cap).select(col("band"), col("bh")), Seq("band", "bh"))
+      .unionByName(stats.filter(col("__n") > cap)
+        .select(col("band"), col("bh"), col("__cmin").as("corpus_id")))
     val cand = bandsOf(batch, "batch_id")
-      .join(bandsOf(corpus, "corpus_id"), Seq("band", "bh"))
+      .join(guardedCorpus, Seq("band", "bh"))
       .select(col("batch_id"), col("corpus_id"))
       .distinct()
-    val dropped = cand
+    val droppedReps = cand
       .join(batch.select(col("doc_id"), col("sh").as("sh_b")), col("batch_id") === col("doc_id")).drop("doc_id")
       .join(corpus.select(col("doc_id"), col("sh").as("sh_c")), col("corpus_id") === col("doc_id")).drop("doc_id")
       .withColumn("c", size(array_intersect(col("sh_b"), col("sh_c"))).cast("double"))
       .filter(round(col("c") / (size(col("sh_b")) + size(col("sh_c")) - col("c")), 6) >= 0.8)
-      .select(col("batch_id").as("doc_id"))
+      .select(col("batch_id").as("rep_id"))
       .distinct()
+    // a batch member shares its representative's fate: expand dropped
+    // reps to every member of their exact group
+    val batchGroups = memb.filter(col("is_batch"))
+      .join(reps.filter(col("is_batch")).select(col("th"), col("doc_id").as("rep_id")), Seq("th"))
+      .select(col("doc_id"), col("rep_id"))
+    val dropped = batchGroups.join(droppedReps, Seq("rep_id"))
+      .select(col("doc_id")).distinct()
     // admit from the full batch (docs under 3 tokens have no shingles and
     // are admitted by construction)
     Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)

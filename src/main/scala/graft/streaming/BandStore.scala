@@ -81,8 +81,16 @@ object BandStore {
                                        extraBucket: Option[(String, org.apache.spark.sql.Column)],
                                        dir: String): Unit = {
     val stamped = df.withColumn("__batch", lit(batchId))
+    // cluster rows by their bucket before the partitioned write so each
+    // bucket directory receives ONE file per batch, not one per task —
+    // without this a 32-task batch writes 32×64 ≈ 2k files and the
+    // store's files (hence every later probe's listing/scan cost) grow
+    // ~linearly in tasks×buckets×batches instead of buckets×batches.
+    // Measured: the unclustered layout made per-batch admission wall
+    // time climb ~10 s/batch on a 10-batch run; clustered it stays flat.
     val (partCols, withBuckets) = extraBucket match {
-      case Some((name, c)) => (Seq("__batch", name), stamped.withColumn(name, c))
+      case Some((name, c)) =>
+        (Seq("__batch", name), stamped.withColumn(name, c).repartition(col(name)))
       case None => (Seq("__batch"), stamped)
     }
     withBuckets.write.mode(SaveMode.Overwrite)
@@ -241,6 +249,19 @@ object BandStore {
                  admittedDir: String): Unit = {
     val spark = batch.sparkSession
     val cap = Dedup.bucketCap(spark)
+    // every persist in this method is released on ALL exits (a probe that
+    // races a concurrent compaction's retirement step can fail and be
+    // replayed by the engine — the failed attempt must not leak cache)
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def keep(df: DataFrame): DataFrame = { persisted += df; df.persist() }
+    try admitBatchImpl(batch, batchId, storeDir, admittedDir, cap, keep)
+    finally persisted.foreach(_.unpersist())
+  }
+
+  private def admitBatchImpl(batch: DataFrame, batchId: Long, storeDir: String,
+                             admittedDir: String, cap: Int,
+                             keep: DataFrame => DataFrame): Unit = {
+    val spark = batch.sparkSession
     // (0) X1 exact pre-collapse — the `dag_training_prep` ordering (exact
     // dedup BEFORE near-dedup) made a contract of the admission path:
     // among batch docs with identical text only the min-doc_id
@@ -262,8 +283,8 @@ object BandStore {
       .select(col("doc_id"))
     val exactDropped = signable.select(col("doc_id"))
       .join(repIds, Seq("doc_id"), "left_anti")
-    val sig = signDocs(batch.join(repIds, Seq("doc_id"), "left_semi")).persist()
-    val batchBands = explodeBands(sig, "batch_id").persist()
+    val sig = keep(signDocs(batch.join(repIds, Seq("doc_id"), "left_semi")))
+    val batchBands = keep(explodeBands(sig, "batch_id"))
     val storeExists = hasBatches(spark, bandsDir(storeDir))
 
     def emptyPairs(aCol: String, bCol: String): DataFrame =
@@ -306,8 +327,12 @@ object BandStore {
             // replay hazard is prevented by compactStore's watermark
             // invariant, not here (see its scaladoc).
             .filter(col("peer_id") =!= col("batch_id"))
+            // the store probe feeds THREE downstream actions (peer-bucket
+            // collect, verification, the admitted anti-join) — keep()
+            // so the store scan runs once per batch, not once per action
             .select(col("batch_id"), col("peer_id"))
             .distinct()
+            .transform(keep)
         }
       }
     // (2b) within-batch collisions: only a smaller doc_id can veto; the
@@ -341,7 +366,11 @@ object BandStore {
           val peerSh = spark.read.parquet(sigsDir(storeDir))
             .filter(col("__db").isin(peerBuckets: _*) && col("__batch") =!= batchId)
             .select(col("doc_id"), col("sh").as("sh_p"))
-          verified(candVsStore, peerSh).select(col("batch_id").as("doc_id")).distinct()
+          // two consumers (the fixpoint seed's anti-join and the final
+          // dropped union) — persist so the sigs scan + verification run
+          // once per batch
+          verified(candVsStore, peerSh).select(col("batch_id").as("doc_id"))
+            .distinct().transform(keep)
         }
       }
 
@@ -379,7 +408,7 @@ object BandStore {
 
     val dropped = storeDropped.unionByName(batchDropped)
       .unionByName(exactDropped).distinct()
-    val admitted = batch.join(dropped, Seq("doc_id"), "left_anti").persist()
+    val admitted = keep(batch.join(dropped, Seq("doc_id"), "left_anti"))
 
     // (5) idempotent writes: dynamic overwrite of this batch's partitions
     val admittedSig = sig.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
@@ -389,8 +418,5 @@ object BandStore {
       explodeBands(admittedSig, "doc_id"), batchId,
       Some(("__bb", pmod(col("bh"), lit(BandBuckets)).cast("int"))), bandsDir(storeDir))
     overwriteBatchPartitions(admitted, batchId, None, admittedDir)
-    sig.unpersist()
-    batchBands.unpersist()
-    admitted.unpersist()
   }
 }

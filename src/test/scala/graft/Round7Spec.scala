@@ -128,16 +128,19 @@ class Round7Spec extends SparkSpec {
     // concurrent: admit 0,1; then compact batches < 2 WHILE admitting 2,3.
     // A probe that lists a source partition in the instant before its
     // retirement rename can fail — admission is an idempotent dynamic
-    // overwrite, so the one-retry here mirrors the streaming engine's
-    // batch replay (see compactStore's scaladoc).
+    // overwrite, so the bounded retry here mirrors the streaming engine's
+    // batch replay (see compactStore's scaladoc; the race can fire once
+    // per store sub-directory, hence more than one possible retry).
     val (storeB, outB) = (tmpDir("r7-conB"), tmpDir("r7-conB-out"))
     (0 until 2).foreach(b => BandStore.admitBatch(batchOf(b), b.toLong, storeB, outB))
     val compactor = new Thread(() => BandStore.compactStore(spark, storeB, 2L))
     compactor.start()
     (2 until 4).foreach { b =>
-      try BandStore.admitBatch(batchOf(b), b.toLong, storeB, outB)
-      catch { case scala.util.control.NonFatal(_) =>
-        BandStore.admitBatch(batchOf(b), b.toLong, storeB, outB) }
+      def attempt(left: Int): Unit =
+        try BandStore.admitBatch(batchOf(b), b.toLong, storeB, outB)
+        catch { case scala.util.control.NonFatal(e) =>
+          if (left <= 0) throw e else attempt(left - 1) }
+      attempt(4)
     }
     compactor.join()
     assert(admitted(outA) == admitted(outB),
