@@ -238,16 +238,32 @@ object Dedup {
                                      outA: String, outB: String): DataFrame = {
     val stats = bands.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__bmin"))
-    val sized = bands.join(stats, Seq("band", "bh"))
-    val small = sized.filter(col("__n") <= cap)
-      .select(col(idCol), col("band"), col("bh"))
-    val smallPairs = small.as("a").join(small.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-          && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as(outA), col(s"b.$idCol").as(outB))
-    val starPairs = sized.filter(col("__n") > cap && col(idCol) =!= col("__bmin"))
-      .select(col("__bmin").as(outA), col(idCol).as(outB))
-    smallPairs.unionByName(starPairs).distinct()
+    // adaptive, like the exact pre-collapse: one scalar aggregate over
+    // the (already bucket-sized) stats table measures whether ANY bucket
+    // overflows. None — every corpus without a boilerplate pileup — keeps
+    // the plain one-shuffle self-join; the stats join-back (which the
+    // self-join's two sides plus the star branch would each re-execute)
+    // is paid only when an overflowing bucket actually exists.
+    val maxN = stats.agg(coalesce(max(col("__n")), lit(0L))).head.getLong(0)
+    if (maxN <= cap) {
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+            && col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as(outA), col(s"b.$idCol").as(outB))
+        .distinct()
+    } else {
+      val sized = bands.join(stats, Seq("band", "bh"))
+        .persist() // feeds both self-join sides and the star branch
+      val small = sized.filter(col("__n") <= cap)
+        .select(col(idCol), col("band"), col("bh"))
+      val smallPairs = small.as("a").join(small.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+            && col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as(outA), col(s"b.$idCol").as(outB))
+      val starPairs = sized.filter(col("__n") > cap && col(idCol) =!= col("__bmin"))
+        .select(col("__bmin").as(outA), col(idCol).as(outB))
+      smallPairs.unionByName(starPairs).distinct()
+    }
   }
 
   /** 32 bands × 4 rows over the 128-perm `sig` column — the one banding
@@ -286,51 +302,84 @@ object Dedup {
     * member combination (identical text ⇒ identical shingle set), so the
     * output still equals the exact all-pairs oracle while candidate
     * generation stays rep- and cap-bounded.
+    *
+    * The collapse is engaged ADAPTIVELY: one exact scalar aggregate over
+    * the text digest measures whether identical texts exist at all, and
+    * a corpus with none (every doc its own representative) takes a lean
+    * plan without the collapse/expansion joins — same output, same cap
+    * guard, five fewer joins.
     */
   def x2MinHashLsh(s: SparkSession, dir: String): DataFrame = {
     val cap = bucketCap(s)
     val docs = Tables.documents(s, dir)
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), col("text"))
-    // doc → exact-group key (8-byte text digest); feeds the collapse, the
-    // within-group expansion, and the cross-group expansion
-    val memb = docs.select(col("doc_id"), xxhash64(col("text")).as("th")).persist()
-    val reps = memb.groupBy(col("th")).agg(min(col("doc_id")).as("doc_id"))
-    // The signature stage feeds four consumers (both band sides, both
-    // verification joins) — persist it so the signatures are computed
-    // once, for representatives only. At 100 TB this is the standard
-    // "materialize signatures" checkpoint of a MinHash pipeline
-    // (storage ~= 1 KB/doc).
-    val sig = docs.join(reps.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    // ADAPTIVE plan choice — the AQE discipline applied at operator
+    // level: one exact scalar aggregate (map-side-combinable count /
+    // count-distinct over the 8-byte text digest — the same cost class
+    // as the groupBy the collapse would run anyway) decides whether
+    // exact-duplicate skew EXISTS. Measured zero identical texts ⇒
+    // collapse and re-expansion are the identity ⇒ skip their five
+    // joins; any identical texts ⇒ pay them. The per-bucket cap guards
+    // both plans (it bounds distinct-but-near-identical pileups, which
+    // the digest cannot see).
+    val shape = docs.agg(count(lit(1)), countDistinct(xxhash64(col("text")))).head
+    val hasExactDups = shape.getLong(0) != shape.getLong(1)
+
+    // signatures feed both band sides and both verification joins —
+    // persist so they are computed once (at 100 TB this is the standard
+    // "materialize signatures" checkpoint of a MinHash pipeline,
+    // storage ~= 1 KB/doc), over representatives only when collapsing
+    def signed(d: DataFrame): DataFrame = d
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .withColumn("sig", minhashSig)
       .persist()
-    val bands = sig.select(col("doc_id"), posexplode(expr(bandSql)).as(Seq("band", "bh")))
-    val cand = cappedSelfPairs(bands, "doc_id", cap, "rep_a", "rep_b")
-    val verified = cand
+    def verify(cand: DataFrame, sig: DataFrame): DataFrame = cand
       .join(sig.select(col("doc_id"), col("sh").as("sh_a")), col("rep_a") === col("doc_id")).drop("doc_id")
       .join(sig.select(col("doc_id"), col("sh").as("sh_b")), col("rep_b") === col("doc_id")).drop("doc_id")
       .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", round(col("c") / (size(col("sh_a")) + size(col("sh_b")) - col("c")), 6))
       .filter(col("jaccard") >= 0.8)
       .select(col("rep_a"), col("rep_b"), col("jaccard"))
-    // expansion back to doc granularity. Within-group pairs ARE the true
-    // answer for identical texts (J = 1.0) — their count is output size,
-    // not candidate work. Cross-group: every member pair of a verified
-    // rep pair shares its jaccard (identical text ⇒ identical shingles).
-    val withinGroup = memb.as("a").join(memb.as("b"),
-        col("a.th") === col("b.th") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        lit(1.0).as("jaccard"))
-    val grp = memb.join(reps.withColumnRenamed("doc_id", "rep_id"), Seq("th"))
-      .select(col("doc_id"), col("rep_id"))
-    val crossGroup = verified
-      .join(grp.select(col("rep_id").as("rep_a"), col("doc_id").as("da")), Seq("rep_a"))
-      .join(grp.select(col("rep_id").as("rep_b"), col("doc_id").as("db")), Seq("rep_b"))
-      .select(least(col("da"), col("db")).as("doc_a"),
-        greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
-    withinGroup.unionByName(crossGroup)
-      .orderBy("doc_a", "doc_b")
+
+    if (!hasExactDups) {
+      // lean plan: every doc is its own representative
+      val sig = signed(docs)
+      val bands = sig.select(col("doc_id"), posexplode(expr(bandSql)).as(Seq("band", "bh")))
+      val cand = cappedSelfPairs(bands, "doc_id", cap, "rep_a", "rep_b")
+      // cappedSelfPairs orders every pair (self-join on id <, star from
+      // the bucket min), so rep_a < rep_b already holds
+      verify(cand, sig)
+        .select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    } else {
+      // doc → exact-group key; feeds the collapse, the within-group
+      // expansion, and the cross-group expansion
+      val memb = docs.select(col("doc_id"), xxhash64(col("text")).as("th")).persist()
+      val reps = memb.groupBy(col("th")).agg(min(col("doc_id")).as("doc_id"))
+      val sig = signed(docs.join(reps.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+      val bands = sig.select(col("doc_id"), posexplode(expr(bandSql)).as(Seq("band", "bh")))
+      val cand = cappedSelfPairs(bands, "doc_id", cap, "rep_a", "rep_b")
+      val verified = verify(cand, sig)
+      // expansion back to doc granularity. Within-group pairs ARE the
+      // true answer for identical texts (J = 1.0) — their count is output
+      // size, not candidate work. Cross-group: every member pair of a
+      // verified rep pair shares its jaccard (identical text ⇒ identical
+      // shingles).
+      val withinGroup = memb.as("a").join(memb.as("b"),
+          col("a.th") === col("b.th") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          lit(1.0).as("jaccard"))
+      val grp = memb.join(reps.withColumnRenamed("doc_id", "rep_id"), Seq("th"))
+        .select(col("doc_id"), col("rep_id"))
+      val crossGroup = verified
+        .join(grp.select(col("rep_id").as("rep_a"), col("doc_id").as("da")), Seq("rep_a"))
+        .join(grp.select(col("rep_id").as("rep_b"), col("doc_id").as("db")), Seq("rep_b"))
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+      withinGroup.unionByName(crossGroup)
+        .orderBy("doc_a", "doc_b")
+    }
   }
 
   /** 64-bit SimHash over tokens (with multiplicity): bit k is set when
@@ -590,7 +639,11 @@ object Dedup {
     * near-dup relations), re-expanded through the group table at the
     * end. On boilerplate corpora candidate generation is rep- and
     * cap-bounded; on the fixtures (no identical texts) every doc is its
-    * own rep and the output is byte-identical to the unguarded form.
+    * own rep and the output is byte-identical to the unguarded form —
+    * and the collapse engages ADAPTIVELY (measured count vs
+    * count-distinct of (digest, side), as in [[x2MinHashLsh]]), so the
+    * no-dup case also skips the collapse/expansion joins, not just
+    * their effect.
     */
   def x2IncrementalLsh(s: SparkSession, dir: String): DataFrame = {
     val cap = bucketCap(s)
@@ -601,12 +654,23 @@ object Dedup {
     // ordering): group key = 8-byte text digest
     val memb = docs.select(col("doc_id"), xxhash64(col("text")).as("th"),
       (col("doc_id") % 5 === 0).as("is_batch")).persist()
+    // adaptive, as in x2MinHashLsh: measure whether any (text, side)
+    // group holds more than one doc; if not, the collapse semi-join and
+    // the group re-expansion are identities and are skipped (memb stays
+    // unevaluated on that path). The corpus-side bucket cap below guards
+    // both plans.
+    val shape = docs.agg(count(lit(1)),
+      countDistinct(xxhash64(col("text")), col("doc_id") % 5 === 0)).head
+    val hasExactDups = shape.getLong(0) != shape.getLong(1)
     val reps = memb.groupBy(col("th"), col("is_batch"))
       .agg(min(col("doc_id")).as("doc_id"))
     // signatures feed the band probe and the verification joins — persist
     // (in production: read the corpus side from the signature store);
-    // representatives only
-    val sig = docs.join(reps.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    // representatives only when collapsing
+    val signable =
+      if (hasExactDups) docs.join(reps.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      else docs
+    val sig = signable
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .withColumn("sig", minhashSig)
       .persist()
@@ -615,14 +679,19 @@ object Dedup {
     val corpus = sig.filter(col("doc_id") % 5 =!= 0)
     val batch  = sig.filter(col("doc_id") % 5 === 0)
     // corpus-side bucket cap (star-probe on overflow — under-drops only,
-    // every candidate still exactly verified; see admitBatch)
+    // every candidate still exactly verified; see admitBatch). Adaptive
+    // like cappedSelfPairs: the filter join over the full corpus band
+    // table is paid only when a bucket actually overflows.
     val corpusBands = bandsOf(corpus, "corpus_id")
     val stats = corpusBands.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("__n"), min(col("corpus_id")).as("__cmin"))
-    val guardedCorpus = corpusBands
-      .join(stats.filter(col("__n") <= cap).select(col("band"), col("bh")), Seq("band", "bh"))
-      .unionByName(stats.filter(col("__n") > cap)
-        .select(col("band"), col("bh"), col("__cmin").as("corpus_id")))
+    val maxBucket = stats.agg(coalesce(max(col("__n")), lit(0L))).head.getLong(0)
+    val guardedCorpus =
+      if (maxBucket <= cap) corpusBands
+      else corpusBands
+        .join(stats.filter(col("__n") <= cap).select(col("band"), col("bh")), Seq("band", "bh"))
+        .unionByName(stats.filter(col("__n") > cap)
+          .select(col("band"), col("bh"), col("__cmin").as("corpus_id")))
     val cand = bandsOf(batch, "batch_id")
       .join(guardedCorpus, Seq("band", "bh"))
       .select(col("batch_id"), col("corpus_id"))
@@ -635,12 +704,15 @@ object Dedup {
       .select(col("batch_id").as("rep_id"))
       .distinct()
     // a batch member shares its representative's fate: expand dropped
-    // reps to every member of their exact group
-    val batchGroups = memb.filter(col("is_batch"))
-      .join(reps.filter(col("is_batch")).select(col("th"), col("doc_id").as("rep_id")), Seq("th"))
-      .select(col("doc_id"), col("rep_id"))
-    val dropped = batchGroups.join(droppedReps, Seq("rep_id"))
-      .select(col("doc_id")).distinct()
+    // reps to every member of their exact group (identity when no side
+    // holds identical texts — skipped on the lean plan)
+    val dropped = if (hasExactDups) {
+      val batchGroups = memb.filter(col("is_batch"))
+        .join(reps.filter(col("is_batch")).select(col("th"), col("doc_id").as("rep_id")), Seq("th"))
+        .select(col("doc_id"), col("rep_id"))
+      batchGroups.join(droppedReps, Seq("rep_id"))
+        .select(col("doc_id")).distinct()
+    } else droppedReps.select(col("rep_id").as("doc_id"))
     // admit from the full batch (docs under 3 tokens have no shingles and
     // are admitted by construction)
     Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)

@@ -309,4 +309,72 @@ object TextAnalysis {
       |    / count(*) AS avg_logp
       |FROM b JOIN cb ON b.bg = cb.bg JOIN cp ON b.w1 = cp.w1
       |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+
+  /** X4j — intra-document repetition signals, token-level (the Gopher/
+    * MassiveText repetition filters): `top_bigram_frac` = share of the
+    * document's bigram mass held by its single most frequent bigram;
+    * `dup_trigram_frac` = share of trigram mass in trigrams occurring
+    * more than once; `keep` gates both at 0.05. This targets the doc
+    * shape near-dedup can NEVER catch — repetition INSIDE one document
+    * (nav boilerplate, lyrics loops, degenerate generation) — which is
+    * why production pipelines run it alongside, not instead of, X2.
+    *
+    * Scale shape: one explode to tagged (doc_id, n, gram) rows, one
+    * two-phase hash aggregate keyed (doc_id, n, gram), then two per-doc
+    * reductions — the x4TfIdf discipline: no window, no join, no
+    * self-join. The shuffle key contains doc_id, and a pathologically
+    * repetitive doc compresses BEST map-side (its gram rows collapse to
+    * few distinct keys in the partial aggregate), so the adversarial
+    * input is the cheap one. Docs under 3 tokens carry no trigram and
+    * are excluded (same floor as the dedup family).
+    */
+  def x4Repetition(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+    val grams = t.select(col("doc_id"), explode(concat(
+        transform(sequence(lit(1), size(col("tk")) - 1), i =>
+          struct(lit(2).as("n"), concat_ws(" ", element_at(col("tk"), i),
+            element_at(col("tk"), i + 1)).as("g"))),
+        transform(sequence(lit(1), size(col("tk")) - 2), i =>
+          struct(lit(3).as("n"), concat_ws(" ", element_at(col("tk"), i),
+            element_at(col("tk"), i + 1),
+            element_at(col("tk"), i + 2)).as("g"))))).as("e"))
+      .select(col("doc_id"), col("e.n").as("n"), col("e.g").as("g"))
+    grams.groupBy(col("doc_id"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(max(col("c")).as("maxc"), sum(col("c")).as("tot"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dupmass"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("n") === 2,
+          round(col("maxc") / col("tot"), 6))).as("top_bigram_frac"),
+        max(when(col("n") === 3,
+          round(col("dupmass") / col("tot"), 6))).as("dup_trigram_frac"))
+      .withColumn("keep",
+        col("top_bigram_frac") <= 0.05 && col("dup_trigram_frac") <= 0.05)
+      .orderBy("doc_id")
+  }
+
+  val x4RepetitionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |g AS (
+      |  SELECT doc_id, 2 AS n, tk[i] || ' ' || tk[i + 1] AS g
+      |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM t)
+      |  UNION ALL
+      |  SELECT doc_id, 3 AS n, tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS g
+      |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM t)),
+      |c AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY doc_id, n, g),
+      |p AS (SELECT doc_id, n, max(c) AS maxc, sum(c) AS tot,
+      |        sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupmass
+      |      FROM c GROUP BY doc_id, n)
+      |SELECT doc_id,
+      |  max(CASE WHEN n = 2 THEN round(maxc * 1.0 / tot, 6) END) AS top_bigram_frac,
+      |  max(CASE WHEN n = 3 THEN round(dupmass * 1.0 / tot, 6) END) AS dup_trigram_frac,
+      |  (max(CASE WHEN n = 2 THEN round(maxc * 1.0 / tot, 6) END) <= 0.05
+      |   AND max(CASE WHEN n = 3 THEN round(dupmass * 1.0 / tot, 6) END) <= 0.05) AS keep
+      |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

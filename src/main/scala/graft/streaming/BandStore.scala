@@ -313,11 +313,19 @@ object BandStore {
           // other 31 bands.
           val stats = probe.groupBy(col("band"), col("bh"))
             .agg(count(lit(1)).as("__n"), min(col("peer_id")).as("__pmin"))
-          val guarded = probe
-            .join(stats.filter(col("__n") <= cap).select(col("band"), col("bh")),
-              Seq("band", "bh"))
-            .unionByName(stats.filter(col("__n") > cap)
-              .select(col("band"), col("bh"), col("__pmin").as("peer_id")))
+          // adaptive (Dedup.cappedSelfPairs discipline): one scalar
+          // aggregate decides whether any store bucket overflows; the
+          // healthy-store case (admitted docs are mutually non-near-dup,
+          // buckets sparse) skips the stats join-back and its extra
+          // probe scans entirely
+          val maxBucket = stats.agg(coalesce(max(col("__n")), lit(0L))).head.getLong(0)
+          val guarded =
+            if (maxBucket <= cap) probe
+            else probe
+              .join(stats.filter(col("__n") <= cap).select(col("band"), col("bh")),
+                Seq("band", "bh"))
+              .unionByName(stats.filter(col("__n") > cap)
+                .select(col("band"), col("bh"), col("__pmin").as("peer_id")))
           guarded.join(batchBands, Seq("band", "bh"))
             // drop self-pairs: impossible in normal operation (reads
             // exclude __batch = batchId), but if a replayed batch's own

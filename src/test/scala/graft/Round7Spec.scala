@@ -224,4 +224,28 @@ class Round7Spec extends SparkSpec {
     // one-hop propagation would need
     assert(rounds <= 10, s"expected O(log diameter) convergence, took $rounds rounds")
   }
+
+  test("X4j: repetition signals match hand-computed values; fixture keeps are mixed") {
+    // doc 1 "a b a b a b a b": 7 bigrams ("a b"×4, "b a"×3) → top
+    // 4/7 ≈ 0.571429; all 6 trigrams occur ≥2× → dup mass 1.0 → drop.
+    // doc 2: 30 distinct tokens → top bigram 1/29 ≈ 0.034483, zero
+    // duplicated trigrams → keep. doc 0 (2 tokens) is under the 3-token
+    // floor and must be absent.
+    val docs = Seq(
+      (0L, "a b"),
+      (1L, Seq.fill(4)("a b").mkString(" ")),
+      (2L, tokens("w", 30)))
+    val dir = tmpDir("r7-rep")
+    writeDocs(docs, dir)
+    val out = graft.operators.TextAnalysis.x4Repetition(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0.571429, 1.0, false),
+      (2L, 0.034483, 0.0, true)), s"got ${out.toSeq}")
+    // on the fixture corpus the 0.05 gates genuinely split the docs —
+    // the filter is a decision, not a constant
+    val fx = graft.operators.TextAnalysis.x4Repetition(spark, sfDir)
+      .groupBy(col("keep")).count().collect().map(r => r.getBoolean(0)).toSet
+    assert(fx == Set(true, false), s"fixture keep outcomes: $fx")
+  }
 }
