@@ -235,7 +235,12 @@ object Dedup {
     * at all: callers pre-collapse identical texts first (X1 contract).
     */
   private[graft] def cappedSelfPairs(bands: DataFrame, idCol: String, cap: Int,
-                                     outA: String, outB: String): DataFrame = {
+                                     outA: String, outB: String,
+                                     // overflow-branch persist hook: callers with a
+                                     // bounded cache scope (the streaming admission
+                                     // loop's release-on-exit keep()) pass theirs so
+                                     // the cached frame cannot outlive the batch
+                                     persistFn: DataFrame => DataFrame = _.persist()): DataFrame = {
     val stats = bands.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__bmin"))
     // adaptive, like the exact pre-collapse: one scalar aggregate over
@@ -252,8 +257,8 @@ object Dedup {
         .select(col(s"a.$idCol").as(outA), col(s"b.$idCol").as(outB))
         .distinct()
     } else {
-      val sized = bands.join(stats, Seq("band", "bh"))
-        .persist() // feeds both self-join sides and the star branch
+      // feeds both self-join sides and the star branch
+      val sized = persistFn(bands.join(stats, Seq("band", "bh")))
       val small = sized.filter(col("__n") <= cap)
         .select(col(idCol), col("band"), col("bh"))
       val smallPairs = small.as("a").join(small.as("b"),

@@ -348,7 +348,7 @@ object BandStore {
     // + star-on-overflow, Dedup.cappedSelfPairs) — outA is the bucket-
     // ordered smaller id, i.e. the prospective vetoer
     val candInBatch =
-      Dedup.cappedSelfPairs(batchBands, "batch_id", cap, "peer_id", "batch_id")
+      Dedup.cappedSelfPairs(batchBands, "batch_id", cap, "peer_id", "batch_id", keep)
 
     // (3) exact verification at Jaccard ≥ 0.8
     def verified(cand: DataFrame, peerSh: DataFrame): DataFrame =

@@ -244,8 +244,18 @@ class Round7Spec extends SparkSpec {
       (2L, 0.034483, 0.0, true)), s"got ${out.toSeq}")
     // on the fixture corpus the 0.05 gates genuinely split the docs —
     // the filter is a decision, not a constant
-    val fx = graft.operators.TextAnalysis.x4Repetition(spark, sfDir)
-      .groupBy(col("keep")).count().collect().map(r => r.getBoolean(0)).toSet
+    val fxDf = graft.operators.TextAnalysis.x4Repetition(spark, sfDir)
+    val fx = fxDf.groupBy(col("keep")).count().collect().map(r => r.getBoolean(0)).toSet
     assert(fx == Set(true, false), s"fixture keep outcomes: $fx")
+    // plan pins: the scan reads only (doc_id, text) — no n_chars/source/
+    // lang columns for a 2-column consumer — and the gram aggregate is
+    // two-phase (partial map-side before its exchange), so a repetitive
+    // doc's gram rows collapse BEFORE they shuffle
+    val p = fxDf.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+    val exec = fxDf.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(exec).size >= 4, exec.take(800))
   }
 }
