@@ -92,7 +92,7 @@ object StressBench {
         .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
     val unguarded = bucketSizes(docs)
       .agg(sum(col("n") * (col("n") - 1) / 2)).head.getDouble(0).toLong
-    val reps = docs.groupBy(xxhash64(col("text")).as("th"))
+    val reps = docs.groupBy(graft.operators.Dedup.textKey.as("th"))
       .agg(min(col("doc_id")).as("doc_id"))
       .join(docs, Seq("doc_id"))
     val guarded = bucketSizes(reps)

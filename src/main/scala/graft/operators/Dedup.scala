@@ -34,6 +34,21 @@ object Dedup {
       |  CAST(length(text) AS INTEGER) AS text_len
       |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin
 
+  /** 128-bit exact-text group key: two independent 64-bit xxhash64
+    * lanes (the second salted). A single 64-bit digest collides at
+    * birthday scale ~5×10⁹ texts — a real number at the 100 TB corpus
+    * this engine targets — and a collision would silently merge two
+    * DIFFERENT texts into one exact-group, fabricating their near-dup
+    * pairs. Two lanes push the bound to ~10¹⁹ texts. Both are codegen'd
+    * single-pass hashes, still far cheaper than shuffling the text
+    * itself as the key (x1Exact can afford the full text because its
+    * whole job is that one shuffle; the collapse is a side-stage of a
+    * larger pipeline).
+    */
+  private[graft] def textKey: Column =
+    struct(xxhash64(col("text")).as("h1"),
+      xxhash64(lit(0x9E3779B97F4A7C15L), col("text")).as("h2"))
+
   /** Distinct 3-token shingles of `text` (the near-dup granularity —
     * token *sets* are degenerate on a 31-token vocabulary). Built from
     * the passed Column, so any string column works, not just one named
@@ -328,7 +343,7 @@ object Dedup {
     // joins; any identical texts ⇒ pay them. The per-bucket cap guards
     // both plans (it bounds distinct-but-near-identical pileups, which
     // the digest cannot see).
-    val shape = docs.agg(count(lit(1)), countDistinct(xxhash64(col("text")))).head
+    val shape = docs.agg(count(lit(1)), countDistinct(textKey)).head
     val hasExactDups = shape.getLong(0) != shape.getLong(1)
 
     // signatures feed both band sides and both verification joins —
@@ -360,7 +375,7 @@ object Dedup {
     } else {
       // doc → exact-group key; feeds the collapse, the within-group
       // expansion, and the cross-group expansion
-      val memb = docs.select(col("doc_id"), xxhash64(col("text")).as("th")).persist()
+      val memb = docs.select(col("doc_id"), textKey.as("th")).persist()
       val reps = memb.groupBy(col("th")).agg(min(col("doc_id")).as("doc_id"))
       val sig = signed(docs.join(reps.select(col("doc_id")), Seq("doc_id"), "left_semi"))
       val bands = sig.select(col("doc_id"), posexplode(expr(bandSql)).as(Seq("band", "bh")))
@@ -657,7 +672,7 @@ object Dedup {
       .select(col("doc_id"), col("text"))
     // per-side exact pre-collapse (X1 first — the dag_training_prep
     // ordering): group key = 8-byte text digest
-    val memb = docs.select(col("doc_id"), xxhash64(col("text")).as("th"),
+    val memb = docs.select(col("doc_id"), textKey.as("th"),
       (col("doc_id") % 5 === 0).as("is_batch")).persist()
     // adaptive, as in x2MinHashLsh: measure whether any (text, side)
     // group holds more than one doc; if not, the collapse semi-join and
@@ -665,7 +680,7 @@ object Dedup {
     // unevaluated on that path). The corpus-side bucket cap below guards
     // both plans.
     val shape = docs.agg(count(lit(1)),
-      countDistinct(xxhash64(col("text")), col("doc_id") % 5 === 0)).head
+      countDistinct(textKey, col("doc_id") % 5 === 0)).head
     val hasExactDups = shape.getLong(0) != shape.getLong(1)
     val reps = memb.groupBy(col("th"), col("is_batch"))
       .agg(min(col("doc_id")).as("doc_id"))

@@ -278,7 +278,7 @@ object BandStore {
     // rows into every band bucket; the per-bucket cap below guards what
     // the collapse can't reach (distinct-but-near-identical pileups).
     val signable = batch.filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), xxhash64(col("text")).as("__th"))
+      .select(col("doc_id"), Dedup.textKey.as("__th"))
     val repIds = signable.groupBy(col("__th")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val exactDropped = signable.select(col("doc_id"))
