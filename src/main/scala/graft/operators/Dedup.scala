@@ -442,26 +442,39 @@ object Dedup {
     *     band identical, the pigeonhole guarantee) with exact
     *     bit_count(xor) verification — the banding+verification PAIR
     *     stage, previously rows-only, now hash-checked on the portable
-    *     digest.
+    *     digest. The band join runs over DISTINCT fingerprints with
+    *     group counts (see inline comment) so boilerplate corpora cost
+    *     one row per template per bucket, not k².
     */
   def x2SimHash(s: SparkSession, dir: String): DataFrame = {
     val fp = portableFp(s, dir).persist()
     val gate = Tables.documents(s, dir)
       .select(col("doc_id"), (simhashSig === simhashSigHof).as("native_eq_hof"))
-    val bands = fp.select(col("doc_id"), col("fp"),
+    // Boilerplate-skew guard, EXACT form: identical texts have identical
+    // fingerprints, so the band self-join runs over DISTINCT fps carrying
+    // their group size — a template repeated k times is ONE row per band
+    // bucket (the unguarded doc-level join paid k² per bucket) — and the
+    // per-doc count is recovered arithmetically: a doc in fp-group G has
+    // (|G|−1) hamming-0 partners within its group plus Σ|H| over the
+    // distinct fp-groups H within hamming ≤ 3. No approximation: n_near
+    // is exactly the doc-level count, only computed at fp granularity.
+    val fpg = fp.groupBy(col("fp")).agg(count(lit(1)).as("g"))
+    val bands = fpg.select(col("fp"), col("g"),
       posexplode(expr("transform(sequence(0, 3), b -> shiftright(fp, b * 15) % 32768)"))
         .as(Seq("band", "bv")))
-    val partners = bands.as("a").join(bands.as("b"),
+    val fpPairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
-          && col("a.doc_id") =!= col("b.doc_id"))
+          && col("a.fp") =!= col("b.fp"))
       .filter(bit_count(col("a.fp").bitwiseXOR(col("b.fp"))) <= 3)
-      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("partner"))
+      // a near pair can collide in up to 3 bands — count each fp-group once
+      .select(col("a.fp").as("fp"), col("b.fp").as("pfp"), col("b.g").as("pg"))
       .distinct()
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near"))
+    val crossCnt = fpPairs.groupBy(col("fp")).agg(sum(col("pg")).as("n_cross"))
     fp.join(gate, Seq("doc_id"))
-      .join(partners, Seq("doc_id"), "left")
+      .join(fpg, Seq("fp"))
+      .join(crossCnt, Seq("fp"), "left")
       .select(col("doc_id"), col("fp"), col("native_eq_hof"),
-        coalesce(col("n_near"), lit(0L)).as("n_near"))
+        (col("g") - 1 + coalesce(col("n_cross"), lit(0L))).as("n_near"))
       .orderBy("doc_id")
   }
 

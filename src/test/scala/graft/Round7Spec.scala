@@ -225,6 +225,35 @@ class Round7Spec extends SparkSpec {
     assert(rounds <= 10, s"expected O(log diameter) convergence, took $rounds rounds")
   }
 
+  test("X2c: fp-collapsed SimHash partner counts equal the quadratic form on boilerplate") {
+    // 3 templates × 12 identical copies + near-identicals + uniques: the
+    // fp-distinct band join must reproduce the doc-level quadratic count
+    // exactly (identical texts ⇒ identical fps ⇒ hamming-0 partners)
+    val docs =
+      (0 until 36).map(i => (i.toLong, template(i % 3))) ++
+      (0 until 6).map(i => ((100 + i).toLong, template(0) + s" uniq$i")) ++
+      (0 until 20).map(i => ((200 + i).toLong, tokens(s"x${i}w", 8)))
+    val dir = tmpDir("r7-simhash-boiler")
+    writeDocs(docs, dir)
+    val out = Dedup.x2SimHash(spark, dir)
+      .select(col("doc_id"), col("n_near")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val fp = Dedup.x2SimHashPortable(spark, dir).persist()
+    val quad = fp.as("a").join(fp.as("b"),
+        col("a.doc_id") =!= col("b.doc_id")
+          && bit_count(col("a.fp").bitwiseXOR(col("b.fp"))) <= 3)
+      .groupBy(col("a.doc_id").as("doc_id")).agg(count(lit(1)).as("n_near"))
+    val ref = fp.select(col("doc_id")).join(quad, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    fp.unpersist()
+    assert(out == ref,
+      s"diff: ${(ref.toSet -- out.toSet).take(5)} vs ${(out.toSet -- ref.toSet).take(5)}")
+    // the fixture genuinely exercises the collapse: identical-text groups
+    // of 12 must report ≥ 11 partners each
+    assert((0 until 36).forall(i => out(i.toLong) >= 11), out.take(8).toString)
+  }
+
   test("X4j: repetition signals match hand-computed values; fixture keeps are mixed") {
     // doc 1 "a b a b a b a b": 7 bigrams ("a b"×4, "b a"×3) → top
     // 4/7 ≈ 0.571429; all 6 trigrams occur ≥2× → dup mass 1.0 → drop.
