@@ -624,19 +624,68 @@ object Dedup {
                                       nBands: Int, rowsPerBand: Int,
                                       threshold: Double): DataFrame = {
     val cap = bucketCap(s)
+    // 128-bit identical-vector group key (the textKey discipline carried
+    // into vector space: boilerplate docs produce byte-identical
+    // embeddings, the same pileup shape)
+    val vecKey = struct(xxhash64(col("e")).as("h1"),
+      xxhash64(lit(0x9E3779B97F4A7C15L), col("e")).as("h2"))
+    val e0 = Similarity.normed(s, dir)
+    // adaptive, as in x2MinHashLsh: pay the collapse/expansion only when
+    // identical vectors are measured to exist
+    val shape = e0.agg(count(lit(1)), countDistinct(vecKey)).head
+    val hasDupVecs = shape.getLong(0) != shape.getLong(1)
+
     // banded corpus feeds both candidate sides and both verification
     // joins — persist so signatures are computed once
-    val e = Similarity.bandedCorpus(s, dir, nBands, rowsPerBand).persist()
-    val bb = e.select(col("vec_id"), posexplode(col("bands")).as(Seq("band", "bh")))
-    val cand = cappedSelfPairs(bb, "vec_id", cap, "vec_a", "vec_b")
-    cand
-      .join(e.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("norm").as("na")), Seq("vec_a"))
-      .join(e.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("norm").as("nb")), Seq("vec_b"))
-      .withColumn("dot", graft.functions.VectorFunctions.dotF64(col("ea"), col("eb")))
-      .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
-      .filter(col("cosine") >= threshold)
-      .select(col("vec_a"), col("vec_b"), col("cosine"))
-      .orderBy("vec_a", "vec_b")
+    def pairsOver(e: DataFrame, outA: String, outB: String): DataFrame = {
+      val bb = e.select(col("vec_id"), posexplode(col("bands")).as(Seq("band", "bh")))
+      val cand = cappedSelfPairs(bb, "vec_id", cap, outA, outB)
+      cand
+        .join(e.select(col("vec_id").as(outA), col("e").as("ea"), col("norm").as("na")), Seq(outA))
+        .join(e.select(col("vec_id").as(outB), col("e").as("eb"), col("norm").as("nb")), Seq(outB))
+        .withColumn("dot", graft.functions.VectorFunctions.dotF64(col("ea"), col("eb")))
+        .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
+        .filter(col("cosine") >= threshold)
+        .select(col(outA), col(outB), col("cosine"))
+    }
+
+    if (!hasDupVecs) {
+      val e = Similarity.bandedCorpus(s, dir, nBands, rowsPerBand).persist()
+      pairsOver(e, "vec_a", "vec_b").orderBy("vec_a", "vec_b")
+    } else {
+      // collapse to min-vec_id representatives: identical vectors share
+      // every cosine and every band, so a verified rep pair holds for all
+      // member combinations, a within-group pair's cosine is the rep's
+      // self-cosine (computed through the SAME rounded arithmetic as the
+      // exact twin, not synthesized as a literal), and a rep pair missed
+      // by banding would have been missed at doc granularity too — the
+      // subset-of-exact contract is preserved while a k-copy template
+      // costs one row per band bucket instead of k²
+      val memb = e0.select(col("vec_id"), vecKey.as("vk")).persist()
+      val reps = memb.groupBy(col("vk")).agg(min(col("vec_id")).as("vec_id"))
+      val e = Similarity.bandedCorpus(s, dir, nBands, rowsPerBand)
+        .join(reps.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .persist()
+      val verified = pairsOver(e, "rep_a", "rep_b")
+      val grp = memb.join(reps.select(col("vk"), col("vec_id").as("rep_id")), Seq("vk"))
+        .select(col("vec_id"), col("rep_id"))
+      val selfCos = e.select(col("vec_id").as("rep_id"),
+        round(graft.functions.VectorFunctions.dotF64(col("e"), col("e")) /
+          (col("norm") * col("norm")), 6).as("cosine"))
+      val withinGroup = grp.as("a").join(grp.as("b"),
+          col("a.rep_id") === col("b.rep_id") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("a.rep_id").as("rep_id"))
+        .join(selfCos, Seq("rep_id"))
+        .filter(col("cosine") >= threshold)
+        .select(col("vec_a"), col("vec_b"), col("cosine"))
+      val crossGroup = verified
+        .join(grp.select(col("rep_id").as("rep_a"), col("vec_id").as("va")), Seq("rep_a"))
+        .join(grp.select(col("rep_id").as("rep_b"), col("vec_id").as("vb")), Seq("rep_b"))
+        .select(least(col("va"), col("vb")).as("vec_a"),
+          greatest(col("va"), col("vb")).as("vec_b"), col("cosine"))
+      withinGroup.unionByName(crossGroup).orderBy("vec_a", "vec_b")
+    }
   }
 
   /** X2g — INCREMENTAL near-dup admission: a new batch of documents

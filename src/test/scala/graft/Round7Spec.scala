@@ -225,6 +225,42 @@ class Round7Spec extends SparkSpec {
     assert(rounds <= 10, s"expected O(log diameter) convergence, took $rounds rounds")
   }
 
+  test("X2d: vector-collapsed embedding LSH equals the quadratic form on duplicate vectors") {
+    // 10 identical copies of u, 5 near-copies at cosine ≈ 0.99995
+    // (balanced ±1% scaling), 20 mutually-orthogonal basis vectors —
+    // the collapse engages (identical vectors exist) and the 8×8
+    // geometry catches every ≥0.9 pair, so guarded output == all-pairs
+    import spark.implicits._
+    val u = (0 until 64).map(j => 1.0f + 0.1f * (j % 7))
+    val near = (0 until 5).map { i =>
+      u.zipWithIndex.map { case (v, j) => v * (1.0f + 0.01f * (if ((j + i) % 2 == 0) 1 else -1)) }
+    }
+    val basis = (0 until 20).map(i => (0 until 64).map(j => if (j == i) 5.0f else 0.0f))
+    val vecs: Seq[(Long, Seq[Float])] =
+      (0 until 10).map(i => (i.toLong, u)) ++
+      near.zipWithIndex.map { case (v, i) => ((100 + i).toLong, v) } ++
+      basis.zipWithIndex.map { case (v, i) => ((200 + i).toLong, v) }
+    val dir = tmpDir("r7-emb-dup")
+    vecs.toDF("vec_id", "embedding").repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val lsh = Dedup.x2EmbeddingLshAt(spark, dir, 8, 8, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("norm", sqrt(graft.functions.VectorFunctions.dotF64(col("e"), col("e"))))
+    val exact = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", round(
+        graft.functions.VectorFunctions.dotF64(col("a.e"), col("b.e")) /
+          (col("a.norm") * col("b.norm")), 6))
+      .filter(col("cosine") >= 0.9)
+      .select(col("a.vec_id"), col("b.vec_id"), col("cosine")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == exact,
+      s"missing=${(exact -- lsh).take(5)} extra=${(lsh -- exact).take(5)}")
+    // C(10,2) identical + 10×5 copy-to-near + C(5,2) near-to-near
+    assert(exact.size == 45 + 50 + 10, s"fixture shape changed: ${exact.size}")
+  }
+
   test("X2c: fp-collapsed SimHash partner counts equal the quadratic form on boilerplate") {
     // 3 templates × 12 identical copies + near-identicals + uniques: the
     // fp-distinct band join must reproduce the doc-level quadratic count
