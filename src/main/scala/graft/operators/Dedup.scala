@@ -812,6 +812,10 @@ object Dedup {
     *
     * Scale shape: shingles are hashed per doc (narrow map, distinct
     * within doc), and the overlap join keys on the 8-byte shingle hash.
+    * A 64-bit collision can only OVER-flag (a clean train doc matches an
+    * eval shingle it doesn't contain) — the conservative direction for
+    * decontamination; the expected count stays single-digit even at
+    * 10¹³ train × 10⁷ eval shingles.
     * At 100 TB the eval side is a benchmark suite — megabytes — so its
     * shingle set BROADCASTS and the train side never shuffles at all;
     * at fixture scale both sides are corpus splits and the join
