@@ -117,6 +117,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("x4_repetition: doubling ANY fixture document trips the repetition gate") {
+    // doc T → T ⧺ T: every trigram of T recurs in the second copy, so
+    // duplicated-trigram mass ≥ 2(n−2)/(2n−1) > 1/2 for n ≥ 5 tokens —
+    // far over the 0.05 gate. A corpus-wide invariant over all 500 real
+    // fixture texts, not a hand-picked example.
+    val dir = tmpDir("prop-rep-doubled")
+    graft.engine.Tables.documents(spark, sfDir)
+      .filter(size(split(col("text"), " ")) >= 5)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text"),
+        col("source"), col("lang"),
+        (col("n_chars") * 2 + 1).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextAnalysis.x4Repetition(spark, dir)
+    assert(out.count() > 0)
+    assert(out.filter(col("keep")).count() == 0,
+      "a doubled document must never pass the repetition gate")
+    assert(out.filter(col("dup_trigram_frac") <= 0.5).count() == 0,
+      "duplicated-trigram mass of a doubled doc is provably > 1/2")
+  }
+
   test("TopKPerGroup == window row_number form on arbitrary grouped data") {
     forAll(rows, Gen.chooseNum(1, 6)) { (xs, k) =>
       val df = xs.toDF("g", "v")
