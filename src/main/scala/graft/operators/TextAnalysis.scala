@@ -357,6 +357,114 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** X4k — the composed prep-filter funnel with per-stage DROP
+    * ATTRIBUTION: every document is labeled with the FIRST gate it
+    * fails — `short` (< 3 tokens) → `quality` (composite score,
+    * [[x4Quality]]'s formula, < 0.65) → `repetition` (either
+    * [[x4Repetition]] signal > 0.05) → `exact_dup` (not the min-doc_id
+    * of its identical-text group) → `keep`. This is the data-accounting
+    * view a production training-data pipeline publishes next to the
+    * corpus itself (how much was dropped, and WHY, per stage) — the
+    * audit that `dag_training_prep`'s silent filters don't expose.
+    *
+    * Stage order is the production cheap-gates-first order (narrow maps
+    * before any wide stage), and it commutes with the dedup stage:
+    * identical texts score identically on every per-doc gate, so a
+    * group fails or survives the gates as a unit and the min-id
+    * representative is the same whether dedup runs first or last.
+    *
+    * Scale shape: quality is a pure narrow map; repetition is the
+    * [[x4Repetition]] explode + doc_id-keyed two-phase aggregate (the
+    * adversarial, repetitive doc compresses best map-side); the dedup
+    * stage shuffles a 128-bit text digest (md5 — portable to the
+    * oracle dialect), never the text itself. No self-joins, no windows
+    * over the corpus-wide key space — the widest shuffle key is
+    * (digest) with group size = duplicate multiplicity.
+    */
+  def x4PrepFunnel(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("n", size(col("tk")).cast("double"))
+      .withColumn("quality", round(
+        least(col("n") / 100.0, lit(1.0)) * 0.3
+          + size(array_distinct(col("tk"))).cast("double") / col("n") * 0.3
+          + (lit(1.0) - expr("size(filter(tk, t -> t IN ('a', 'the')))").cast("double") / col("n")) * 0.4,
+        6))
+    val grams = d.filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(concat(
+        transform(sequence(lit(1), size(col("tk")) - 1), i =>
+          struct(lit(2).as("n"), concat_ws(" ", element_at(col("tk"), i),
+            element_at(col("tk"), i + 1)).as("g"))),
+        transform(sequence(lit(1), size(col("tk")) - 2), i =>
+          struct(lit(3).as("n"), concat_ws(" ", element_at(col("tk"), i),
+            element_at(col("tk"), i + 1),
+            element_at(col("tk"), i + 2)).as("g"))))).as("e"))
+      .select(col("doc_id"), col("e.n").as("gn"), col("e.g").as("g"))
+    val rep = grams.groupBy(col("doc_id"), col("gn"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("gn"))
+      .agg(max(col("c")).as("maxc"), sum(col("c")).as("tot"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dupmass"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("gn") === 2,
+          round(col("maxc") / col("tot"), 6))).as("top_bigram_frac"),
+        max(when(col("gn") === 3,
+          round(col("dupmass") / col("tot"), 6))).as("dup_trigram_frac"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+    d.join(rep, Seq("doc_id"), "left")
+      .withColumn("min_id", min(col("doc_id")).over(w))
+      .withColumn("stage",
+        when(col("n") < 3, "short")
+          .when(col("quality") < 0.65, "quality")
+          .when(col("top_bigram_frac") > 0.05 || col("dup_trigram_frac") > 0.05, "repetition")
+          .when(col("doc_id") =!= col("min_id"), "exact_dup")
+          .otherwise("keep"))
+      .select(col("doc_id"), col("quality"),
+        col("top_bigram_frac"), col("dup_trigram_frac"),
+        col("stage"), (col("stage") === "keep").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val x4PrepFunnelSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+      |q AS (
+      |  SELECT doc_id, text, len(tk) AS n,
+      |    round(least(len(tk) / 100.0, 1.0) * 0.3
+      |        + (len(list_distinct(tk)) * 1.0 / len(tk)) * 0.3
+      |        + (1.0 - len(list_filter(tk, t -> t IN ('a', 'the'))) * 1.0 / len(tk)) * 0.4,
+      |      6) AS quality
+      |  FROM d),
+      |g AS (
+      |  SELECT doc_id, 2 AS gn, tk[i] || ' ' || tk[i + 1] AS g
+      |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM d
+      |        WHERE len(tk) >= 3)
+      |  UNION ALL
+      |  SELECT doc_id, 3 AS gn, tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS g
+      |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM d
+      |        WHERE len(tk) >= 3)),
+      |c AS (SELECT doc_id, gn, g, count(*) AS c FROM g GROUP BY doc_id, gn, g),
+      |p AS (SELECT doc_id, gn, max(c) AS maxc, sum(c) AS tot,
+      |        sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupmass
+      |      FROM c GROUP BY doc_id, gn),
+      |r AS (SELECT doc_id,
+      |        max(CASE WHEN gn = 2 THEN round(maxc * 1.0 / tot, 6) END) AS top_bigram_frac,
+      |        max(CASE WHEN gn = 3 THEN round(dupmass * 1.0 / tot, 6) END) AS dup_trigram_frac
+      |      FROM p GROUP BY doc_id),
+      |staged AS (
+      |  SELECT q.doc_id, q.quality, r.top_bigram_frac, r.dup_trigram_frac,
+      |    CASE WHEN q.n < 3 THEN 'short'
+      |         WHEN q.quality < 0.65 THEN 'quality'
+      |         WHEN r.top_bigram_frac > 0.05 OR r.dup_trigram_frac > 0.05 THEN 'repetition'
+      |         WHEN q.doc_id <> min(q.doc_id) OVER (PARTITION BY md5(q.text)) THEN 'exact_dup'
+      |         ELSE 'keep' END AS stage
+      |  FROM q LEFT JOIN r USING (doc_id))
+      |SELECT doc_id, quality, top_bigram_frac, dup_trigram_frac, stage,
+      |  stage = 'keep' AS keep
+      |FROM staged ORDER BY doc_id""".stripMargin
+
   val x4RepetitionSql: String =
     """WITH t AS (
       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents

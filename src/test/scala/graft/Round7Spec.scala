@@ -323,4 +323,50 @@ class Round7Spec extends SparkSpec {
     val exec = fxDf.queryExecution.executedPlan.toString
     assert("HashAggregate".r.findAllIn(exec).size >= 4, exec.take(800))
   }
+
+  test("X4k prep funnel: every stage fires on a planted corpus, first-failure attribution") {
+    // one doc per stage, constructed to fail EXACTLY its own gate:
+    //   0 short: 2 tokens
+    //   1 quality: pure filler — diversity 2/8, filler ratio 1
+    //   2 repetition: 90 unique tokens + 'x y' ×6 → quality 0.97 but
+    //     top bigram 6/101 ≈ 0.0594 > 0.05
+    //   3/4 identical good text → min-id 3 keeps, 4 is exact_dup
+    //   5 unique good text → keep
+    val good = tokens("k", 60)
+    val docs = Seq(
+      (0L, "a b"),
+      (1L, Seq.fill(4)("the a").mkString(" ")),
+      (2L, tokens("q", 90) + " " + Seq.fill(6)("x y").mkString(" ")),
+      (3L, good),
+      (4L, good),
+      (5L, tokens("u", 60)))
+    val dir = tmpDir("r7-funnel")
+    writeDocs(docs, dir)
+    val out = graft.operators.TextAnalysis.x4PrepFunnel(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(4), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      (0L, "short", false),
+      (1L, "quality", false),
+      (2L, "repetition", false),
+      (3L, "keep", true),
+      (4L, "exact_dup", false),
+      (5L, "keep", true)), s"got ${out.toSeq}")
+    // a gate a doc never reaches must not relabel it: doc 4's text is
+    // also high-quality and low-repetition, so only the dedup stage can
+    // claim it — and doc 3, bit-identical, must stay 'keep'
+    val fx = graft.operators.TextAnalysis.x4PrepFunnel(spark, sfDir)
+    val stages = fx.groupBy(col("stage")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the fixture corpus (all-distinct, no shorts) must split on the
+    // per-doc gates and keep a real remainder — the funnel is a
+    // decision, not a constant
+    assert(stages.keySet.subsetOf(Set("short", "quality", "repetition", "exact_dup", "keep")))
+    assert(stages.getOrElse("keep", 0L) > 0 &&
+      (stages.getOrElse("quality", 0L) > 0 || stages.getOrElse("repetition", 0L) > 0),
+      s"fixture stages: $stages")
+    // scale pin: the dedup stage shuffles the 128-bit digest, never the
+    // raw text — the window's partition expression is md5-keyed
+    val p = fx.queryExecution.executedPlan.toString
+    assert(p.contains("md5"), p.take(800))
+  }
 }
