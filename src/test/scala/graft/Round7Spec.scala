@@ -364,9 +364,14 @@ class Round7Spec extends SparkSpec {
     assert(stages.getOrElse("keep", 0L) > 0 &&
       (stages.getOrElse("quality", 0L) > 0 || stages.getOrElse("repetition", 0L) > 0),
       s"fixture stages: $stages")
-    // scale pin: the dedup stage shuffles the 128-bit digest, never the
-    // raw text — the window's partition expression is md5-keyed
+    // scale pins: the dedup stage shuffles the 128-bit digest, never the
+    // raw text — the window's partition expression is md5-keyed — and
+    // the scan reads only (doc_id, text) despite the 5-column table
     val p = fx.queryExecution.executedPlan.toString
     assert(p.contains("md5"), p.take(800))
+    val fmt = fx.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(fmt.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      fmt.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
   }
 }
