@@ -28,8 +28,10 @@ object Bench {
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     var errors = List.empty[String]
     // best-of-N per query: single-run wall times on a shared box swing
-    // 2-4x from GC/scheduler noise; the min is the stable cost signal
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // 2-7x from GC/scheduler noise (measured: the same query at 2.9 s
+    // and 7.6 s in back-to-back runs); the min is the stable cost
+    // signal, and two samples are not enough to reliably catch it
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
