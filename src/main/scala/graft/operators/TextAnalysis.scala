@@ -104,20 +104,25 @@ object TextAnalysis {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** Composite quality score over a token-array column: length
+    * saturation, lexical diversity, and filler-token penalty — shared by
+    * [[x4Quality]] and the [[x4PrepFunnel]] quality gate.
+    */
+  private def qualityCol(tk: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val n = size(tk).cast("double")
+    round(
+      least(n / 100.0, lit(1.0)) * 0.3
+        + size(array_distinct(tk)).cast("double") / n * 0.3
+        + (lit(1.0) - size(filter(tk, t => t === "a" || t === "the")).cast("double") / n) * 0.4,
+      6)
+  }
+
   /** X4d — composite quality score: length saturation, lexical diversity,
     * and filler-token penalty, each a deterministic double expression.
     */
   def x4Quality(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n", size(col("toks")).cast("double"))
-      .withColumn("len_score", least(col("n") / 100.0, lit(1.0)))
-      .withColumn("diversity", size(array_distinct(col("toks"))).cast("double") / col("n"))
-      .withColumn("filler_ratio",
-        expr("size(filter(toks, t -> t IN ('a', 'the'))) ").cast("double") / col("n"))
-      .select(col("doc_id"),
-        round(col("len_score") * 0.3 + col("diversity") * 0.3 + (lit(1.0) - col("filler_ratio")) * 0.4, 6)
-          .as("quality"))
+      .select(col("doc_id"), qualityCol(split(col("text"), " ")).as("quality"))
       .orderBy("doc_id")
 
   val x4QualitySql: String =
@@ -328,10 +333,21 @@ object TextAnalysis {
     * input is the cheap one. Docs under 3 tokens carry no trigram and
     * are excluded (same floor as the dedup family).
     */
-  def x4Repetition(s: SparkSession, dir: String): DataFrame = {
-    val t = Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .filter(size(col("tk")) >= 3)
+  def x4Repetition(s: SparkSession, dir: String): DataFrame =
+    repetitionFractions(Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 3))
+      .withColumn("keep",
+        col("top_bigram_frac") <= 0.05 && col("dup_trigram_frac") <= 0.05)
+      .orderBy("doc_id")
+
+  /** Per-doc repetition fractions over a (doc_id, tk) frame of ≥3-token
+    * docs — the [[x4Repetition]] gram pipeline, shared with
+    * [[x4PrepFunnel]]'s repetition gate: one explode to tagged
+    * (doc_id, gn, gram) rows, one two-phase hash aggregate, two per-doc
+    * reductions.
+    */
+  private def repetitionFractions(t: DataFrame): DataFrame = {
     val grams = t.select(col("doc_id"), explode(concat(
         transform(sequence(lit(1), size(col("tk")) - 1), i =>
           struct(lit(2).as("n"), concat_ws(" ", element_at(col("tk"), i),
@@ -340,21 +356,18 @@ object TextAnalysis {
           struct(lit(3).as("n"), concat_ws(" ", element_at(col("tk"), i),
             element_at(col("tk"), i + 1),
             element_at(col("tk"), i + 2)).as("g"))))).as("e"))
-      .select(col("doc_id"), col("e.n").as("n"), col("e.g").as("g"))
-    grams.groupBy(col("doc_id"), col("n"), col("g"))
+      .select(col("doc_id"), col("e.n").as("gn"), col("e.g").as("g"))
+    grams.groupBy(col("doc_id"), col("gn"), col("g"))
       .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("n"))
+      .groupBy(col("doc_id"), col("gn"))
       .agg(max(col("c")).as("maxc"), sum(col("c")).as("tot"),
         sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dupmass"))
       .groupBy(col("doc_id"))
       .agg(
-        max(when(col("n") === 2,
+        max(when(col("gn") === 2,
           round(col("maxc") / col("tot"), 6))).as("top_bigram_frac"),
-        max(when(col("n") === 3,
+        max(when(col("gn") === 3,
           round(col("dupmass") / col("tot"), 6))).as("dup_trigram_frac"))
-      .withColumn("keep",
-        col("top_bigram_frac") <= 0.05 && col("dup_trigram_frac") <= 0.05)
-      .orderBy("doc_id")
   }
 
   /** X4k — the composed prep-filter funnel with per-stage DROP
@@ -386,32 +399,9 @@ object TextAnalysis {
       .select(col("doc_id"), col("text"))
       .withColumn("tk", split(col("text"), " "))
       .withColumn("n", size(col("tk")).cast("double"))
-      .withColumn("quality", round(
-        least(col("n") / 100.0, lit(1.0)) * 0.3
-          + size(array_distinct(col("tk"))).cast("double") / col("n") * 0.3
-          + (lit(1.0) - expr("size(filter(tk, t -> t IN ('a', 'the')))").cast("double") / col("n")) * 0.4,
-        6))
-    val grams = d.filter(size(col("tk")) >= 3)
-      .select(col("doc_id"), explode(concat(
-        transform(sequence(lit(1), size(col("tk")) - 1), i =>
-          struct(lit(2).as("n"), concat_ws(" ", element_at(col("tk"), i),
-            element_at(col("tk"), i + 1)).as("g"))),
-        transform(sequence(lit(1), size(col("tk")) - 2), i =>
-          struct(lit(3).as("n"), concat_ws(" ", element_at(col("tk"), i),
-            element_at(col("tk"), i + 1),
-            element_at(col("tk"), i + 2)).as("g"))))).as("e"))
-      .select(col("doc_id"), col("e.n").as("gn"), col("e.g").as("g"))
-    val rep = grams.groupBy(col("doc_id"), col("gn"), col("g"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("gn"))
-      .agg(max(col("c")).as("maxc"), sum(col("c")).as("tot"),
-        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dupmass"))
-      .groupBy(col("doc_id"))
-      .agg(
-        max(when(col("gn") === 2,
-          round(col("maxc") / col("tot"), 6))).as("top_bigram_frac"),
-        max(when(col("gn") === 3,
-          round(col("dupmass") / col("tot"), 6))).as("dup_trigram_frac"))
+      .withColumn("quality", qualityCol(col("tk")))
+    val rep = repetitionFractions(d.filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), col("tk")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
     d.join(rep, Seq("doc_id"), "left")
       .withColumn("min_id", min(col("doc_id")).over(w))

@@ -138,6 +138,32 @@ class PropertySpec extends SparkSpec {
       "duplicated-trigram mass of a doubled doc is provably > 1/2")
   }
 
+  test("x4_prep_funnel: appending an exact copy of every fixture doc changes no original label; copies inherit gate labels, dup on keep") {
+    // corpus-wide invariant over all real fixture texts: per-doc gates
+    // see only the text (identical text ⇒ identical verdict), so a copy
+    // must land on its original's gate — except a copy of a 'keep' doc,
+    // which the min-id dedup stage must relabel 'exact_dup'. And no
+    // copy may ever be 'keep'.
+    val base = graft.operators.TextAnalysis.x4PrepFunnel(spark, sfDir)
+      .select(col("doc_id"), col("stage")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dir = tmpDir("prop-funnel-copies")
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+    docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextAnalysis.x4PrepFunnel(spark, dir)
+      .select(col("doc_id"), col("stage")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == base.size * 2)
+    base.foreach { case (id, stage) =>
+      assert(out(id) == stage,
+        s"original doc $id relabeled: ${out(id)} != $stage")
+      val expected = if (stage == "keep") "exact_dup" else stage
+      assert(out(id + 1000000L) == expected,
+        s"copy of $id ($stage): ${out(id + 1000000L)} != $expected")
+    }
+  }
+
   test("TopKPerGroup == window row_number form on arbitrary grouped data") {
     forAll(rows, Gen.chooseNum(1, 6)) { (xs, k) =>
       val df = xs.toDF("g", "v")
