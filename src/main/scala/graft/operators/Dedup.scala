@@ -688,6 +688,67 @@ object Dedup {
     }
   }
 
+  /** X2d'' — [[x2EmbeddingLsh]] with the banding geometry DERIVED from
+    * the corpus size instead of read from constants — the 100 TB sizing
+    * rule made code. The fixed fixture geometry (6×3: 8 bucket values
+    * per band) keeps oracle equality at the cosine-0.5 fixture regime
+    * but degenerates as n grows: expected bucket population is n/2^p,
+    * so a geometry that was sparse at 2k vectors is a pileup at 2M and
+    * every bucket overflows the cap at 20M (the measured STRESS_r7
+    * `x2_embedding_lsh` ×10 artifact). Here p (planes per band) grows
+    * with log2(n) to hold the expected bucket population at a constant
+    * target, and the band count is derived from the analytic recall
+    * bound at the near-dup operating threshold (cosine 0.9) — so the
+    * SAME call is correctly sized at every corpus scale, which is the
+    * property a 100 TB deployment actually needs. The per-bucket cap
+    * ([[cappedSelfPairs]]) stays as the backstop for residual skew
+    * (identical-vector pileups are collapsed first, as in
+    * [[x2EmbeddingLshAt]]).
+    *
+    * On the structureless fixtures the ≥0.9 answer is empty (max
+    * pairwise cosine ≈ 0.51) — the oracle twin pins exactly that (no
+    * false positives); the positive path (planted cosine-0.995 twins
+    * found in full at auto geometry) is pinned in Round7Spec.
+    */
+  def x2EmbeddingLshAuto(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(s, dir).count()
+    val (nBands, planes) = embeddingGeometry(n)
+    x2EmbeddingLshAt(s, dir, nBands, planes, 0.9)
+  }
+
+  /** Banding geometry from corpus size. Planes per band p =
+    * log2(n / targetBucketPop), clamped to [4, 12] (12 planes = 4096
+    * bucket values per band, enough to hold the target population up to
+    * n ≈ 2.6e5 per PARTITION-of-the-keyspace; past the clamp the
+    * per-bucket cap carries the residual). Bands b from the recall
+    * bound: a cosine-c pair agrees with one plane with probability
+    * 1 − acos(c)/π, with a whole band with that to the p-th power, and
+    * with ≥1 of b bands with 1 − (1−perBand)^b — solve for b at the
+    * floor. Raising n 100× adds ~6.6 planes and the bands the flatter
+    * per-band probability demands; candidate volume per vector stays
+    * ~bands × targetBucketPop instead of growing linearly with n.
+    */
+  private[graft] def embeddingGeometry(n: Long, threshold: Double = 0.9,
+                                       recallFloor: Double = 0.999,
+                                       targetBucketPop: Int = 64): (Int, Int) = {
+    val planes = math.min(12, math.max(4,
+      math.ceil(math.log(math.max(2.0, n.toDouble / targetBucketPop)) / math.log(2.0)).toInt))
+    val perPlane = 1.0 - math.acos(threshold) / math.Pi
+    val perBand = math.pow(perPlane, planes)
+    val nBands = math.max(4, math.ceil(math.log1p(-recallFloor) / math.log1p(-perBand)).toInt)
+    (nBands, planes)
+  }
+
+  val x2EmbeddingAutoSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+      |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      |  FROM embeddings)
+      |SELECT vec_a, vec_b, cosine FROM (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    round(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6) AS cosine
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |WHERE cosine >= 0.9 ORDER BY vec_a, vec_b""".stripMargin
+
   /** X2g — INCREMENTAL near-dup admission: a new batch of documents
     * (doc_id % 5 == 0, 20% of the corpus at every SF) is admitted against
     * the already-ingested corpus (the other 80%); a batch doc is dropped

@@ -324,6 +324,54 @@ class Round7Spec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(exec).size >= 4, exec.take(800))
   }
 
+  test("X2d'': auto-sized embedding LSH finds every planted twin and sizes with the corpus") {
+    // positive path for the corpus-size-derived geometry: 40 base
+    // near-orthogonal vectors, each 4th with a planted twin at cosine
+    // ≈ 0.9999 — auto geometry must equal the quadratic ≥0.9 form
+    import spark.implicits._
+    val base = (0 until 40).map { i =>
+      (0 until 64).map(j => if (j == i) 4.0f else if (j == 63) 0.3f * (i % 5) else 0.0f)
+    }
+    // per-dim ±2% perturbation, not a scalar multiple — a parallel twin
+    // would share the exact sign signature and prove nothing about the
+    // banding
+    val twins = (0 until 40 by 4).map { i =>
+      (1000 + i, base(i).zipWithIndex.map { case (v, j) =>
+        v * (if (j % 2 == 0) 1.02f else 0.98f)
+      })
+    }
+    val vecs: Seq[(Long, Seq[Float])] =
+      base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      twins.map { case (id, v) => (id.toLong, v: Seq[Float]) }
+    val dir = tmpDir("r7-emb-auto")
+    vecs.toDF("vec_id", "embedding").repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val auto = Dedup.x2EmbeddingLshAuto(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("norm", sqrt(graft.functions.VectorFunctions.dotF64(col("e"), col("e"))))
+    val exact = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", round(
+        graft.functions.VectorFunctions.dotF64(col("a.e"), col("b.e")) /
+          (col("a.norm") * col("b.norm")), 6))
+      .filter(col("cosine") >= 0.9)
+      .select(col("a.vec_id"), col("b.vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == exact,
+      s"missing=${(exact -- auto).take(5)} extra=${(auto -- exact).take(5)}")
+    assert(exact.size >= 10, s"fixture shape changed: ${exact.size}")
+    // the sizing law: bucket-value count 2^planes tracks n (constant
+    // expected population), never shrinks, and clamps at 12 planes
+    val small = Dedup.embeddingGeometry(2000L)
+    val large = Dedup.embeddingGeometry(200000L)
+    val huge = Dedup.embeddingGeometry(20000000L)
+    assert(small._2 == 5 && large._2 == 12 && huge._2 == 12,
+      s"planes: $small $large $huge")
+    assert(small._1 >= 4 && large._1 > small._1,
+      "flatter per-band probability must buy more bands")
+  }
+
   test("X4k prep funnel: every stage fires on a planted corpus, first-failure attribution") {
     // one doc per stage, constructed to fail EXACTLY its own gate:
     //   0 short: 2 tokens
