@@ -208,6 +208,25 @@ object StressBench {
     val (ebSec, ebRows) = timeEmb(embBase)
     val (exSec, exRows) = timeEmb(embBig)
 
+    // --- the corpus-size-auto-sized geometry (X2d'') on the same
+    // planted corpora: ONE call, correctly sized at both scales — pairs
+    // must track the planted count and the chosen geometry must widen
+    // with n ---
+    def timeEmbAuto(dir: String): (Double, Long) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val rows = graft.operators.Dedup.x2EmbeddingLshAuto(spark, dir).count()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    val (abSec, abRows) = timeEmbAuto(embBase)
+    val (axSec, axRows) = timeEmbAuto(embBig)
+    def geomOf(dir: String): String = {
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val (b, p) = graft.operators.Dedup.embeddingGeometry(n)
+      s"${b}x$p"
+    }
+    val (abGeom, axGeom) = (geomOf(embBase), geomOf(embBig))
+
     // --- long-chain clustering (r7 item 6): 256-doc pure chain, the
     // worst diameter shape — propagation must stay logarithmic ---
     val chainDir = s"$work/chain"
@@ -247,6 +266,9 @@ object StressBench {
       f""""embplant":{"planted_base":$plantedBase,"planted_x10":$plantedBig,""" +
       f""""base_sec":$ebSec%.3f,"base_pairs":$ebRows,"x10_sec":$exSec%.3f,"x10_pairs":$exRows,""" +
       f""""time_ratio":${exSec / ebSec}%.2f,"pair_ratio":${exRows.toDouble / math.max(ebRows, 1)}%.2f},""" +
+      f""""embauto":{"base_geom":"$abGeom","x10_geom":"$axGeom",""" +
+      f""""base_sec":$abSec%.3f,"base_pairs":$abRows,"x10_sec":$axSec%.3f,"x10_pairs":$axRows,""" +
+      f""""time_ratio":${axSec / abSec}%.2f,"pair_ratio":${axRows.toDouble / math.max(abRows, 1)}%.2f},""" +
       f""""chain":{"docs":256,"edges":$chainEdges,"rounds":$chainRounds,"clusters":$chainClusters,"sec":$chainSec%.3f}}""")
     spark.stop()
   }

@@ -215,6 +215,40 @@ object Dedup {
       |SELECT doc AS doc_id, min(r) AS cluster_rep
       |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
 
+  /** X2f' — the dedup MATERIALIZATION: the corpus that survives near-dup
+    * removal, i.e. the table a training run actually reads. A document
+    * is dropped iff it sits in a dup cluster and is not the cluster's
+    * min-id representative; documents in no cluster — including sub-
+    * 3-token docs the signing floor exempts — are kept. Built on the
+    * LSH-sourced cluster labels ([[x2DupClusters]]): the label table is
+    * dup-cluster-sized (orders of magnitude smaller than the corpus), so
+    * the final anti-join broadcasts at scale and the corpus is read
+    * exactly once here.
+    */
+  def x2DedupKeep(s: SparkSession, dir: String): DataFrame = {
+    val dropped = x2DupClusters(s, dir)
+      .filter(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle twin of [[x2DedupKeep]], derived from [[x2DupClustersSql]]'s
+    * own recursive-CTE text (shared prefix — the two cannot drift).
+    */
+  val x2DedupKeepSql: String = {
+    val marker = "SELECT doc AS doc_id, min(r) AS cluster_rep\nFROM reach GROUP BY doc ORDER BY doc_id"
+    require(x2DupClustersSql.endsWith(marker), "x2DupClustersSql tail changed")
+    x2DupClustersSql.stripSuffix(marker) +
+      """,clusters AS (
+        |  SELECT doc AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY doc)
+        |SELECT d.doc_id, d.source, d.lang FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_rep)
+        |ORDER BY d.doc_id""".stripMargin
+  }
+
   private val P = 1000000007L
 
   /** Per-(band, band-hash) bucket population cap for LSH candidate

@@ -372,6 +372,19 @@ class Round7Spec extends SparkSpec {
       "flatter per-band probability must buy more bands")
   }
 
+  test("X2f': dedup keep-set = documents minus non-representative cluster members") {
+    val docs = graft.engine.Tables.documents(spark, sfDir).select(col("doc_id"))
+    val labels = Dedup.x2DupClusters(spark, sfDir).persist()
+    val nonRep = labels.filter(col("doc_id") =!= col("cluster_rep"))
+    val keep = Dedup.x2DedupKeep(spark, sfDir).select(col("doc_id")).persist()
+    assert(keep.count() == docs.count() - nonRep.count())
+    // every cluster representative is kept; every non-rep member is not
+    assert(labels.filter(col("doc_id") === col("cluster_rep"))
+      .join(keep, Seq("doc_id"), "left_anti").count() == 0)
+    assert(nonRep.join(keep, Seq("doc_id"), "left_semi").count() == 0)
+    labels.unpersist(); keep.unpersist()
+  }
+
   test("X4k prep funnel: every stage fires on a planted corpus, first-failure attribution") {
     // one doc per stage, constructed to fail EXACTLY its own gate:
     //   0 short: 2 tokens
