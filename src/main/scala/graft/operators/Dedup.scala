@@ -950,6 +950,45 @@ object Dedup {
       |FROM sh t JOIN sh e ON t.s = e.s AND t.bucket < 96 AND e.bucket >= 96
       |GROUP BY t.doc_id ORDER BY train_id""".stripMargin
 
+  /** X7' — the decontamination MATERIALIZATION, completing X7 the way
+    * [[x2DedupKeep]] completes X2: the train split minus every doc that
+    * shares an 8-gram with the eval split — the corpus a training run
+    * reads after decontamination. Train docs under the 8-token shingle
+    * floor carry no shingles, cannot be contaminated, and are kept.
+    * Scale shape: the contaminated id list is a small fraction of the
+    * corpus (it is bounded by the eval overlap), so the final anti-join
+    * broadcasts; the overlap join itself is the [[x7Decontaminate]]
+    * plan, eval side broadcastable.
+    */
+  def x7DecontamKeep(s: SparkSession, dir: String): DataFrame = {
+    val contaminated = x7Decontaminate(s, dir)
+      .select(col("train_id").as("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long") % 100)
+      .filter(col("bucket") < 96)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  /** Keep the shingle/bucket CTEs textually in sync with
+    * [[x7DecontaminateSql]] (shared prefix — derived, cannot drift).
+    */
+  val x7DecontamKeepSql: String = {
+    val marker = "SELECT t.doc_id AS train_id, count(DISTINCT t.s) AS n_shared,\n  count(DISTINCT e.doc_id) AS n_eval_docs\nFROM sh t JOIN sh e ON t.s = e.s AND t.bucket < 96 AND e.bucket >= 96\nGROUP BY t.doc_id ORDER BY train_id"
+    require(x7DecontaminateSql.endsWith(marker), "x7DecontaminateSql tail changed")
+    x7DecontaminateSql.stripSuffix(marker) +
+      """,contaminated AS (
+        |  SELECT DISTINCT t.doc_id
+        |  FROM sh t JOIN sh e ON t.s = e.s AND t.bucket < 96 AND e.bucket >= 96)
+        |SELECT d.doc_id, d.source, d.lang
+        |FROM documents d JOIN b ON d.doc_id = b.doc_id
+        |WHERE b.bucket < 96
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |ORDER BY d.doc_id""".stripMargin
+  }
+
   val x2IncrementalSql: String =
     """WITH sh AS (
       |  SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]

@@ -385,6 +385,24 @@ class Round7Spec extends SparkSpec {
     labels.unpersist(); keep.unpersist()
   }
 
+  test("X7': decontam keep-set = train split minus contaminated; sub-floor train docs kept") {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100
+    val train = graft.engine.Tables.documents(spark, sfDir)
+      .withColumn("bucket", bucket).filter(col("bucket") < 96)
+      .select(col("doc_id")).persist()
+    val contaminated = Dedup.x7Decontaminate(spark, sfDir)
+      .select(col("train_id").as("doc_id")).persist()
+    val keep = Dedup.x7DecontamKeep(spark, sfDir).select(col("doc_id")).persist()
+    assert(keep.count() == train.count() - contaminated.count())
+    assert(contaminated.join(keep, Seq("doc_id"), "left_semi").count() == 0)
+    // keep ∪ contaminated = the train split exactly (nothing invented,
+    // nothing beyond the split dropped)
+    assert(keep.unionByName(contaminated).exceptAll(train).count() == 0)
+    assert(train.exceptAll(keep.unionByName(contaminated)).count() == 0)
+    Seq(train, contaminated, keep).foreach(_.unpersist())
+  }
+
   test("X4k prep funnel: every stage fires on a planted corpus, first-failure attribution") {
     // one doc per stage, constructed to fail EXACTLY its own gate:
     //   0 short: 2 tokens
