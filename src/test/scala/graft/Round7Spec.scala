@@ -161,6 +161,61 @@ class Round7Spec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("compaction crash debris: trash purged, duplicated rows decision-neutral, lone base no-op") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val (store, out) = (tmpDir("r7-debris"), tmpDir("r7-debris-out"))
+    def frame(docs: Seq[(Long, String)]): DataFrame =
+      docs.toDF("doc_id", "text").withColumn("n_chars", length(col("text")).cast("long"))
+    BandStore.admitBatch(frame((0 until 8).map(i => (i.toLong, tokens(s"da$i", 10)))),
+      0L, store, out)
+    BandStore.admitBatch(frame((0 until 8).map(i => ((100 + i).toLong, tokens(s"db$i", 10)))),
+      1L, store, out)
+    // simulate a compaction that crashed between PUBLISH and RETIRE:
+    // batch 0's rows are also visible under a published base generation,
+    // and a retirement rename left a dot-prefixed trash dir behind
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirs = Seq(BandStore.bandsDir(store), BandStore.sigsDir(store))
+    dirs.foreach { dir =>
+      val p = new Path(dir)
+      val fs = p.getFileSystem(conf)
+      FileUtil.copy(fs, new Path(p, "__batch=0"), fs, new Path(p, "__batch=-1"), false, conf)
+      fs.mkdirs(new Path(p, ".trash-leftover"))
+    }
+    // decisions over the debris store are unchanged: an exact dup of a
+    // batch-0 doc (visible TWICE, under __batch=0 and the base) drops
+    // once, the fresh doc is admitted — candidates/drops are distinct'd
+    val b2 = Seq((500L, tokens("da0", 10)), (501L, tokens("zw", 10)))
+    BandStore.admitBatch(frame(b2), 2L, store, out)
+    def admitted2: Set[Long] = spark.read.parquet(out)
+      .filter(col("__batch") === 2L).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted2 == Set(501L), s"debris changed a decision: $admitted2")
+    // compaction below the live watermark purges the trash and merges
+    // batches {−1, 0, 1} into one new base generation with no duplicate
+    // rows left
+    BandStore.compactStore(spark, store, 2L)
+    dirs.foreach { dir =>
+      val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+      assert(!names.exists(_.startsWith(".trash-")), s"trash not purged: $names")
+      assert(names.filter(_.startsWith("__batch=")) == Set("__batch=-2", "__batch=2"),
+        s"unexpected generations in $dir: $names")
+      val base = spark.read.parquet(dir).filter(col("__batch") === -2L).drop("__batch")
+      assert(base.count() == base.distinct().count(), "duplicate rows survived compaction")
+    }
+    // replaying the live batch against the compacted store is idempotent
+    BandStore.admitBatch(frame(b2), 2L, store, out)
+    assert(admitted2 == Set(501L))
+    // a second compaction at the same watermark sees one lone base
+    // generation and must not churn it
+    BandStore.compactStore(spark, store, 2L)
+    dirs.foreach { dir =>
+      val batches = new java.io.File(dir).listFiles()
+        .map(_.getName).filter(_.startsWith("__batch=")).toSet
+      assert(batches == Set("__batch=-2", "__batch=2"), s"lone base churned: $batches")
+    }
+  }
+
   test("replay of a live batch after age-based compaction recomputes the identical decision") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     def batchOf(b: Int): DataFrame =
