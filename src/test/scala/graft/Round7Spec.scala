@@ -458,6 +458,22 @@ class Round7Spec extends SparkSpec {
     Seq(train, contaminated, keep).foreach(_.unpersist())
   }
 
+  test("dag_corpus_build == intersection of its three component keep-sets") {
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val funnel = ids(graft.operators.TextAnalysis.x4PrepFunnel(spark, sfDir)
+      .filter(col("keep")))
+    val dedup = ids(Dedup.x2DedupKeep(spark, sfDir))
+    val decon = ids(Dedup.x7DecontamKeep(spark, sfDir))
+    val built = ids(graft.operators.Dags.dagCorpusBuild(spark, sfDir))
+    assert(built == (funnel & dedup & decon),
+      s"composite diverged: extra=${(built -- (funnel & dedup & decon)).take(5)} " +
+        s"missing=${((funnel & dedup & decon) -- built).take(5)}")
+    // each filter must bite on the real fixture — the composite is an
+    // intersection of decisions, not a rename of any one input
+    assert(built.nonEmpty && built != funnel && built != dedup && built != decon)
+  }
+
   test("X4k prep funnel: every stage fires on a planted corpus, first-failure attribution") {
     // one doc per stage, constructed to fail EXACTLY its own gate:
     //   0 short: 2 tokens
