@@ -30,21 +30,30 @@ object Bench {
     // best-of-N per query: single-run wall times on a shared box swing
     // 2-7x from GC/scheduler noise (measured: the same query at 2.9 s
     // and 7.6 s in back-to-back runs); the min is the stable cost
-    // signal, and two samples are not enough to reliably catch it
+    // signal, and two samples are not enough to reliably catch it.
+    // Samples are INTERLEAVED — the whole suite runs N round-robin
+    // passes and each query keeps its min ACROSS passes — because
+    // back-to-back sampling concentrates a query's samples into one
+    // ~seconds window: a sustained contention burst overlapping that
+    // window poisons all of them (the round-7 driver artifact: 58.8 s
+    // recorded for a query that reproduces at 3.2 s idle). Round-robin
+    // spreads a query's samples across the full suite duration, so
+    // contention must span the entire run to bias any single query.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-          if (!errors.contains(name)) {
-            errors ::= name
-            System.err.println(s"[bench] $name FAILED: ${e.toString.take(300)}")
-          }
+    val ordered = selected.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to runs; (name, fn) <- ordered) {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        if (!errors.contains(name)) {
+          errors ::= name
+          System.err.println(s"[bench] $name FAILED: ${e.toString.take(300)}")
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (!best.get(name).exists(_ <= sec)) best(name) = sec
     }
+    val results = ordered.map { case (name, _) => name -> best(name) }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
