@@ -81,10 +81,11 @@ object StressBench {
     */
   private def candStats(spark: SparkSession, dir: String): (Long, Long) = {
     import graft.operators.Dedup
-    val cap = Dedup.bucketCap(spark)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), col("text"))
+    // same cap the shipped operator derives from its measured count
+    val cap = Dedup.bucketCap(spark, docs.count())
     def bucketSizes(d: org.apache.spark.sql.DataFrame) =
       d.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
         .withColumn("sig", Dedup.minhashSig)

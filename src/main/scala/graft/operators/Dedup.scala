@@ -141,13 +141,25 @@ object Dedup {
     // the dup-pair graph is orders of magnitude smaller than the corpus
     // (near-dups are sparse by definition): materialize it ONCE, eagerly,
     // with lineage truncated — otherwise every propagation round drags
-    // the whole Jaccard pipeline through its plan — and shrink to a few
-    // partitions so each round's shuffle is proportional to the graph,
-    // not to the corpus partitioning
-    val edges = pairs.unionByName(
+    // the whole Jaccard pipeline through its plan — then size the edge
+    // partitioning from the MEASURED edge count (the count is one cheap
+    // pass over the already-checkpointed frame), so each round's shuffle
+    // is proportional to the graph: a fixture graph collapses to 4
+    // partitions, a crawl-scale dup graph of billions of edges gets the
+    // partitions its volume demands instead of serializing through a
+    // constant
+    val edgesRaw = pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .coalesce(4)
       .localCheckpoint()
+    val parts = edgePartitions(edgesRaw.count(),
+      edgesRaw.sparkSession.conf.get(EdgesPerPartitionConf, "1000000").toLong)
+    // coalesce (narrow, reads the checkpoint) when shrinking; repartition
+    // only when the graph outgrows the corpus-inherited partitioning
+    val inherited = edgesRaw.rdd.getNumPartitions
+    val edges =
+      if (parts < inherited) edgesRaw.coalesce(parts)
+      else if (parts > inherited) edgesRaw.repartition(parts)
+      else edgesRaw
     var labels = edges.select(col("doc_a").as("doc")).distinct()
       .withColumn("label", col("doc"))
       .localCheckpoint()
@@ -187,6 +199,23 @@ object Dedup {
     (labels.select(col("doc").as("doc_id"), col("label").as("cluster_rep"))
       .orderBy("doc_id"), rounds)
   }
+
+  /** Edge rows per propagation-round partition
+    * (`spark.graft.cluster.edgesPerPartition`, default 1M ≈ tens of MB
+    * of (long, long) rows — comfortably in-memory per task).
+    */
+  private[graft] val EdgesPerPartitionConf = "spark.graft.cluster.edgesPerPartition"
+
+  /** Partition count for the dup-edge frame, derived from the measured
+    * edge count — the measure-before-spend discipline applied to the
+    * propagation loop. Floor 4 (fixture graphs stay tiny and a handful
+    * of tasks beats scheduler overhead); ceiling 65536 (a backstop two
+    * orders past any real dup graph at 1M rows/partition, not a tuning
+    * constant).
+    */
+  private[graft] def edgePartitions(nEdges: Long, perPartition: Long = 1000000L): Int =
+    math.max(4L, math.min(65536L,
+      (nEdges + perPartition - 1) / math.max(1L, perPartition))).toInt
 
   val x2DupClustersSql: String =
     """WITH RECURSIVE sh AS (
@@ -252,12 +281,40 @@ object Dedup {
   private val P = 1000000007L
 
   /** Per-(band, band-hash) bucket population cap for LSH candidate
-    * generation (`spark.graft.lsh.bucketCap`, default 512). See
-    * [[cappedSelfPairs]] for the overflow policy.
+    * generation (`spark.graft.lsh.bucketCap`; when unset, derived from
+    * the corpus size by [[derivedBucketCap]]). See [[cappedSelfPairs]]
+    * for the overflow policy.
     */
   private[graft] val BucketCapConf = "spark.graft.lsh.bucketCap"
+
+  /** Fixed-cap form for callers without a measured corpus size (the
+    * streaming band store, whose per-batch probe sees only a band slice
+    * of the corpus); conf override wins everywhere.
+    */
   private[graft] def bucketCap(s: SparkSession): Int =
     s.conf.get(BucketCapConf, "512").toInt
+
+  /** Corpus-size-derived cap for the batch operators — the sizing law
+    * extended from [[embeddingGeometry]] to the cap itself. Every batch
+    * LSH operator already measures its corpus with one scalar aggregate
+    * (the adaptive-collapse probe); that same count sizes the cap, so a
+    * fixed constant never has to survive a 100× scale-up.
+    */
+  private[graft] def bucketCap(s: SparkSession, n: Long): Int =
+    s.conf.getOption(BucketCapConf).map(_.toInt).getOrElse(derivedBucketCap(n))
+
+  /** cap(n) = √(2n), clamped to [256, 8192]. A bucket AT the cap
+    * generates cap·(cap−1)/2 ≈ n pairs — ONE corpus-linear unit of
+    * candidate work — so the hottest surviving bucket can at most add a
+    * band's linear volume again, never turn it quadratic; anything
+    * hotter is starred to n−1 pairs. The floor keeps fixture-scale
+    * buckets (tens of rows at the target 64/bucket embedding geometry)
+    * far from the star path, preserving oracle equality; the ceiling
+    * bounds the single-bucket verification burst a 100 TB run would
+    * pay at ~33M pairs.
+    */
+  private[graft] def derivedBucketCap(n: Long): Int =
+    math.max(256L, math.min(8192L, math.round(math.sqrt(2.0 * math.max(0L, n))))).toInt
 
   /** Candidate pairs from an exploded (id, band, bh) band table, guarded
     * against hot buckets — the boilerplate-skew killer of LSH at crawl
@@ -320,12 +377,50 @@ object Dedup {
     }
   }
 
-  /** 32 bands × 4 rows over the 128-perm `sig` column — the one banding
-    * expression every MinHash consumer (batch LSH, incremental admission,
-    * the band store) shares.
+  /** Permutation budget of [[graft.functions.MinHashSig]]'s signature —
+    * the banding geometry must tile inside it.
+    */
+  private[graft] val MinHashPerms = 128
+
+  /** MinHash banding geometry from the Jaccard recall bound — the
+    * [[embeddingGeometry]] sizing law extended to the text family.
+    * A pair at Jaccard J collides with one r-row band with J^r and with
+    * ≥1 of b bands with 1−(1−J^r)^b; the law picks the LARGEST r (most
+    * selective bands — fewest false candidates below the threshold)
+    * whose recall-mandated band count b = ⌈ln(miss)/ln(1−J^r)⌉ still
+    * tiles the permutation budget (b·r ≤ perms). At the defaults
+    * (J=0.8, miss 5e-8, 128 perms) the law lands exactly on 32×4 —
+    * the shipped geometry is the law's output, not a free constant:
+    * r=5 would demand 43 bands (215 perms, over budget), r=3 would
+    * halve selectivity below threshold (0.8³ vs 0.8⁴ per band) for
+    * nothing the bound needs.
+    */
+  private[graft] def minhashGeometry(threshold: Double = 0.8,
+                                     missFloor: Double = 5e-8,
+                                     perms: Int = MinHashPerms): (Int, Int) = {
+    // band counts stay Double until the budget check: a tiny per-band
+    // probability demands ~1e13 bands, which .toInt would saturate to
+    // Int.MaxValue and bands*r would overflow into "fits"
+    val fits = (perms to 1 by -1).iterator.map { r =>
+      val perBand = math.pow(threshold, r)
+      val bands = math.ceil(math.log(missFloor) / math.log1p(-perBand))
+      (bands, r)
+    }.find { case (bands, r) => bands >= 1.0 && bands * r <= perms.toDouble }
+    fits.map { case (bands, r) => (bands.toInt, r) }.getOrElse((perms, 1))
+  }
+
+  private[graft] val (minhashBands, minhashRows) = minhashGeometry()
+  require(minhashBands * minhashRows <= MinHashPerms,
+    s"banding $minhashBands x $minhashRows exceeds the $MinHashPerms-perm signature")
+
+  /** The banding expression every MinHash consumer (batch LSH,
+    * incremental admission, the band store) shares — generated from
+    * [[minhashGeometry]]'s (32, 4) so the geometry has exactly one
+    * source of truth.
     */
   private[graft] val bandSql =
-    "transform(sequence(0, 31), b -> xxhash64(concat_ws(',', slice(sig, b * 4 + 1, 4))))"
+    s"transform(sequence(0, ${minhashBands - 1}), " +
+      s"b -> xxhash64(concat_ws(',', slice(sig, b * $minhashRows + 1, $minhashRows))))"
 
   /** 128-permutation MinHash signature — the native compiled loop
     * [[graft.functions.MinHashSig]] (one xxhash64 per shingle, 128 fused
@@ -364,7 +459,6 @@ object Dedup {
     * guard, five fewer joins.
     */
   def x2MinHashLsh(s: SparkSession, dir: String): DataFrame = {
-    val cap = bucketCap(s)
     val docs = Tables.documents(s, dir)
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), col("text"))
@@ -379,6 +473,8 @@ object Dedup {
     // the digest cannot see).
     val shape = docs.agg(count(lit(1)), countDistinct(textKey)).head
     val hasExactDups = shape.getLong(0) != shape.getLong(1)
+    // the same measured count sizes the bucket cap — no fixed constant
+    val cap = bucketCap(s, shape.getLong(0))
 
     // signatures feed both band sides and both verification joins —
     // persist so they are computed once (at 100 TB this is the standard
@@ -615,33 +711,48 @@ object Dedup {
 
   /** X2d' — the banded-LSH scale path for embedding near-dup: candidate
     * pairs are generated only within random-hyperplane band buckets
-    * ([[Similarity.bandedCorpus]], OR across 6 bands of 3 planes — the
-    * MinHash banding discipline at cosine scale), distinct'd, then
+    * ([[Similarity.bandedCorpus]], OR across bands of signed-plane rows —
+    * the MinHash banding discipline at cosine scale), distinct'd, then
     * exactly verified with the native dot product. The pair-generation
     * shuffle is proportional to per-bucket populations, not n²/2.
     *
     * Round 1 used a single 6-plane cell (all planes must agree): a
     * cosine-0.5 pair collides with probability ≈0.09, and the fixture's
-    * one qualifying pair was missed — recall 0. With banding the same
-    * pair collides in ≥1 band with ≈0.92, and exact verification makes
-    * the output a subset of the exact twin — so when every qualifying
-    * pair lands in a shared band (verified non-vacuously in LlmOpsSpec
-    * at sf0.01, deterministic planes), the output EQUALS the exact
-    * all-pairs query, which is also its oracle.
+    * one qualifying pair was missed — recall 0. With banding and exact
+    * verification the output is a subset of the exact twin — so when
+    * every qualifying pair lands in a shared band (verified non-vacuously
+    * in LlmOpsSpec, deterministic planes), the output EQUALS the exact
+    * all-pairs query, which is also its oracle. At the derived default
+    * geometry the analytic ≥1-band collision probability for a
+    * threshold-grade pair is ≥ 0.999, and both fixture scales measure
+    * full recall (LlmOpsSpec pins equality at sf0.01 and ≥0.9 at sf0.1).
     *
-    * Measured honestly across scales (deterministic planes, offline
-    * numpy replay): sf0.01 catches 1/1 qualifying pair (oracle
-    * equality); sf0.1 catches 13/14 (recall 0.93, pinned in LlmOpsSpec).
-    * Wider banding (10×3) would catch 14/14 but generates MORE candidate
-    * pairs than brute force on these uniform-random fixtures — at a
-    * cosine-0.5 threshold on structureless data LSH cannot prune and
-    * recall-vs-candidates is a straight trade. On real near-dup corpora
-    * (cosine ≥ 0.9, per-plane p ≥ 0.93) the same 6×3 geometry catches
-    * ≥1-(1-0.8)⁶ ≈ 0.9999 of pairs with far sparser buckets — that is
-    * the regime this operator is the scale path for.
+    * On structureless uniform-random data at a cosine-0.5 threshold LSH
+    * cannot prune below brute force (unrelated pairs collide in ≥1 band
+    * with high probability at any recall-honest geometry) — the fixture
+    * runs pay that documented price; on real near-dup corpora
+    * (cosine ≥ 0.9) the same law yields narrow buckets and near-linear
+    * candidate volume — the regime this operator is the scale path for,
+    * measured in STRESS_r7 `embplant`.
     */
-  def x2EmbeddingLsh(s: SparkSession, dir: String): DataFrame =
-    x2EmbeddingLshAt(s, dir, Similarity.LshBands, Similarity.LshRowsPerBand, 0.5)
+  def x2EmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
+    // ONE geometry path (VERDICT r7 item 6): the default is derived from
+    // the measured corpus size by the same sizing law as the ≥0.9
+    // operating regime ([[embeddingGeometry]]), at the fixture's 0.5
+    // threshold — planes track log2(n) for constant expected bucket
+    // population, bands come from the analytic recall bound (0.999
+    // floor), so no caller inherits a fixed geometry that degenerates at
+    // 100× the corpus. At sf0.01 (n=500) the law lands on 32×4 (16
+    // bucket values per band), at sf0.1 (n=2000) on 49×5; on these
+    // structureless fixtures at threshold 0.5 LSH cannot prune below
+    // brute force (documented above) — the law buys the SIZING property,
+    // and exact verification keeps the subset-of-exact contract at every
+    // geometry. [[Similarity.LshBands]]×[[Similarity.LshRowsPerBand]]
+    // remain the ANN probe's own geometry, no longer reachable here.
+    val n = Tables.embeddings(s, dir).count()
+    val (nBands, planes) = embeddingGeometry(n, threshold = 0.5)
+    x2EmbeddingLshAt(s, dir, nBands, planes, 0.5)
+  }
 
   /** The geometry-parameterized form of [[x2EmbeddingLsh]]. The default
     * 6×3 geometry is tuned for the fixtures' cosine-0.5 regime (oracle
@@ -657,7 +768,6 @@ object Dedup {
   private[graft] def x2EmbeddingLshAt(s: SparkSession, dir: String,
                                       nBands: Int, rowsPerBand: Int,
                                       threshold: Double): DataFrame = {
-    val cap = bucketCap(s)
     // 128-bit identical-vector group key (the textKey discipline carried
     // into vector space: boilerplate docs produce byte-identical
     // embeddings, the same pileup shape)
@@ -668,6 +778,8 @@ object Dedup {
     // identical vectors are measured to exist
     val shape = e0.agg(count(lit(1)), countDistinct(vecKey)).head
     val hasDupVecs = shape.getLong(0) != shape.getLong(1)
+    // the same measured count sizes the bucket cap — no fixed constant
+    val cap = bucketCap(s, shape.getLong(0))
 
     // banded corpus feeds both candidate sides and both verification
     // joins — persist so signatures are computed once
@@ -823,7 +935,6 @@ object Dedup {
     * their effect.
     */
   def x2IncrementalLsh(s: SparkSession, dir: String): DataFrame = {
-    val cap = bucketCap(s)
     val docs = Tables.documents(s, dir)
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), col("text"))
@@ -839,6 +950,8 @@ object Dedup {
     val shape = docs.agg(count(lit(1)),
       countDistinct(textKey, col("doc_id") % 5 === 0)).head
     val hasExactDups = shape.getLong(0) != shape.getLong(1)
+    // the same measured count sizes the bucket cap — no fixed constant
+    val cap = bucketCap(s, shape.getLong(0))
     val reps = memb.groupBy(col("th"), col("is_batch"))
       .agg(min(col("doc_id")).as("doc_id"))
     // signatures feed the band probe and the verification joins — persist

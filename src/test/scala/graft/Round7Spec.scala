@@ -416,15 +416,28 @@ class Round7Spec extends SparkSpec {
     assert(auto == exact,
       s"missing=${(exact -- auto).take(5)} extra=${(auto -- exact).take(5)}")
     assert(exact.size >= 10, s"fixture shape changed: ${exact.size}")
-    // the sizing law: bucket-value count 2^planes tracks n (constant
-    // expected population), never shrinks, and clamps at 12 planes
-    val small = Dedup.embeddingGeometry(2000L)
-    val large = Dedup.embeddingGeometry(200000L)
-    val huge = Dedup.embeddingGeometry(20000000L)
-    assert(small._2 == 5 && large._2 == 12 && huge._2 == 12,
-      s"planes: $small $large $huge")
-    assert(small._1 >= 4 && large._1 > small._1,
-      "flatter per-band probability must buy more bands")
+    // the sizing LAW, not its constants (ADVICE r7): bucket-value count
+    // 2^planes tracks n/targetBucketPop within one doubling wherever the
+    // clamp is not binding, planes clamp to [4, 12] and never shrink
+    // with n, bands are non-decreasing in n (flatter per-band
+    // probability must buy more bands), and the analytic recall bound
+    // holds at every size — retuning targetBucketPop/recallFloor may
+    // move the numbers, never break these
+    val ns = Seq(500L, 2000L, 200000L, 20000000L)
+    val geoms = ns.map(n => (n, Dedup.embeddingGeometry(n)))
+    val perPlane = 1.0 - math.acos(0.9) / math.Pi
+    geoms.foreach { case (n, (bands, planes)) =>
+      assert(planes >= 4 && planes <= 12, s"n=$n planes=$planes outside clamp")
+      if (planes > 4 && planes < 12) {
+        val pop = n.toDouble / (1L << planes)
+        assert(pop <= 64 && pop > 16, // target 64: within one doubling below
+          s"n=$n: 2^$planes leaves expected population $pop, not ~64")
+      }
+      assert(math.pow(1.0 - math.pow(perPlane, planes), bands) <= 0.001 + 1e-12,
+        s"n=$n: $bands x $planes misses the 0.999 recall floor")
+    }
+    assert(geoms.map(_._2._2) == geoms.map(_._2._2).sorted, "planes must not shrink with n")
+    assert(geoms.map(_._2._1) == geoms.map(_._2._1).sorted, "bands must not shrink with n")
   }
 
   test("X2f': dedup keep-set = documents minus non-representative cluster members") {
