@@ -190,97 +190,74 @@ object Dags {
     * broadcastable at scale), so no stage's intermediate state ever
     * crosses another's shuffle.
     */
-  def dagCorpusBuild(s: SparkSession, dir: String): DataFrame = {
+  def dagCorpusBuild(s: SparkSession, dir: String): DataFrame =
+    dagCorpusBuildFrom(s, dir, labelStore = None)
+
+  /** [[dagCorpusBuild]] with the near-dup stage optionally served from a
+    * materialized [[LabelStore]]: a production corpus build runs the
+    * cluster pipeline ONCE ([[LabelStore.build]]) and every consumer —
+    * this composite included — reads the label table instead of
+    * re-running signatures → bands → pairs → fixpoint (the round-7
+    * recomputation nit). Same output either way (pinned in Round8Spec);
+    * the oracle row runs the storeless form so the full pipeline stays
+    * under the hash gate.
+    */
+  def dagCorpusBuildFrom(s: SparkSession, dir: String,
+                         labelStore: Option[String]): DataFrame = {
     val funnelKeep = TextAnalysis.x4PrepFunnel(s, dir)
       .filter(col("keep")).select(col("doc_id"))
-    val dedupKeep = Dedup.x2DedupKeep(s, dir).select(col("doc_id"))
+    val dedupKeep = labelStore
+      .map(LabelStore.keepSet(s, dir, _))
+      .getOrElse(Dedup.x2DedupKeep(s, dir))
+      .select(col("doc_id"))
     Dedup.x7DecontamKeep(s, dir)
       .join(funnelKeep, Seq("doc_id"), "left_semi")
       .join(dedupKeep, Seq("doc_id"), "left_semi")
       .orderBy("doc_id")
   }
 
-  val dagCorpusBuildSql: String =
-    """WITH RECURSIVE
-      |fd AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
-      |fq AS (
-      |  SELECT doc_id, text, len(tk) AS n,
-      |    round(least(len(tk) / 100.0, 1.0) * 0.3
-      |        + (len(list_distinct(tk)) * 1.0 / len(tk)) * 0.3
-      |        + (1.0 - len(list_filter(tk, t -> t IN ('a', 'the'))) * 1.0 / len(tk)) * 0.4,
-      |      6) AS quality
-      |  FROM fd),
-      |fg AS (
-      |  SELECT doc_id, 2 AS gn, tk[i] || ' ' || tk[i + 1] AS g
-      |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM fd
-      |        WHERE len(tk) >= 3)
-      |  UNION ALL
-      |  SELECT doc_id, 3 AS gn, tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS g
-      |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM fd
-      |        WHERE len(tk) >= 3)),
-      |fc AS (SELECT doc_id, gn, g, count(*) AS c FROM fg GROUP BY doc_id, gn, g),
-      |fpp AS (SELECT doc_id, gn, max(c) AS maxc, sum(c) AS tot,
-      |         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupmass
-      |       FROM fc GROUP BY doc_id, gn),
-      |fr AS (SELECT doc_id,
-      |        max(CASE WHEN gn = 2 THEN round(maxc * 1.0 / tot, 6) END) AS top_bigram_frac,
-      |        max(CASE WHEN gn = 3 THEN round(dupmass * 1.0 / tot, 6) END) AS dup_trigram_frac
-      |      FROM fpp GROUP BY doc_id),
-      |fstaged AS (
-      |  SELECT q.doc_id,
-      |    CASE WHEN q.n < 3 THEN 'short'
-      |         WHEN q.quality < 0.65 THEN 'quality'
-      |         WHEN r.top_bigram_frac > 0.05 OR r.dup_trigram_frac > 0.05 THEN 'repetition'
-      |         WHEN q.doc_id <> min(q.doc_id) OVER (PARTITION BY md5(q.text)) THEN 'exact_dup'
-      |         ELSE 'keep' END AS stage
-      |  FROM fq q LEFT JOIN fr r USING (doc_id)),
-      |fkeep AS (SELECT doc_id FROM fstaged WHERE stage = 'keep'),
-      |dsh AS (
-      |  SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-      |                                for i in range(1, len(toks) - 1)]) AS s
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-      |  WHERE len(toks) >= 3),
-      |dex AS (SELECT doc_id, unnest(s) AS s FROM dsh),
-      |dsizes AS (SELECT doc_id, len(s) AS n FROM dsh),
-      |dinter AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-      |  FROM dex a JOIN dex b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
-      |dpairs AS (
-      |  SELECT doc_a, doc_b FROM (
-      |    SELECT doc_a, doc_b, c * 1.0 / (sa.n + sb.n - c) AS j
-      |    FROM dinter JOIN dsizes sa ON doc_a = sa.doc_id JOIN dsizes sb ON doc_b = sb.doc_id)
-      |  WHERE j >= 0.8),
-      |dedges AS (
-      |  SELECT doc_a, doc_b FROM dpairs
-      |  UNION ALL SELECT doc_b, doc_a FROM dpairs),
-      |dreach AS (
-      |  SELECT doc_a AS doc, doc_a AS r FROM dedges
-      |  UNION
-      |  SELECT e.doc_a, dreach.r FROM dedges e JOIN dreach ON dreach.doc = e.doc_b),
-      |dclusters AS (SELECT doc AS doc_id, min(r) AS cluster_rep FROM dreach GROUP BY doc),
-      |dkeep AS (
-      |  SELECT doc_id FROM documents
-      |  WHERE doc_id NOT IN (SELECT doc_id FROM dclusters WHERE doc_id <> cluster_rep)),
-      |xb AS (
-      |  SELECT doc_id, text,
-      |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS bucket
-      |  FROM documents),
-      |xsh AS (
-      |  SELECT doc_id, bucket,
-      |    unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
-      |                          for i in range(1, len(toks) - 6)])) AS s
-      |  FROM (SELECT doc_id, bucket, string_split(text, ' ') AS toks FROM xb)
-      |  WHERE len(toks) >= 8),
-      |xcont AS (
-      |  SELECT DISTINCT t.doc_id
-      |  FROM xsh t JOIN xsh e ON t.s = e.s AND t.bucket < 96 AND e.bucket >= 96),
-      |xkeep AS (
-      |  SELECT doc_id FROM xb
-      |  WHERE bucket < 96 AND doc_id NOT IN (SELECT doc_id FROM xcont))
-      |SELECT d.doc_id, d.source, d.lang FROM documents d
-      |JOIN xkeep USING (doc_id) JOIN fkeep USING (doc_id) JOIN dkeep USING (doc_id)
-      |ORDER BY d.doc_id""".stripMargin
+  /** Oracle twin of [[dagCorpusBuild]], DERIVED from the three component
+    * twins' own SQL text (the `x2DedupKeepSql` stripSuffix+require
+    * discipline, composite-wide): each component's CTE block is its
+    * twin's text minus the final SELECT, so an edit to any component
+    * twin propagates here at class-init or fails the `require` loudly —
+    * the composite can no longer drift silently. The three blocks'
+    * CTE names are disjoint except the decontam twin's `b`/`sh`
+    * (colliding with the cluster twin's `sh`), which are renamed to
+    * `xb`/`xsh` by a word-boundary rewrite checked by its own require.
+    */
+  val dagCorpusBuildSql: String = {
+    val fMarker = "SELECT doc_id, quality, top_bigram_frac, dup_trigram_frac, stage,\n  stage = 'keep' AS keep\nFROM staged ORDER BY doc_id"
+    require(TextAnalysis.x4PrepFunnelSql.endsWith(fMarker), "x4PrepFunnelSql tail changed")
+    val funnelCtes = TextAnalysis.x4PrepFunnelSql.stripSuffix(fMarker).stripPrefix("WITH ")
+    val cMarker = "SELECT doc AS doc_id, min(r) AS cluster_rep\nFROM reach GROUP BY doc ORDER BY doc_id"
+    require(Dedup.x2DupClustersSql.endsWith(cMarker), "x2DupClustersSql tail changed")
+    val clusterCtes = Dedup.x2DupClustersSql.stripSuffix(cMarker).stripPrefix("WITH RECURSIVE ")
+    val xMarker = "SELECT t.doc_id AS train_id, count(DISTINCT t.s) AS n_shared,\n  count(DISTINCT e.doc_id) AS n_eval_docs\nFROM sh t JOIN sh e ON t.s = e.s AND t.bucket < 96 AND e.bucket >= 96\nGROUP BY t.doc_id ORDER BY train_id"
+    require(Dedup.x7DecontaminateSql.endsWith(xMarker), "x7DecontaminateSql tail changed")
+    val xRaw = Dedup.x7DecontaminateSql.stripSuffix(xMarker).stripPrefix("WITH ")
+    val xCtes = xRaw.replaceAll("\\bb\\b", "xb").replaceAll("\\bsh\\b", "xsh")
+    require(xCtes.startsWith("xb AS (") && xCtes.contains("xsh AS (")
+      && xCtes.contains("FROM xb)"), "decontam CTE rename drifted")
+    "WITH RECURSIVE " + funnelCtes +
+      """,fkeep AS (SELECT doc_id FROM staged WHERE stage = 'keep'),
+        |""".stripMargin + clusterCtes +
+      """,clusters AS (
+        |  SELECT doc AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY doc),
+        |dkeep AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_rep)),
+        |""".stripMargin + xCtes +
+      """,xcont AS (
+        |  SELECT DISTINCT t.doc_id
+        |  FROM xsh t JOIN xsh e ON t.s = e.s AND t.bucket < 96 AND e.bucket >= 96),
+        |xkeep AS (
+        |  SELECT doc_id FROM xb
+        |  WHERE bucket < 96 AND doc_id NOT IN (SELECT doc_id FROM xcont))
+        |SELECT d.doc_id, d.source, d.lang FROM documents d
+        |JOIN xkeep USING (doc_id) JOIN fkeep USING (doc_id) JOIN dkeep USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** scrap_to_kafka_to_mongo_pipeline.py end-to-end: scraped items tagged
     * with type + 1-based index (P7, :57-68) → per-record uppercase

@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dags, Dedup, LabelStore}
+
+/** Round-8 pins: adaptive cluster-edge partitioning (the r7 `weak`),
+  * the sizing law extended to the text-LSH constants, the materialized
+  * label store, and the empty-fixture invariant behind the ≥0.9
+  * embedding oracle twin.
+  */
+class Round8Spec extends SparkSpec {
+
+  // ---------------------------------------------------------------
+  // X2e — edge partitioning derived from the measured edge count
+  // ---------------------------------------------------------------
+
+  test("X2e: edgePartitions follows the measured-volume law (floor, linear, ceiling)") {
+    // floor: fixture-scale graphs collapse to a handful of tasks
+    assert(Dedup.edgePartitions(0L) == 4)
+    assert(Dedup.edgePartitions(3999999L) == 4)
+    // linear region: partitions track edges/perPartition
+    assert(Dedup.edgePartitions(10000000L) == 10)
+    assert(Dedup.edgePartitions(10000001L) == 11)
+    // perPartition parameter respected (the conf knob's plumbing)
+    assert(Dedup.edgePartitions(100L, 10L) == 10)
+    // ceiling: backstop, not a tuning constant
+    assert(Dedup.edgePartitions(Long.MaxValue / 4) == 65536)
+  }
+
+  test("X2e: clusterPairs labels are invariant under the partitioning the edge count picks") {
+    import spark.implicits._
+    // a 64-node chain (worst diameter) plus an 8-clique — 71 + 28 edges
+    val pairs = ((0L until 63L).map(i => (i, i + 1)) ++
+      (for { a <- 100L until 108L; b <- (a + 1) until 108L } yield (a, b)))
+      .toDF("doc_a", "doc_b")
+    val (labelsDefault, roundsDefault) = Dedup.clusterPairs(pairs)
+    val expect = labelsDefault.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // force the scaled path: 8 edges/partition puts the doubled edge set
+    // (182 rows) at 23 partitions — the repartition branch, not the
+    // fixture coalesce — and the fixpoint must not notice
+    spark.conf.set(Dedup.EdgesPerPartitionConf, "8")
+    try {
+      val (labelsScaled, roundsScaled) = Dedup.clusterPairs(pairs)
+      val got = labelsScaled.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == expect)
+      assert(roundsScaled <= 10 && roundsDefault <= 10,
+        s"pointer doubling must stay logarithmic: $roundsDefault / $roundsScaled")
+      // every chain node labels to 0; every clique node to 100
+      assert((0L until 64L).forall(expect(_) == 0L))
+      assert((100L until 108L).forall(expect(_) == 100L))
+    } finally spark.conf.unset(Dedup.EdgesPerPartitionConf)
+  }
+
+  // ---------------------------------------------------------------
+  // X2b — MinHash banding + bucket cap from the sizing law
+  // ---------------------------------------------------------------
+
+  test("X2b: the 32x4 banding is the recall law's output, and the law holds off-default") {
+    assert(Dedup.minhashGeometry() == (32, 4),
+      "defaults must reproduce the shipped geometry")
+    // the generated expression is byte-identical to the banding every
+    // existing band store was written with — a format compatibility pin
+    assert(Dedup.bandSql ==
+      "transform(sequence(0, 31), b -> xxhash64(concat_ws(',', slice(sig, b * 4 + 1, 4))))")
+    // law properties at other operating points (assert the law, not
+    // constants): fits the budget, meets the recall bound, and rows are
+    // maximal — one more row per band would blow the permutation budget
+    for ((t, miss, perms) <- Seq((0.8, 5e-8, 128), (0.8, 1e-3, 128),
+                                 (0.9, 5e-8, 128), (0.8, 5e-8, 256), (0.7, 1e-6, 64))) {
+      val (bands, rows) = Dedup.minhashGeometry(t, miss, perms)
+      assert(bands * rows <= perms, s"($t,$miss,$perms) -> $bands x $rows over budget")
+      assert(math.pow(1.0 - math.pow(t, rows), bands) <= miss * (1 + 1e-9),
+        s"($t,$miss,$perms) -> $bands x $rows misses the recall bound")
+      if (rows < perms) {
+        val up = rows + 1
+        val needed = math.ceil(math.log(miss) / math.log1p(-math.pow(t, up))).toInt
+        assert(needed * up > perms,
+          s"($t,$miss,$perms): $up rows would still fit — law not maximal")
+      }
+    }
+  }
+
+  test("X2: bucket cap derives from the measured corpus size; conf override wins") {
+    // floor protects fixture-scale buckets from the star path
+    assert(Dedup.derivedBucketCap(500L) == 256)
+    // sqrt(2n) region: a cap-full bucket costs ~n pairs, one linear unit
+    val mid = Dedup.derivedBucketCap(1000000L)
+    assert(math.abs(mid - math.sqrt(2e6)) <= 1, s"mid-region cap $mid")
+    // ceiling bounds the single-bucket verification burst
+    assert(Dedup.derivedBucketCap(1000000000L) == 8192)
+    assert(Dedup.bucketCap(spark, 1000000L) == mid)
+    spark.conf.set(Dedup.BucketCapConf, "7")
+    try assert(Dedup.bucketCap(spark, 1000000L) == 7)
+    finally spark.conf.unset(Dedup.BucketCapConf)
+  }
+
+  // ---------------------------------------------------------------
+  // Label store — build once, read everywhere
+  // ---------------------------------------------------------------
+
+  /** Corpus with real cluster structure: exact-dup group {0,1,2},
+    * near-dup pair {10,11} (3-shingle Jaccard 9/11 ≈ 0.82), distinct
+    * tails elsewhere.
+    */
+  private def writeClusteredCorpus(dir: String, extraDoc: Option[Long] = None): Unit = {
+    import spark.implicits._
+    val base = (0 until 12).map(j => s"tok$j").mkString(" ")
+    def distinctText(i: Long) = (0 until 12).map(j => s"d${i}w$j").mkString(" ")
+    val rows: Seq[(Long, String)] =
+      Seq(0L -> base, 1L -> base, 2L -> base,
+          10L -> ((0 until 11).map(j => s"n$j").mkString(" ") + " tailA"),
+          11L -> ((0 until 11).map(j => s"n$j").mkString(" ") + " tailB")) ++
+        (20L until 30L).map(i => i -> distinctText(i)) ++
+        extraDoc.map(i => i -> distinctText(i)).toSeq
+    rows.toDF("doc_id", "text")
+      .withColumn("source", lit("s")).withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  test("LabelStore: publish/read/keepSet match the direct pipeline; rebuild fires on append only") {
+    val dir = tmpDir("r8-labelcorpus")
+    val store = tmpDir("r8-labelstore") + "/store"
+    writeClusteredCorpus(dir)
+
+    LabelStore.build(spark, dir, store)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val direct = asMap(Dedup.x2DupClusters(spark, dir))
+    assert(direct.nonEmpty && direct(1L) == 0L && direct(11L) == 10L,
+      s"planted clusters missing: $direct")
+    assert(asMap(LabelStore.read(spark, store)) == direct,
+      "store read must equal the direct pipeline")
+
+    // keep-set through the store == keep-set through the pipeline
+    val keepDirect = Dedup.x2DedupKeep(spark, dir).collect().map(_.getLong(0)).toSeq
+    val keepStore = LabelStore.keepSet(spark, dir, store).collect().map(_.getLong(0)).toSeq
+    assert(keepStore == keepDirect)
+    assert(!keepStore.contains(1L) && !keepStore.contains(11L) && keepStore.contains(10L))
+
+    // current corpus: no rebuild; appended corpus: rebuild, labels refresh
+    assert(!LabelStore.ensureCurrent(spark, dir, store), "unchanged corpus must not rebuild")
+    writeClusteredCorpus(dir, extraDoc = Some(30L))
+    assert(LabelStore.ensureCurrent(spark, dir, store), "appended corpus must rebuild")
+    assert(asMap(LabelStore.read(spark, store)) == asMap(Dedup.x2DupClusters(spark, dir)))
+    assert(!LabelStore.ensureCurrent(spark, dir, store), "fresh rebuild must be current")
+
+    // generation hygiene: after N rebuilds only the newest two are live
+    writeClusteredCorpus(dir, extraDoc = Some(31L))
+    assert(LabelStore.ensureCurrent(spark, dir, store))
+    val live = new java.io.File(store).listFiles().map(_.getName)
+      .filter(_.startsWith("gen=")).sorted
+    assert(live.length == 2, s"expected the newest two generations live, got ${live.toSeq}")
+  }
+
+  test("dag_corpus_build through the label store equals the storeless composite") {
+    val dir = tmpDir("r8-dagcorpus")
+    val store = tmpDir("r8-dagstore") + "/store"
+    writeClusteredCorpus(dir)
+    LabelStore.build(spark, dir, store)
+    val direct = Dags.dagCorpusBuild(spark, dir).collect().toSeq
+    val stored = Dags.dagCorpusBuildFrom(spark, dir, Some(store)).collect().toSeq
+    assert(stored == direct)
+  }
+
+  // ---------------------------------------------------------------
+  // ADVICE r7 — the ≥0.9 embedding twin's empty-fixture invariant
+  // ---------------------------------------------------------------
+
+  test("X2d'': the exact >=0.9 answer on the shipped fixtures is EMPTY (the auto twin's precondition)") {
+    // x2EmbeddingLshAuto's oracle is the exact quadratic >=0.9 twin; the
+    // twins agree on the fixtures because the true answer is empty (max
+    // pairwise cosine ~0.51). If a fixture refresh ever plants genuine
+    // >=0.9 pairs this fails with a clear message instead of an opaque
+    // oracle hash diff (the LSH recall floor is 0.999, not 1).
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val e = graft.engine.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("norm", sqrt(graft.functions.VectorFunctions.dotF64(col("e"), col("e"))))
+      val n = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cosine",
+          graft.functions.VectorFunctions.dotF64(col("a.e"), col("b.e")) /
+            (col("a.norm") * col("b.norm")))
+        .filter(col("cosine") >= 0.9).count()
+      assert(n == 0L,
+        s"$dir now holds $n genuine cosine>=0.9 pairs — x2_embedding_lsh_auto's " +
+          "exact-equality oracle needs the empty-answer regime; re-derive the twin")
+    }
+  }
+}
