@@ -65,6 +65,101 @@ case class DotProductF64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native banded random-hyperplane signature (SURVEY.md §2.7 X2d'/X3):
+  * all `nBands` band values of a vector in ONE compiled loop — the
+  * [[MinHashSig]] escalation applied to hyperplane banding.
+  *
+  * The Column-composed formulation (an `array(...)` of per-band sums of
+  * `when(dot_f64(e, <64-double array literal>) >= 0, 1<<r)`) inlines
+  * bands×planes×64 literal doubles into a single projection; at the
+  * corpus-derived geometries of `Dedup.embeddingGeometry` (225 planes at
+  * n=20k, 504 at the 12-plane clamp) the generated `processNext()`
+  * exceeds janino's 64 KB method limit and the WHOLE stage silently
+  * falls back to interpreted evaluation — measured as the 1,775 s
+  * `x2_embedding_lsh` ×10 artifact of the round-8 stress run. Here the
+  * plane table is a process-wide constant (splitmix64-derived, identical
+  * to `Similarity.planeComponents` — one parity spec pins that) and the
+  * generated code is ONE static call per row at every geometry.
+  *
+  * Semantics match the composed form exactly: plane p component j is
+  * ±1 by splitmix64(p*1000+j) parity over 64 dims, the dot runs over
+  * `min(len(e), 64)` elements ([[DotProductF64]]'s overlap rule), bit r
+  * of band b is set iff the plane `b*rowsPerBand + r` dot is `>= 0`.
+  * CodegenFallback is deliberate, as in [[MinHashSig]]: the eval body is
+  * a tight primitive loop behind a projection boundary — one virtual
+  * call per ROW, constant generated-code size at any geometry.
+  */
+case class HyperplaneBandSig(child: Expression, nBands: Int, rowsPerBand: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def prettyName: String = "hyperplane_bands"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val e = input.asInstanceOf[ArrayData]
+    val planes = HyperplaneBandSig.planeTable(nBands * rowsPerBand)
+    val dims = math.min(e.numElements(), HyperplaneBandSig.Dims)
+    val out = new Array[Long](nBands)
+    var b = 0
+    var p = 0
+    while (b < nBands) {
+      var band = 0L
+      var r = 0
+      while (r < rowsPerBand) {
+        val base = p * HyperplaneBandSig.Dims
+        var s = 0.0
+        var j = 0
+        while (j < dims) { s += e.getDouble(j) * planes(base + j); j += 1 }
+        if (s >= 0.0) band |= (1L << r)
+        r += 1
+        p += 1
+      }
+      out(b) = band
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBandSig =
+    copy(child = newChild)
+}
+
+object HyperplaneBandSig {
+  /** Hyperplane dimensionality — fixed at 64, as in the composed form. */
+  val Dims = 64
+
+  private def splitmix64(seed: Long): Long = {
+    var x = seed + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** ±1 component j of plane p — MUST stay byte-for-byte the derivation
+    * of `Similarity.planeComponents` (the DuckDB ANN twin regenerates
+    * the same planes as SQL literals; Round8Spec pins the parity).
+    */
+  private[graft] def component(p: Int, j: Int): Double =
+    if (Math.floorMod(splitmix64(p * 1000L + j), 2L) == 1L) 1.0 else -1.0
+
+  // flat [plane0 | plane1 | ...] tables, grown monotonically and cached
+  // per requested plane count (geometries vary per corpus size)
+  private val tables = new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+  private[graft] def planeTable(nPlanes: Int): Array[Double] =
+    tables.computeIfAbsent(nPlanes, { n =>
+      val t = new Array[Double](n * Dims)
+      var p = 0
+      while (p < n) {
+        var j = 0
+        while (j < Dims) { t(p * Dims + j) = component(p, j); j += 1 }
+        p += 1
+      }
+      t
+    })
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VectorFunctions {
   /** `dot_f64(a, b)` as a Column — usable from any session (no
@@ -74,6 +169,11 @@ object VectorFunctions {
     ColumnBridge.column(DotProductF64(
       ColumnBridge.expression(a.cast("array<double>")),
       ColumnBridge.expression(b.cast("array<double>"))))
+
+  /** `hyperplane_bands(e, nBands, rowsPerBand)` as a Column. */
+  def hyperplaneBands(e: Column, nBands: Int, rowsPerBand: Int): Column =
+    ColumnBridge.column(HyperplaneBandSig(
+      ColumnBridge.expression(e.cast("array<double>")), nBands, rowsPerBand))
 }
 
 /** SQL-surface registration (`SELECT dot_f64(a, b) ...`) via the public

@@ -742,17 +742,51 @@ object Dedup {
     // threshold — planes track log2(n) for constant expected bucket
     // population, bands come from the analytic recall bound (0.999
     // floor), so no caller inherits a fixed geometry that degenerates at
-    // 100× the corpus. At sf0.01 (n=500) the law lands on 32×4 (16
-    // bucket values per band), at sf0.1 (n=2000) on 49×5; on these
-    // structureless fixtures at threshold 0.5 LSH cannot prune below
-    // brute force (documented above) — the law buys the SIZING property,
-    // and exact verification keeps the subset-of-exact contract at every
-    // geometry. [[Similarity.LshBands]]×[[Similarity.LshRowsPerBand]]
+    // 100× the corpus. [[Similarity.LshBands]]×[[Similarity.LshRowsPerBand]]
     // remain the ANN probe's own geometry, no longer reachable here.
+    //
+    // Round 8: the law also makes the COST-BASED physical choice a query
+    // optimizer would ([[lshBeatsBrute]]). At threshold 0.5 every
+    // recall-honest geometry passes ≥ 40% of UNRELATED pairs into exact
+    // verification (a cosine-0.5 band is barely selective), so banding
+    // adds its machinery — n·bands band rows, the bucket self-join,
+    // candidate dedup, the vector join-back — on top of near-brute-force
+    // verification volume; measured 1,775 s vs tens of seconds for the
+    // blocked exact product at n=20k (round-8 stress). The law detects
+    // exactly that regime analytically and takes the exact arm; at the
+    // ≥0.9 operating threshold the same law keeps the banded arm, where
+    // it genuinely prunes (far fraction ≈ 0.05 at n=20k).
     val n = Tables.embeddings(s, dir).count()
     val (nBands, planes) = embeddingGeometry(n, threshold = 0.5)
-    x2EmbeddingLshAt(s, dir, nBands, planes, 0.5)
+    if (lshBeatsBrute(nBands, planes)) x2EmbeddingLshAt(s, dir, nBands, planes, 0.5)
+    else x2EmbeddingBruteAt(s, dir, 0.5)
   }
+
+  /** Expected fraction of UNRELATED (near-orthogonal) pairs surviving
+    * banding at (bands, planes): a random plane splits an orthogonal
+    * pair with probability 1/2, so per-band collision is 2^-planes and
+    * ≥-1-of-b-bands is 1−(1−2^-planes)^bands. The banded plan's exact-
+    * verification work is ~this fraction of the all-pairs product —
+    * candidate generation cannot prune below it on structureless data.
+    */
+  private[graft] def lshFarFraction(nBands: Int, planes: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(0.5, planes), nBands)
+
+  /** The banded plan must prune at least 5× of unrelated pairs to pay
+    * for its own machinery (band-row explosion, bucket self-join,
+    * candidate dedup, vector join-back — ~2–3× the per-pair cost of the
+    * inline product); below that the exact blocked product is the
+    * faster HONEST plan. The cost-model constant of [[lshBeatsBrute]].
+    */
+  private[graft] val LshMaxFarFraction = 0.2
+
+  /** The cost-based arm choice of [[x2EmbeddingLsh]] /
+    * [[x2EmbeddingLshAuto]], decided analytically from the geometry the
+    * sizing law produced — no data scan beyond the corpus count the law
+    * already took.
+    */
+  private[graft] def lshBeatsBrute(nBands: Int, planes: Int): Boolean =
+    lshFarFraction(nBands, planes) <= LshMaxFarFraction
 
   /** The geometry-parameterized form of [[x2EmbeddingLsh]]. The default
     * 6×3 geometry is tuned for the fixtures' cosine-0.5 regime (oracle
@@ -767,7 +801,30 @@ object Dedup {
     */
   private[graft] def x2EmbeddingLshAt(s: SparkSession, dir: String,
                                       nBands: Int, rowsPerBand: Int,
-                                      threshold: Double): DataFrame = {
+                                      threshold: Double): DataFrame =
+    x2EmbeddingPairsAt(s, dir, Some((nBands, rowsPerBand)), threshold)
+
+  /** The exact arm of the [[lshBeatsBrute]] crossover: the blocked
+    * all-pairs product with the dot computed INLINE in the join (no
+    * candidate shuffle, no vector join-back — at brute volume those
+    * dominate), sharing the adaptive identical-vector collapse with the
+    * banded arm so a k-copy pileup costs (n/k)², not n². The corpus side
+    * broadcasts when the measured count is bounded
+    * ([[BruteBroadcastMaxRows]]) — each task then streams its partition
+    * against the in-memory corpus; past the bound Spark's cartesian
+    * product keeps partition×partition parallelism. Output equals the
+    * exact twin by construction (it IS the exact computation).
+    */
+  private[graft] def x2EmbeddingBruteAt(s: SparkSession, dir: String,
+                                        threshold: Double): DataFrame =
+    x2EmbeddingPairsAt(s, dir, None, threshold)
+
+  /** ~1 KB/vector at 128 dims → ≤ ~100 MB broadcast at the bound. */
+  private[graft] val BruteBroadcastMaxRows = 100000L
+
+  private def x2EmbeddingPairsAt(s: SparkSession, dir: String,
+                                 geometry: Option[(Int, Int)],
+                                 threshold: Double): DataFrame = {
     // 128-bit identical-vector group key (the textKey discipline carried
     // into vector space: boilerplate docs produce byte-identical
     // embeddings, the same pileup shape)
@@ -781,22 +838,38 @@ object Dedup {
     // the same measured count sizes the bucket cap — no fixed constant
     val cap = bucketCap(s, shape.getLong(0))
 
-    // banded corpus feeds both candidate sides and both verification
-    // joins — persist so signatures are computed once
-    def pairsOver(e: DataFrame, outA: String, outB: String): DataFrame = {
-      val bb = e.select(col("vec_id"), posexplode(col("bands")).as(Seq("band", "bh")))
-      val cand = cappedSelfPairs(bb, "vec_id", cap, outA, outB)
-      cand
-        .join(e.select(col("vec_id").as(outA), col("e").as("ea"), col("norm").as("na")), Seq(outA))
-        .join(e.select(col("vec_id").as(outB), col("e").as("eb"), col("norm").as("nb")), Seq(outB))
-        .withColumn("dot", graft.functions.VectorFunctions.dotF64(col("ea"), col("eb")))
-        .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
-        .filter(col("cosine") >= threshold)
-        .select(col(outA), col(outB), col("cosine"))
+    // the corpus frame feeds both candidate sides and both verification
+    // joins — persist so signatures are computed once; (vec_id, e, norm)
+    // on both arms, plus the band array on the banded arm
+    def corpusOf(): DataFrame = geometry match {
+      case Some((b, p)) => Similarity.bandedCorpus(s, dir, b, p)
+      case None         => Similarity.normed(s, dir)
+    }
+    def pairsOver(e: DataFrame, outA: String, outB: String): DataFrame = geometry match {
+      case Some(_) =>
+        val bb = e.select(col("vec_id"), posexplode(col("bands")).as(Seq("band", "bh")))
+        val cand = cappedSelfPairs(bb, "vec_id", cap, outA, outB)
+        cand
+          .join(e.select(col("vec_id").as(outA), col("e").as("ea"), col("norm").as("na")), Seq(outA))
+          .join(e.select(col("vec_id").as(outB), col("e").as("eb"), col("norm").as("nb")), Seq(outB))
+          .withColumn("dot", graft.functions.VectorFunctions.dotF64(col("ea"), col("eb")))
+          .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
+          .filter(col("cosine") >= threshold)
+          .select(col(outA), col(outB), col("cosine"))
+      case None =>
+        val right = e.select(col("vec_id").as(outB), col("e").as("eb"), col("norm").as("nb"))
+        val hinted = if (shape.getLong(0) <= BruteBroadcastMaxRows) broadcast(right) else right
+        e.select(col("vec_id").as(outA), col("e").as("ea"), col("norm").as("na"))
+          .join(hinted, col(outA) < col(outB))
+          .withColumn("cosine", round(
+            graft.functions.VectorFunctions.dotF64(col("ea"), col("eb")) /
+              (col("na") * col("nb")), 6))
+          .filter(col("cosine") >= threshold)
+          .select(col(outA), col(outB), col("cosine"))
     }
 
     if (!hasDupVecs) {
-      val e = Similarity.bandedCorpus(s, dir, nBands, rowsPerBand).persist()
+      val e = corpusOf().persist()
       pairsOver(e, "vec_a", "vec_b").orderBy("vec_a", "vec_b")
     } else {
       // collapse to min-vec_id representatives: identical vectors share
@@ -809,7 +882,7 @@ object Dedup {
       // costs one row per band bucket instead of k²
       val memb = e0.select(col("vec_id"), vecKey.as("vk")).persist()
       val reps = memb.groupBy(col("vk")).agg(min(col("vec_id")).as("vec_id"))
-      val e = Similarity.bandedCorpus(s, dir, nBands, rowsPerBand)
+      val e = corpusOf()
         .join(reps.select(col("vec_id")), Seq("vec_id"), "left_semi")
         .persist()
       val verified = pairsOver(e, "rep_a", "rep_b")
@@ -859,7 +932,14 @@ object Dedup {
   def x2EmbeddingLshAuto(s: SparkSession, dir: String): DataFrame = {
     val n = Tables.embeddings(s, dir).count()
     val (nBands, planes) = embeddingGeometry(n)
-    x2EmbeddingLshAt(s, dir, nBands, planes, 0.9)
+    // the same cost-based arm choice as x2EmbeddingLsh: at small n the
+    // ≥0.9 geometry is still too coarse to prune 5× (far fraction 0.44
+    // at 9×4), so the exact product is the faster honest plan; from
+    // n ≈ 10k upward the law's own geometry clears the bar and the
+    // banded arm engages (far fraction ≈ 0.05 at 25×9) — brute at small
+    // corpora, LSH at scale, decided analytically per corpus.
+    if (lshBeatsBrute(nBands, planes)) x2EmbeddingLshAt(s, dir, nBands, planes, 0.9)
+    else x2EmbeddingBruteAt(s, dir, 0.9)
   }
 
   /** Banding geometry from corpus size. Planes per band p =

@@ -100,10 +100,24 @@ object Similarity {
     * values, band b = the `rowsPerBand` sign bits of planes
     * b*rpb..b*rpb+rpb-1 packed into a long. Pairs collide when ANY band
     * agrees — the MinHash banding discipline at cosine scale. Narrow map,
-    * no shuffle; each per-plane dot product runs through the native
-    * [[graft.functions.DotProductF64]] codegen loop.
+    * no shuffle; since round 8 the whole signature is ONE native
+    * compiled loop ([[graft.functions.HyperplaneBandSig]]): the previous
+    * Column-composed form inlined bands×planes×64 literal doubles into
+    * the projection, which blew janino's 64 KB method limit at the
+    * corpus-derived geometries (225+ planes) and silently dropped the
+    * stage to interpreted evaluation. [[bandedSigComposed]] keeps the
+    * composed form as the parity witness.
     */
   private def bandedSig(nBands: Int, rowsPerBand: Int): org.apache.spark.sql.Column =
+    graft.functions.VectorFunctions.hyperplaneBands(col("e"), nBands, rowsPerBand)
+
+  /** The pre-round-8 Column-composed formulation of [[bandedSig]] —
+    * semantically identical by construction (same planes, same `>= 0`
+    * sign rule, bit-sum == bit-OR for distinct powers of two); kept
+    * non-private so Round8Spec can pin native == composed on real
+    * fixture vectors at both a small and a derived-scale geometry.
+    */
+  private[graft] def bandedSigComposed(nBands: Int, rowsPerBand: Int): org.apache.spark.sql.Column =
     array((0 until nBands).map { b =>
       (0 until rowsPerBand).map { r =>
         val p = b * rowsPerBand + r

@@ -188,4 +188,84 @@ class Round8Spec extends SparkSpec {
           "exact-equality oracle needs the empty-answer regime; re-derive the twin")
     }
   }
+
+  // ---------------------------------------------------------------
+  // X2d' — native banding expression + the LSH-vs-brute crossover
+  // ---------------------------------------------------------------
+
+  test("X2d': native hyperplane banding equals the composed form at small and derived geometry") {
+    // the native compiled loop must reproduce the Column-composed
+    // formulation bit-for-bit on real fixture vectors — at the ANN probe
+    // geometry (6x3) and at a corpus-derived one (25x9, the scale whose
+    // composed form flirts with janino's 64 KB method limit)
+    val e = graft.engine.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    for ((b, p) <- Seq((6, 3), (25, 9))) {
+      val native = e.withColumn("bands",
+          graft.functions.VectorFunctions.hyperplaneBands(col("e"), b, p))
+        .select(col("vec_id"), col("bands")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val composed = e.withColumn("bands", graft.operators.Similarity.bandedSigComposed(b, p))
+        .select(col("vec_id"), col("bands")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(native == composed, s"geometry ${b}x$p: native != composed")
+      assert(native.values.flatten.toSet.size > 1, s"geometry ${b}x$p: degenerate bands")
+    }
+  }
+
+  test("X2d: the crossover law takes brute where banding cannot prune, LSH where it can") {
+    // threshold 0.5: at EVERY geometry the law derives for the fixture
+    // corpus sizes, >= 40% of unrelated pairs survive banding — the
+    // analytic statement of "LSH cannot prune below brute force at
+    // cosine 0.5" — so the exact arm must win
+    for (n <- Seq(500L, 2000L, 20000L)) {
+      val (b, p) = Dedup.embeddingGeometry(n, threshold = 0.5)
+      assert(Dedup.lshFarFraction(b, p) > 0.4, s"n=$n geometry ${b}x$p")
+      assert(!Dedup.lshBeatsBrute(b, p), s"n=$n must take the exact arm at t=0.5")
+    }
+    // threshold 0.9: coarse small-n geometries still fail the 5x pruning
+    // bar (brute is trivially cheap there anyway); from ~10k vectors the
+    // law's own geometry prunes 20x+ and the banded arm engages
+    val (b9s, p9s) = Dedup.embeddingGeometry(500L)
+    assert(!Dedup.lshBeatsBrute(b9s, p9s), "n=500 t=0.9 stays exact")
+    for (n <- Seq(20000L, 2000000L)) {
+      val (b9, p9) = Dedup.embeddingGeometry(n)
+      assert(Dedup.lshBeatsBrute(b9, p9), s"n=$n t=0.9 must take the banded arm")
+      assert(Dedup.lshFarFraction(b9, p9) <= 0.05, s"n=$n far fraction")
+    }
+  }
+
+  test("X2d: the brute arm handles identical-vector pileups through the collapse") {
+    import spark.implicits._
+    // 30 near-orthogonal vectors, one replicated 5x (byte-identical) and
+    // one planted twin pair — the collapse branch of the shared pair
+    // pipeline on the EXACT arm, checked against the quadratic answer
+    val base = (0 until 30).map { i =>
+      (0 until 64).map(j => if (j == i % 16) 3.0f else if (j == 40 + i % 8) 1.0f else 0.0f)
+    }
+    val dups = (0 until 5).map(k => (100L + k, base(7)))
+    val twin = Seq((200L, base(3).map(v => v * 1.01f): Seq[Float]))
+    val vecs: Seq[(Long, Seq[Float])] =
+      base.zipWithIndex.map { case (v, i) => (i.toLong, v: Seq[Float]) } ++
+        dups.map { case (id, v) => (id, v: Seq[Float]) } ++ twin
+    val dir = tmpDir("r8-brute-dups")
+    vecs.toDF("vec_id", "embedding").repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val brute = Dedup.x2EmbeddingBruteAt(spark, dir, 0.9).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("norm", sqrt(graft.functions.VectorFunctions.dotF64(col("e"), col("e"))))
+    val exact = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", round(
+        graft.functions.VectorFunctions.dotF64(col("a.e"), col("b.e")) /
+          (col("a.norm") * col("b.norm")), 6))
+      .filter(col("cosine") >= 0.9)
+      .select(col("a.vec_id"), col("b.vec_id"), col("cosine")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // the 6-copy group alone contributes C(6,2)=15 within-group pairs
+    assert(exact.size >= 16, s"fixture shape changed: ${exact.size}")
+    assert(brute == exact,
+      s"missing=${(exact.keySet -- brute.keySet).take(5)} extra=${(brute.keySet -- exact.keySet).take(5)}")
+  }
 }
