@@ -224,9 +224,62 @@ object StressBench {
     def geomOf(dir: String): String = {
       val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
       val (b, p) = graft.operators.Dedup.embeddingGeometry(n)
-      s"${b}x$p"
+      // record the crossover's arm choice next to the geometry — at base
+      // scale the law takes the exact product (far fraction 0.32 at
+      // 12x5), at x10 the banded arm engages (0.05 at 25x9)
+      val arm = if (graft.operators.Dedup.lshBeatsBrute(b, p)) "lsh" else "brute"
+      s"${b}x$p:$arm"
     }
     val (abGeom, axGeom) = (geomOf(embBase), geomOf(embBig))
+
+    // --- the end-to-end composite at scale (r7 item 5): the heaviest
+    // real-user query measured whole, not inferred from its parts — on
+    // the ×10 corpus (runtime must track data, not data²) and on the
+    // 30%-boilerplate corpus (the skew shape all three stages guard) ---
+    def timeCorpusBuild(dir: String, store: Option[String] = None): (Double, Long) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val rows = graft.operators.Dags.dagCorpusBuildFrom(spark, dir, store).count()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    val (cbBaseSec, cbBaseRows) = timeCorpusBuild(baseOut)
+    val (cbX10Sec, cbX10Rows) = timeCorpusBuild(bigOut)
+    val (cbBoilSec, cbBoilRows) = timeCorpusBuild(boilOut)
+    // the label-store split of the same composite: one pipeline build,
+    // then the consumer reads labels instead of recomputing them — the
+    // production shape for N consumers of one dedup artifact
+    val labelStore = s"$work/labelstore"
+    val tStoreBuild = System.nanoTime()
+    graft.operators.LabelStore.build(spark, bigOut, labelStore)
+    val storeBuildSec = (System.nanoTime() - tStoreBuild) / 1e9
+    val (cbViaStoreSec, cbViaStoreRows) = timeCorpusBuild(bigOut, Some(labelStore))
+    require(cbViaStoreRows == cbX10Rows,
+      s"store-backed composite diverged: $cbViaStoreRows vs $cbX10Rows")
+
+    // --- clustering at scale (r7 item 1): a synthetic 11M-pair graph —
+    // 160k chains of 64 (worst diameter) plus 2k 32-cliques (pair
+    // volume) — through the SAME clusterPairs as the fixture path; the
+    // derived partition count and the logarithmic round count are the
+    // claims under test ---
+    val chainPairs10m = spark.range(0L, 10160128L)
+      .filter(col("id") % 64 =!= 63)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val cliqueBase = 100000000L
+    val cliquePairs = spark.range(0L, 2000L).select(col("id").as("c"))
+      .crossJoin(spark.range(0L, 32L).select(col("id").as("i")))
+      .crossJoin(spark.range(0L, 32L).select(col("id").as("j")))
+      .filter(col("i") < col("j"))
+      .select((lit(cliqueBase) + col("c") * 32 + col("i")).as("doc_a"),
+        (lit(cliqueBase) + col("c") * 32 + col("j")).as("doc_b"))
+    val bigPairs = chainPairs10m.unionByName(cliquePairs)
+    val tBig = System.nanoTime()
+    val (bigLabels, bigRounds) = graft.operators.Dedup.clusterPairs(bigPairs)
+    val bigClusters = bigLabels.select(col("cluster_rep")).distinct().count()
+    val bigClusterSec = (System.nanoTime() - tBig) / 1e9
+    val bigEdgeCount = 2L * (10001376L + 2000L * 496L)
+    val bigParts = graft.operators.Dedup.edgePartitions(bigEdgeCount)
+    // the scale row must also be RIGHT: 158,752 chains + 2,000 cliques
+    require(bigClusters == 160752L, s"11M-pair clustering found $bigClusters components")
 
     // --- long-chain clustering (r7 item 6): 256-doc pure chain, the
     // worst diameter shape — propagation must stay logarithmic ---
@@ -270,6 +323,12 @@ object StressBench {
       f""""embauto":{"base_geom":"$abGeom","x10_geom":"$axGeom",""" +
       f""""base_sec":$abSec%.3f,"base_pairs":$abRows,"x10_sec":$axSec%.3f,"x10_pairs":$axRows,""" +
       f""""time_ratio":${axSec / abSec}%.2f,"pair_ratio":${axRows.toDouble / math.max(abRows, 1)}%.2f},""" +
+      f""""corpus_build":{"base_sec":$cbBaseSec%.3f,"base_rows":$cbBaseRows,""" +
+      f""""x10_sec":$cbX10Sec%.3f,"x10_rows":$cbX10Rows,"time_ratio":${cbX10Sec / cbBaseSec}%.2f,""" +
+      f""""boiler_sec":$cbBoilSec%.3f,"boiler_rows":$cbBoilRows,""" +
+      f""""label_store_build_sec":$storeBuildSec%.3f,"via_store_sec":$cbViaStoreSec%.3f},""" +
+      f""""cluster11m":{"pairs":${10001376L + 2000L * 496L},"edges":$bigEdgeCount,""" +
+      f""""partitions":$bigParts,"rounds":$bigRounds,"clusters":$bigClusters,"sec":$bigClusterSec%.3f},""" +
       f""""chain":{"docs":256,"edges":$chainEdges,"rounds":$chainRounds,"clusters":$chainClusters,"sec":$chainSec%.3f}}""")
     spark.stop()
   }
