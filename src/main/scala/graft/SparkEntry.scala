@@ -113,6 +113,11 @@ object SparkEntry {
     "x7_decontam_keep" -> (Dedup.x7DecontamKeep _),
     "x2_embedding_lsh" -> (Dedup.x2EmbeddingLsh _),
     "x2_embedding_lsh_auto" -> (Dedup.x2EmbeddingLshAuto _),
+    // the banded arm pinned directly (at fixture corpus sizes the
+    // cost-based crossover sends both law-driven entries to the exact
+    // arm — this row keeps the banding machinery itself under the
+    // hash gate at a geometry that clears the pruning bar)
+    "x2_embedding_lsh_banded" -> ((s, dir) => Dedup.x2EmbeddingLshAt(s, dir, 8, 8, 0.9)),
     "x3_cosine_topk" -> (Similarity.x3CosineTopK _),
     "x3_ann_lsh" -> (Similarity.x3AnnLsh _),
     "x3_ann_ivf" -> (Similarity.x3AnnIvf _),
@@ -245,17 +250,24 @@ object SparkEntry {
     "x2_incremental" -> Dedup.x2IncrementalSql,
     "x7_decontaminate" -> Dedup.x7DecontaminateSql,
     "x7_decontam_keep" -> Dedup.x7DecontamKeepSql,
-    // x2_embedding_lsh verifies banded candidates exactly, so its output
-    // is a subset of the exact twin; the banding provably catches every
-    // qualifying fixture pair (deterministic planes; pinned non-vacuously
-    // in LlmOpsSpec at sf0.01) — same oracle as the exact query.
+    // x2_embedding_lsh: at fixture corpus sizes the cost-based crossover
+    // (lshBeatsBrute — threshold 0.5 banding cannot prune) takes the
+    // exact arm, which IS the exact twin's computation; when the banded
+    // arm engages it verifies candidates exactly (subset-of-exact, full
+    // fixture recall pinned in LlmOpsSpec) — same oracle either way.
     "x2_embedding_lsh" -> Dedup.x2EmbeddingSql,
     // x2_embedding_lsh_auto runs at the cosine-0.9 operating threshold
-    // with corpus-size-derived geometry; on the structureless fixtures
-    // the exact ≥0.9 answer is empty, so the oracle pins the
-    // no-false-positive direction — the positive (planted-twin) path is
-    // pinned in Round7Spec
+    // with corpus-size-derived geometry (exact arm at fixture n by the
+    // same crossover); on the structureless fixtures the exact ≥0.9
+    // answer is empty, so the oracle pins the no-false-positive
+    // direction — the positive (planted-twin) path is pinned in
+    // Round7Spec
     "x2_embedding_lsh_auto" -> Dedup.x2EmbeddingAutoSql,
+    // x2_embedding_lsh_banded forces the banded arm (8 bands × 8 planes,
+    // far fraction 0.03 — clears the pruning bar) at the ≥0.9 threshold:
+    // subset-of-exact ⇒ empty on the fixtures ⇒ hash-equal to the exact
+    // twin; its positive path is the planted-twin spec in Round7Spec
+    "x2_embedding_lsh_banded" -> Dedup.x2EmbeddingAutoSql,
     "x3_cosine_topk" -> Similarity.x3Sql,
     // x3_ann_recall: the DuckDB twin recomputes the banded-LSH pipeline
     // from the same deterministic plane constants — recall is an

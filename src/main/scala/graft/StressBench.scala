@@ -152,10 +152,21 @@ object StressBench {
       val rows = SparkEntry.queries(name)(spark, dir).count()
       ((System.nanoTime() - t0) / 1e9, rows)
     }
+    // interleaved best-of-2, the Bench r8 discipline: a contention window
+    // must span BOTH full passes to bias any single cell, and pass-2
+    // disagreement vs pass-1 is visible in the log
+    val passes = (1 to 2).map { p =>
+      queries.map { name =>
+        val (bs, br) = timeOne(name, baseOut)
+        val (xs, xr) = timeOne(name, bigOut)
+        System.err.println(f"pass$p $name base=$bs%.3f x10=$xs%.3f")
+        name -> (bs, xs, br, xr)
+      }.toMap
+    }
     val stats = queries.map { name =>
-      val (bs, br) = timeOne(name, baseOut)
-      val (xs, xr) = timeOne(name, bigOut)
-      name -> (bs, xs, br, xr)
+      val cells = passes.map(_(name))
+      name -> (cells.map(_._1).min, cells.map(_._2).min,
+        cells.head._3, cells.head._4)
     }
 
     // the VERDICT-1 claim measured directly: admit the 10x corpus as 10
