@@ -107,6 +107,9 @@ object SparkEntry {
     "x2_simhash" -> (Dedup.x2SimHash _),
     "x2_embedding_neardup" -> (Dedup.x2EmbeddingNearDup _),
     "x2_dup_clusters" -> (Dedup.x2DupClusters _),
+    // label maintenance under append: split build + incremental merge
+    // must reproduce the from-scratch clusters, hash-exactly
+    "x2_labels_incremental" -> (LabelStore.x2LabelsIncremental _),
     "x2_dedup_keep" -> (Dedup.x2DedupKeep _),
     "x2_incremental" -> (Dedup.x2IncrementalLsh _),
     "x7_decontaminate" -> (Dedup.x7Decontaminate _),
@@ -246,6 +249,9 @@ object SparkEntry {
     "x2_simhash" -> Dedup.x2SimHashSql,
     "x2_embedding_neardup" -> Dedup.x2EmbeddingSql,
     "x2_dup_clusters" -> Dedup.x2DupClustersSql,
+    // the incremental path must land on the same clusters as the
+    // from-scratch pipeline — same oracle by design
+    "x2_labels_incremental" -> Dedup.x2DupClustersSql,
     "x2_dedup_keep" -> Dedup.x2DedupKeepSql,
     "x2_incremental" -> Dedup.x2IncrementalSql,
     "x7_decontaminate" -> Dedup.x7DecontaminateSql,

@@ -267,6 +267,25 @@ object StressBench {
     require(cbViaStoreRows == cbX10Rows,
       s"store-backed composite diverged: $cbViaStoreRows vs $cbX10Rows")
 
+    // --- incremental label maintenance (X2e''): build the store on 9/10
+    // of the x10 corpus, append the last tenth through the incremental
+    // path — per-append cost must track the batch and its candidates,
+    // never the corpus, and the merged labels must equal a full build ---
+    val incStore = s"$work/labelstore-inc"
+    val bigDocs = spark.read.parquet(s"$bigOut/documents.parquet")
+    val tIncB = System.nanoTime()
+    graft.operators.LabelStore.buildDocs(bigDocs.filter(col("doc_id") % 10 =!= 7), incStore)
+    val incBuildSec = (System.nanoTime() - tIncB) / 1e9
+    val tIncA = System.nanoTime()
+    val incMode = graft.operators.LabelStore.ensureCurrentIncremental(spark, bigOut, incStore)
+    val incAppendSec = (System.nanoTime() - tIncA) / 1e9
+    require(incMode == "incremental", s"expected the incremental path, ran '$incMode'")
+    val incLabels = graft.operators.LabelStore.read(spark, incStore)
+    val fullLabels = graft.operators.LabelStore.read(spark, labelStore)
+    require(incLabels.exceptAll(fullLabels).isEmpty && fullLabels.exceptAll(incLabels).isEmpty,
+      "incremental labels diverged from the full build")
+    val incAppendedDocs = bigDocs.filter(col("doc_id") % 10 === 7).count()
+
     // --- clustering at scale (r7 item 1): a synthetic 11M-pair graph —
     // 160k chains of 64 (worst diameter) plus 2k 32-cliques (pair
     // volume) — through the SAME clusterPairs as the fixture path; the
@@ -338,6 +357,8 @@ object StressBench {
       f""""x10_sec":$cbX10Sec%.3f,"x10_rows":$cbX10Rows,"time_ratio":${cbX10Sec / cbBaseSec}%.2f,""" +
       f""""boiler_sec":$cbBoilSec%.3f,"boiler_rows":$cbBoilRows,""" +
       f""""label_store_build_sec":$storeBuildSec%.3f,"via_store_sec":$cbViaStoreSec%.3f},""" +
+      f""""label_inc":{"base_build_sec":$incBuildSec%.3f,"append_sec":$incAppendSec%.3f,""" +
+      f""""appended_docs":$incAppendedDocs,"full_build_sec":$storeBuildSec%.3f},""" +
       f""""cluster11m":{"pairs":${10001376L + 2000L * 496L},"edges":$bigEdgeCount,""" +
       f""""partitions":$bigParts,"rounds":$bigRounds,"clusters":$bigClusters,"sec":$bigClusterSec%.3f},""" +
       f""""chain":{"docs":256,"edges":$chainEdges,"rounds":$chainRounds,"clusters":$chainClusters,"sec":$chainSec%.3f}}""")

@@ -125,12 +125,16 @@ object Dedup {
     * driver-side loop is iteration control, not data movement.
     * Oracle: DuckDB recursive CTE computing min-reachable per doc.
     */
-  def x2DupClusters(s: SparkSession, dir: String): DataFrame = {
+  def x2DupClusters(s: SparkSession, dir: String): DataFrame =
+    x2DupClustersOf(Tables.documents(s, dir))
+
+  /** Frame-based form of [[x2DupClusters]] (see [[x2MinHashLshOf]]). */
+  private[graft] def x2DupClustersOf(corpus: DataFrame): DataFrame = {
     // pairs come from the LSH SCALE path, not the quadratic all-pairs
     // twin — banding + exact verification yields the identical pair set
     // (that equality is x2_minhash_lsh's own oracle), so the cluster
     // result is unchanged while the pair stage stays candidate-bounded
-    clusterPairs(x2MinHashLsh(s, dir).select(col("doc_a"), col("doc_b")))._1
+    clusterPairs(x2MinHashLshOf(corpus).select(col("doc_a"), col("doc_b")))._1
   }
 
   /** Min-label connected components over an undirectable (doc_a, doc_b)
@@ -458,8 +462,17 @@ object Dedup {
     * plan without the collapse/expansion joins — same output, same cap
     * guard, five fewer joins.
     */
-  def x2MinHashLsh(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  def x2MinHashLsh(s: SparkSession, dir: String): DataFrame =
+    x2MinHashLshOf(Tables.documents(s, dir))
+
+  /** Frame-based form of [[x2MinHashLsh]] — the same pipeline over any
+    * (doc_id, text) corpus frame, so callers that dedup a SUBSET (the
+    * label store's split build, a partition of a larger corpus) reuse
+    * the oracle-checked path instead of round-tripping through a dir.
+    */
+  private[graft] def x2MinHashLshOf(corpus: DataFrame): DataFrame = {
+    val s = corpus.sparkSession
+    val docs = corpus
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), col("text"))
     // ADAPTIVE plan choice — the AQE discipline applied at operator

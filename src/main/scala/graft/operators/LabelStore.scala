@@ -41,14 +41,23 @@ import graft.engine.Tables
   */
 object LabelStore {
 
+  /** Per-doc digest frame (doc_id, h) — the unit the corpus fingerprint
+    * aggregates over AND the append-detection key of the incremental
+    * path, so the two validity checks cannot diverge.
+    */
+  private[graft] def digests(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), xxhash64(col("doc_id"), col("text")).as("h"))
+
   /** (row count, order-insensitive digest) of the corpus the labels
     * derive from. bit_xor over per-doc xxhash64(doc_id, text): one
     * narrow scan, no shuffle beyond the scalar aggregate, and XOR
     * cannot overflow under ANSI mode.
     */
-  private[graft] def fingerprint(s: SparkSession, dir: String): (Long, Long) = {
-    val r = Tables.documents(s, dir)
-      .agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id, text))")).head
+  private[graft] def fingerprint(s: SparkSession, dir: String): (Long, Long) =
+    fingerprintOf(digests(Tables.documents(s, dir)))
+
+  private def fingerprintOf(dg: DataFrame): (Long, Long) = {
+    val r = dg.agg(count(lit(1)), expr("bit_xor(h)")).head
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
@@ -72,20 +81,85 @@ object LabelStore {
     }.flatten.sortBy(_.k)
   }
 
-  /** Unconditionally (re)build the store from the corpus at `dir`:
-    * runs the full [[Dedup.x2DupClusters]] pipeline once and publishes
-    * the labels as a new generation.
+  // ----------------------------------------------------------------
+  // Signature/band INDEX — what makes the incremental append path
+  // possible. The admission BandStore cannot serve label maintenance:
+  // it stores only admitted survivors, and a new doc near-dup of a
+  // DROPPED cluster member must still merge into that member's cluster
+  // (in the full rebuild the new doc's edge reaches the dropped doc and
+  // through it the whole component). So the label store keeps its own
+  // per-doc state for the WHOLE corpus — the standard "materialize
+  // signatures" checkpoint (~1 KB/doc) of a production MinHash
+  // pipeline:
+  //   index/digests/ __batch=<gen>/            (doc_id, h)
+  //   index/sigs/    __batch=<gen>/__db=<b>/   (doc_id, sh)
+  //   index/bands/   __batch=<gen>/__bb=<b>/   (band, bh, doc_id)
+  // sigs/bands carry the BandStore bucketing so an append's probe and
+  // verify read only the buckets its band hashes / candidate peers
+  // touch — per-append cost is bounded by the batch and its
+  // candidates, never O(corpus).
+  // Write order is labels-first, index-second: a crash in between
+  // leaves the index missing exactly the docs the next append will
+  // recompute (appended = corpus digests − index digests), and the
+  // re-merge is idempotent — contracted endpoints of already-labeled
+  // docs collapse to their reps, so replayed edges change nothing.
+  // ----------------------------------------------------------------
+
+  private val BandBuckets = 64
+  private val SigBuckets = 16
+
+  private def digestsIdx(storeDir: String) = s"$storeDir/index/digests"
+  private def sigsIdx(storeDir: String) = s"$storeDir/index/sigs"
+  private def bandsIdx(storeDir: String) = s"$storeDir/index/bands"
+
+  /** (doc_id, sh, sig) of the signable subset of a corpus frame —
+    * identical shingling/signing to [[Dedup.x2MinHashLsh]].
     */
-  def build(s: SparkSession, dir: String, storeDir: String): Unit = {
-    val (n, fp) = fingerprint(s, dir)
+  private def signed(corpus: DataFrame): DataFrame =
+    corpus.filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .withColumn("sig", Dedup.minhashSig)
+
+  private def bandsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), posexplode(expr(Dedup.bandSql)).as(Seq("band", "bh")))
+
+  /** Write the index slice for one generation. `replaceAll` (full
+    * rebuild) statically overwrites the whole index; an append
+    * dynamically overwrites only its own `__batch` partitions
+    * (idempotent under retry, the BandStore discipline).
+    */
+  private def writeIndex(dg: DataFrame, sig: DataFrame, gen: Long,
+                         storeDir: String, replaceAll: Boolean): Unit = {
+    def write(df: DataFrame, parts: Seq[String], dir: String): Unit = {
+      val w = df.withColumn("__batch", lit(gen))
+        .write.mode(SaveMode.Overwrite)
+      (if (replaceAll) w else w.option("partitionOverwriteMode", "dynamic"))
+        .partitionBy(parts: _*).parquet(dir)
+    }
+    write(dg, Seq("__batch"), digestsIdx(storeDir))
+    write(sig.select(col("doc_id"), col("sh"))
+        .withColumn("__db", pmod(col("doc_id"), lit(SigBuckets)).cast("int"))
+        .repartition(col("__db")),
+      Seq("__batch", "__db"), sigsIdx(storeDir))
+    write(bandsOf(sig).select(col("band"), col("bh"), col("doc_id"))
+        .withColumn("__bb", pmod(col("bh"), lit(BandBuckets)).cast("int"))
+        .repartition(col("__bb")),
+      Seq("__batch", "__bb"), bandsIdx(storeDir))
+  }
+
+  /** Publish `labels` as the next generation named by (n, fp); returns
+    * the generation number. One atomic rename exposes data + validity
+    * together; all but the newest two generations retire after.
+    */
+  private def publishGen(s: SparkSession, storeDir: String, n: Long,
+                         fp: Long, labels: DataFrame): Long = {
     val root = new Path(storeDir)
     val fs = fsOf(s, root)
     fs.mkdirs(root)
     val gens = listGens(s, storeDir)
     val next = gens.lastOption.map(_.k).getOrElse(0L) + 1
     val staging = new Path(root, s".staging-$next")
-    Dedup.x2DupClusters(s, dir)
-      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    labels.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     val pub = new Path(root,
       s"gen=${next}__n=${n}__fp=${java.lang.Long.toHexString(fp)}")
     require(fs.rename(staging, pub), s"LabelStore: could not publish $pub")
@@ -95,6 +169,29 @@ object LabelStore {
     gens.dropRight(1).foreach { g =>
       fs.rename(g.path, new Path(root, "." + g.path.getName + ".retired"))
     }
+    next
+  }
+
+  /** Unconditionally (re)build the store from the corpus at `dir`:
+    * runs the full [[Dedup.x2DupClusters]] pipeline once and publishes
+    * the labels as a new generation (plus the full signature/band
+    * index backing future incremental appends).
+    */
+  def build(s: SparkSession, dir: String, storeDir: String): Unit =
+    buildDocs(Tables.documents(s, dir), storeDir)
+
+  /** Frame-based [[build]] — lets a caller scope the store to a corpus
+    * SUBSET (the incremental unit tests' split build).
+    */
+  private[graft] def buildDocs(corpus0: DataFrame, storeDir: String): Unit = {
+    val corpus = corpus0.persist()
+    try {
+      val s = corpus.sparkSession
+      val dg = digests(corpus)
+      val (n, fp) = fingerprintOf(dg)
+      val gen = publishGen(s, storeDir, n, fp, Dedup.x2DupClustersOf(corpus))
+      writeIndex(dg, signed(corpus), gen, storeDir, replaceAll = true)
+    } finally corpus.unpersist()
   }
 
   /** Rebuild iff the corpus fingerprint no longer matches the newest
@@ -107,6 +204,155 @@ object LabelStore {
       case Some(g) if g.n == n && g.fp == fp => false
       case _ => build(s, dir, storeDir); true
     }
+  }
+
+  /** [[ensureCurrent]] with an INCREMENTAL append path — the 100 TB
+    * form: appends are the norm there, and a full rebuild per append
+    * re-shingles, re-signs, re-bands and re-clusters the whole corpus
+    * to relabel a sliver. Returns which path ran:
+    * `"noop"` (fingerprint matches), `"incremental"` (append-only
+    * delta merged), `"full"` (store empty / index missing / any stored
+    * doc mutated or deleted — by measurement, the store's validity
+    * discipline).
+    *
+    * The incremental merge signs ONLY the appended docs, probes the
+    * stored band index bucket-pruned for old-side candidates, verifies
+    * exact Jaccard against bucket-pruned stored shingles, then runs
+    * connected components on the CONTRACTED graph: every old endpoint
+    * maps to its current cluster label (old components are already
+    * collapsed — their internal edges need no replay), so the fixpoint
+    * input is O(new pairs), never O(all pairs). Old reps are minima of
+    * their components, so the contracted min-label IS the global
+    * min-label, and the merged output equals the full rebuild
+    * (pinned in Round8Spec, and hash-oracled end-to-end by
+    * `x2_labels_incremental`). Change detection pays one narrow
+    * corpus scan (doc_id + text hash) — the price of validity by
+    * measurement; a deployment with append manifests can skip it.
+    */
+  def ensureCurrentIncremental(s: SparkSession, dir: String,
+                               storeDir: String): String = {
+    val corpus = Tables.documents(s, dir).persist()
+    val persisted = scala.collection.mutable.ArrayBuffer[DataFrame](corpus)
+    def keep(df: DataFrame): DataFrame = { persisted += df; df.persist() }
+    try {
+      val dg = keep(digests(corpus))
+      val (n, fp) = fingerprintOf(dg)
+      val gens = listGens(s, storeDir)
+      if (gens.lastOption.exists(g => g.n == n && g.fp == fp)) return "noop"
+      val idxPath = new Path(digestsIdx(storeDir))
+      if (gens.isEmpty || !fsOf(s, idxPath).exists(idxPath)) {
+        buildDocs(corpus, storeDir); return "full"
+      }
+      val idx = s.read.parquet(digestsIdx(storeDir)).select(col("doc_id"), col("h"))
+      // any stored doc mutated or deleted → the delta is not an append;
+      // fall back to the full pipeline (which also rewrites the index)
+      if (!idx.join(dg, Seq("doc_id", "h"), "left_anti").isEmpty) {
+        buildDocs(corpus, storeDir); return "full"
+      }
+      // localCheckpoint — NOT persist: the digests write below refreshes
+      // its path, and a refresh RECACHES every plan that reads it; a
+      // merely-cached `appended` would re-evaluate against the
+      // just-written index and collapse to empty, silently emptying the
+      // sigs/bands writes that follow. Truncating the lineage pins the
+      // delta to what was measured before any write.
+      val appended = dg.join(idx, Seq("doc_id"), "left_anti")
+        .select(col("doc_id")).localCheckpoint()
+      if (appended.isEmpty) { buildDocs(corpus, storeDir); return "full" }
+
+      val cap = Dedup.bucketCap(s, n)
+      val sig = keep(signed(corpus.join(appended, Seq("doc_id"), "left_semi")))
+      val newBands = keep(bandsOf(sig))
+      // new-new candidates through the shared hot-bucket guard
+      val nn = Dedup.cappedSelfPairs(newBands, "doc_id", cap, "na", "nb", keep)
+      // new-old candidates: bucket-pruned probe of the stored bands
+      // (≤ BandBuckets driver-side values — bounded, never data rows)
+      val touched = newBands
+        .select(pmod(col("bh"), lit(BandBuckets)).cast("int").as("__bb"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val no =
+        if (touched.isEmpty) s.range(0).select(col("id").as("new_id"), col("id").as("old_id"))
+        else {
+          val probe = s.read.parquet(bandsIdx(storeDir))
+            .filter(col("__bb").isin(touched: _*))
+            .select(col("band"), col("bh"), col("doc_id").as("old_id"))
+          // adaptive store-side cap, the admitBatch bipartite discipline:
+          // star over-cap buckets to their min peer; under-drops only,
+          // every surviving candidate still exactly verified
+          val stats = probe.groupBy(col("band"), col("bh"))
+            .agg(count(lit(1)).as("__n"), min(col("old_id")).as("__pmin"))
+          val maxBucket = stats.agg(coalesce(max(col("__n")), lit(0L))).head.getLong(0)
+          val guarded =
+            if (maxBucket <= cap) probe
+            else probe
+              .join(stats.filter(col("__n") <= cap).select(col("band"), col("bh")), Seq("band", "bh"))
+              .unionByName(stats.filter(col("__n") > cap)
+                .select(col("band"), col("bh"), col("__pmin").as("old_id")))
+          keep(guarded
+            .join(newBands.withColumnRenamed("doc_id", "new_id"), Seq("band", "bh"))
+            .select(col("new_id"), col("old_id")).distinct())
+        }
+      // exact Jaccard ≥ 0.8 verification — identical arithmetic to
+      // x2MinHashLsh so the merged labels can hash-match its oracle
+      def jaccardOk = {
+        val c = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+        round(c / (size(col("sh_a")) + size(col("sh_b")) - c), 6) >= 0.8
+      }
+      val nnV = nn
+        .join(sig.select(col("doc_id"), col("sh").as("sh_a")), col("na") === col("doc_id")).drop("doc_id")
+        .join(sig.select(col("doc_id"), col("sh").as("sh_b")), col("nb") === col("doc_id")).drop("doc_id")
+        .filter(jaccardOk).select(col("na").as("doc_a"), col("nb").as("doc_b"))
+      val peerBuckets = no
+        .select(pmod(col("old_id"), lit(SigBuckets)).cast("int").as("__db"))
+        .distinct().collect().map(_.getInt(0)).toSeq // ≤ SigBuckets values
+      val noV =
+        if (peerBuckets.isEmpty) nnV.limit(0)
+        else {
+          val oldSh = s.read.parquet(sigsIdx(storeDir))
+            .filter(col("__db").isin(peerBuckets: _*))
+            .select(col("doc_id"), col("sh").as("sh_b"))
+          no.join(sig.select(col("doc_id"), col("sh").as("sh_a")), col("new_id") === col("doc_id")).drop("doc_id")
+            .join(oldSh, col("old_id") === col("doc_id")).drop("doc_id")
+            .filter(jaccardOk).select(col("new_id").as("doc_a"), col("old_id").as("doc_b"))
+        }
+      // CONTRACT: old endpoints collapse to their current label; an old
+      // doc outside every cluster is its own contracted node. Old reps
+      // are component minima, so min-label over the contracted graph is
+      // the global min-label.
+      val oldLabels = keep(read(s, storeDir))
+      val contracted = noV
+        .join(oldLabels.select(col("doc_id").as("doc_b"), col("cluster_rep")), Seq("doc_b"), "left")
+        .select(col("doc_a"), coalesce(col("cluster_rep"), col("doc_b")).as("doc_b"))
+      val (merged, _) = Dedup.clusterPairs(nnV.unionByName(contracted).distinct())
+      // remap relabeled components; add rows for new docs and for old
+      // singletons a new edge pulled into a cluster
+      val remap = merged
+        .select(col("doc_id").as("cluster_rep"), col("cluster_rep").as("__new_rep"))
+      val labels = oldLabels.join(remap, Seq("cluster_rep"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__new_rep"), col("cluster_rep")).as("cluster_rep"))
+        .unionByName(merged.join(oldLabels.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+        .orderBy("doc_id")
+      val gen = publishGen(s, storeDir, n, fp, labels)
+      writeIndex(dg.join(appended, Seq("doc_id"), "left_semi"), sig, gen,
+        storeDir, replaceAll = false)
+      "incremental"
+    } finally persisted.foreach(_.unpersist())
+  }
+
+  /** X2e'' [EXT] — label maintenance under append, end-to-end: build
+    * the store on the corpus MINUS every 7th doc, append those docs
+    * through [[ensureCurrentIncremental]], return the final labels.
+    * Oracle: the full-corpus recursive-CTE clusters
+    * ([[Dedup.x2DupClustersSql]]) — the incremental merge must equal
+    * the from-scratch rebuild, hash-exactly.
+    */
+  def x2LabelsIncremental(s: SparkSession, dir: String): DataFrame = {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-labelinc").toString + "/store"
+    buildDocs(Tables.documents(s, dir).filter(col("doc_id") % 7 =!= 0), store)
+    val mode = ensureCurrentIncremental(s, dir, store)
+    require(mode == "incremental", s"expected the incremental path, ran '$mode'")
+    read(s, store).orderBy("doc_id")
   }
 
   /** Labels of the newest generation: (doc_id, cluster_rep), the exact

@@ -165,6 +165,113 @@ class Round8Spec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // X2e'' — incremental label maintenance (append without rebuild)
+  // ---------------------------------------------------------------
+
+  /** Corpus for the incremental tests. Base (stage 0): exact group
+    * {0,1,2}; near pair {10,11} (J=9/11); two sub-threshold-adjacent
+    * clusters C1={20,21} and C2={22,23} (every cross pair < 0.8);
+    * distinct fillers 40–49. Stage 1 appends: 30 near-dup of the
+    * NON-rep 11 only (J(30,11)=9/11, J(30,10)=8/12), 32 bridging C1
+    * and C2 (J=9/11 with 20, 9/11 with 22), 33 an exact copy of doc
+    * 0's text, the fresh pair {34,35}, and the loner 36. Stage 2
+    * appends 37, a near-dup of the previously-appended 36. `mutate`
+    * rewrites doc 40's text in place (a non-append change).
+    */
+  private def writeIncCorpus(dir: String, stage: Int, mutate: Boolean = false): Unit = {
+    import spark.implicits._
+    def toks(p: String, from: Int, to: Int) = (from to to).map(i => s"$p$i").mkString(" ")
+    val base: Seq[(Long, String)] = Seq(
+      0L -> toks("tok", 0, 11), 1L -> toks("tok", 0, 11), 2L -> toks("tok", 0, 11),
+      10L -> (toks("n", 0, 10) + " tailA"), 11L -> (toks("n", 0, 10) + " tailB"),
+      20L -> toks("m", 0, 11), 21L -> (toks("m", 0, 10) + " q"),
+      22L -> toks("m", 2, 13), 23L -> toks("m", 2, 12)) ++
+      (40L until 50L).map(i => i -> (0 until 12).map(j => s"d${i}w$j").mkString(" "))
+    val app1: Seq[(Long, String)] = Seq(
+      30L -> ("x0 " + toks("n", 1, 10) + " tailB"),
+      32L -> toks("m", 1, 12),
+      33L -> toks("tok", 0, 11),
+      34L -> toks("p", 0, 11), 35L -> (toks("p", 0, 10) + " r"),
+      36L -> toks("z", 0, 11))
+    val app2: Seq[(Long, String)] = Seq(37L -> (toks("z", 0, 10) + " y"))
+    val rows = (base ++ (if (stage >= 1) app1 else Nil) ++ (if (stage >= 2) app2 else Nil))
+      .map { case (id, t) => if (mutate && id == 40L) (id, t + " mutated") else (id, t) }
+    rows.toDF("doc_id", "text")
+      .withColumn("source", lit("s")).withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  private def labelMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+  test("X2e'': incremental append equals the full rebuild — non-rep attach, bridge merge, exact dup, fresh pair") {
+    val dir = tmpDir("r8-inccorpus")
+    val store = tmpDir("r8-incstore") + "/store"
+    writeIncCorpus(dir, stage = 0)
+    LabelStore.build(spark, dir, store)
+    // sanity on the planted base structure
+    val base = labelMap(LabelStore.read(spark, store))
+    assert(base(23L) == 22L && base(21L) == 20L && base(20L) == 20L,
+      s"planted base clusters malformed: $base")
+
+    writeIncCorpus(dir, stage = 1)
+    assert(LabelStore.ensureCurrentIncremental(spark, dir, store) == "incremental")
+    val got = labelMap(LabelStore.read(spark, store))
+    val full = labelMap(Dedup.x2DupClusters(spark, dir))
+    assert(got == full, s"incremental diverged from full rebuild:\n$got\nvs\n$full")
+    // the shapes that MUST work and that the admission store cannot serve:
+    assert(got(30L) == 10L, "attach via a NON-rep cluster member")
+    assert(got(32L) == 20L && got(22L) == 20L && got(23L) == 20L,
+      "bridge doc must merge C1 and C2 and REMAP C2's old labels")
+    assert(got(33L) == 0L, "exact-dup append joins the exact group")
+    assert(got(35L) == 34L, "fresh appended pair clusters on its own")
+    assert(!got.contains(36L) && !got.contains(40L), "pairless docs carry no label")
+
+    // unchanged corpus: noop, no generation churn
+    val gensBefore = new java.io.File(store).listFiles().count(_.getName.startsWith("gen="))
+    assert(LabelStore.ensureCurrentIncremental(spark, dir, store) == "noop")
+    assert(new java.io.File(store).listFiles().count(_.getName.startsWith("gen=")) == gensBefore)
+  }
+
+  test("X2e'': a lost index batch self-heals on the next append; mutation falls back to full") {
+    val dir = tmpDir("r8-incheal")
+    val store = tmpDir("r8-inchealstore") + "/store"
+    writeIncCorpus(dir, stage = 0)
+    LabelStore.build(spark, dir, store)
+    writeIncCorpus(dir, stage = 1)
+    assert(LabelStore.ensureCurrentIncremental(spark, dir, store) == "incremental")
+    // simulate the crash window: labels generation 2 published, index
+    // append lost — every stage-1 doc is missing from the index
+    for (sub <- Seq("digests", "sigs", "bands")) {
+      val batches = new java.io.File(s"$store/index/$sub").listFiles()
+        .filter(_.getName.startsWith("__batch="))
+      val newest = batches.maxBy(_.getName.stripPrefix("__batch=").toLong)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(newest)
+    }
+    // next append re-detects the lost docs as part of its delta and the
+    // re-merge is idempotent: contracted endpoints of already-labeled
+    // docs collapse to their reps, so replayed edges change nothing
+    writeIncCorpus(dir, stage = 2)
+    assert(LabelStore.ensureCurrentIncremental(spark, dir, store) == "incremental")
+    val got = labelMap(LabelStore.read(spark, store))
+    assert(got == labelMap(Dedup.x2DupClusters(spark, dir)),
+      "self-healed append diverged from the full rebuild")
+    assert(got(37L) == 36L, "the new pair over a previously-appended doc")
+
+    // a mutated doc is NOT an append: the path must fall back to the
+    // full pipeline (and the rebuilt store must still be right)
+    writeIncCorpus(dir, stage = 2, mutate = true)
+    assert(LabelStore.ensureCurrentIncremental(spark, dir, store) == "full")
+    assert(labelMap(LabelStore.read(spark, store)) == labelMap(Dedup.x2DupClusters(spark, dir)))
+    assert(LabelStore.ensureCurrentIncremental(spark, dir, store) == "noop")
+  }
+
+  // ---------------------------------------------------------------
   // ADVICE r7 — the ≥0.9 embedding twin's empty-fixture invariant
   // ---------------------------------------------------------------
 
