@@ -124,6 +124,9 @@ object SparkEntry {
     "x3_cosine_topk" -> (Similarity.x3CosineTopK _),
     "x3_ann_lsh" -> (Similarity.x3AnnLsh _),
     "x3_ann_ivf" -> (Similarity.x3AnnIvf _),
+    // the materialized-index round trip: build the IVF store, serve the
+    // probe from it — bit-identical to the self-contained query
+    "x3_ann_ivf_store" -> (IvfStore.x3AnnIvfStore _),
     "x3_ann_recall" -> (Similarity.x3AnnRecall _),
     "x4_text_stats" -> (TextAnalysis.x4Stats _),
     "x4_token_count" -> (TextAnalysis.x4TokenCount _),
@@ -284,6 +287,9 @@ object SparkEntry {
     // centroid means), so the ANN outputs themselves are hash-checked.
     "x3_ann_lsh" -> Similarity.x3AnnLshSql,
     "x3_ann_ivf" -> Similarity.x3AnnIvfSql,
+    // the store round trip is bit-deterministic (md5 seed order, exact
+    // decimal means, lossless double round-trip) — same oracle
+    "x3_ann_ivf_store" -> Similarity.x3AnnIvfSql,
     "x4_text_stats" -> TextAnalysis.x4StatsSql,
     "x4_token_count" -> TextAnalysis.x4TokenCountSql,
     "x4_lang_id" -> TextAnalysis.x4LangIdSql,

@@ -286,6 +286,26 @@ object StressBench {
       "incremental labels diverged from the full build")
     val incAppendedDocs = bigDocs.filter(col("doc_id") % 10 === 7).count()
 
+    // --- materialized IVF index (X3c'): the index is a build artifact;
+    // the store-served probe must beat rebuilding the index inside the
+    // query, at identical output ---
+    val ivfStore = s"$work/ivfstore"
+    spark.catalog.clearCache()
+    val tIvfD = System.nanoTime()
+    val ivfDirect = graft.operators.Similarity.x3AnnIvf(spark, bigOut)
+    val ivfDirectRows = ivfDirect.count()
+    val ivfDirectSec = (System.nanoTime() - tIvfD) / 1e9
+    val tIvfB = System.nanoTime()
+    graft.operators.IvfStore.build(spark, bigOut, ivfStore)
+    val ivfBuildSec = (System.nanoTime() - tIvfB) / 1e9
+    spark.catalog.clearCache()
+    val tIvfP = System.nanoTime()
+    val ivfProbe = graft.operators.IvfStore.probe(spark, bigOut, ivfStore)
+    val ivfProbeRows = ivfProbe.count()
+    val ivfProbeSec = (System.nanoTime() - tIvfP) / 1e9
+    require(ivfProbe.exceptAll(ivfDirect).isEmpty && ivfProbeRows == ivfDirectRows,
+      "store-served IVF probe diverged from the self-contained query")
+
     // --- clustering at scale (r7 item 1): a synthetic 11M-pair graph —
     // 160k chains of 64 (worst diameter) plus 2k 32-cliques (pair
     // volume) — through the SAME clusterPairs as the fixture path; the
@@ -359,6 +379,8 @@ object StressBench {
       f""""label_store_build_sec":$storeBuildSec%.3f,"via_store_sec":$cbViaStoreSec%.3f},""" +
       f""""label_inc":{"base_build_sec":$incBuildSec%.3f,"append_sec":$incAppendSec%.3f,""" +
       f""""appended_docs":$incAppendedDocs,"full_build_sec":$storeBuildSec%.3f},""" +
+      f""""ivf_store":{"direct_sec":$ivfDirectSec%.3f,"build_sec":$ivfBuildSec%.3f,""" +
+      f""""probe_sec":$ivfProbeSec%.3f,"rows":$ivfProbeRows},""" +
       f""""cluster11m":{"pairs":${10001376L + 2000L * 496L},"edges":$bigEdgeCount,""" +
       f""""partitions":$bigParts,"rounds":$bigRounds,"clusters":$bigClusters,"sec":$bigClusterSec%.3f},""" +
       f""""chain":{"docs":256,"edges":$chainEdges,"rounds":$chainRounds,"clusters":$chainClusters,"sec":$chainSec%.3f}}""")

@@ -337,21 +337,42 @@ object Similarity {
     * and broadcasts.
     */
   def x3AnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val nlist = 32
-    // 20/32 cells probed: on the uniform-random fixture embeddings (no
-    // cluster structure for the quantizer to exploit) the deterministic
-    // pipeline measures recall@5 vs brute force at 0.90 / 0.96 / 0.96
-    // across sf0.001 / 0.01 / 0.1 — clearing the 0.85 floor pinned in
-    // LlmOpsSpec at every scale. The config was swept OFFLINE through
-    // the bit-identical twin pipeline: extra Lloyd iterations do NOT
-    // help on structureless data (lloyd=2 measured 0.82/0.92/0.86,
-    // lloyd=3 0.86/0.90/0.82 — centroids of a uniform cloud just jitter)
-    // while widening the probe 16→20 lifted the floor 0.84→0.90 for a
-    // 25% larger scored-candidate set. Clustered real-world embeddings
-    // hit the same recall at far smaller probed fractions; the probe
-    // width is the recall/cost dial.
-    val nprobe = 20
     val e = normed(s, dir).persist()
+    val (refined, lists) = ivfIndex(e)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("norm").as("qnorm"))
+    ivfScore(lists, ivfQueryCells(refined, queries))
+  }
+
+  /** IVF cell count. 32 at fixture scale; a production deployment
+    * scales it with the corpus while the centroid set stays
+    * broadcast-sized.
+    */
+  private[graft] val IvfNList = 32
+
+  /** 20/32 cells probed: on the uniform-random fixture embeddings (no
+    * cluster structure for the quantizer to exploit) the deterministic
+    * pipeline measures recall@5 vs brute force at 0.90 / 0.96 / 0.96
+    * across sf0.001 / 0.01 / 0.1 — clearing the 0.85 floor pinned in
+    * LlmOpsSpec at every scale. The config was swept OFFLINE through
+    * the bit-identical twin pipeline: extra Lloyd iterations do NOT
+    * help on structureless data (lloyd=2 measured 0.82/0.92/0.86,
+    * lloyd=3 0.86/0.90/0.82 — centroids of a uniform cloud just jitter)
+    * while widening the probe 16→20 lifted the floor 0.84→0.90 for a
+    * 25% larger scored-candidate set. Clustered real-world embeddings
+    * hit the same recall at far smaller probed fractions; the probe
+    * width is the recall/cost dial.
+    */
+  private[graft] val IvfNProbe = 20
+
+  /** The IVF INDEX build — (refined centroids, inverted lists): the
+    * part of [[x3AnnIvf]] that is a build artifact, not a query
+    * ([[IvfStore]] materializes exactly this pair). The centroid frame
+    * comes back persisted (two consumers: the list build and every
+    * probe).
+    */
+  private[graft] def ivfIndex(e: DataFrame): (DataFrame, DataFrame) = {
+    val nlist = IvfNList
 
     // deterministic seed centroids: first nlist corpus vectors in
     // md5(vec_id) order — an unbiased sample ANY engine reproduces
@@ -390,16 +411,26 @@ object Similarity {
       .persist()
 
     val lists = assign(e, refined) // inverted lists: (cell) -> vectors
-    val queries = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("norm").as("qnorm"))
-    // probe assignment: nprobe nearest cells per query
-    val qCells = {
-      val scored = queries.crossJoin(broadcast(refined))
-        .withColumn("sim", dotF64(col("qe"), col("ce")) /
-          (col("qnorm") * sqrt(dotF64(col("ce"), col("ce")))))
-      TopKPerGroup(scored, Seq(col("q_id")), Seq(col("sim").desc, col("c_id")), nprobe)
-        .select(col("q_id"), col("qe"), col("qnorm"), col("c_id"))
-    }
+    (refined, lists)
+  }
+
+  /** Probe assignment: the [[IvfNProbe]] nearest cells per query —
+    * (q_id, qe, qnorm, c_id).
+    */
+  private[graft] def ivfQueryCells(refined: DataFrame, queries: DataFrame): DataFrame = {
+    val scored = queries.crossJoin(broadcast(refined))
+      .withColumn("sim", dotF64(col("qe"), col("ce")) /
+        (col("qnorm") * sqrt(dotF64(col("ce"), col("ce")))))
+    TopKPerGroup(scored, Seq(col("q_id")), Seq(col("sim").desc, col("c_id")), IvfNProbe)
+      .select(col("q_id"), col("qe"), col("qnorm"), col("c_id"))
+  }
+
+  /** Probe-limited scoring + ranked top-5 over the inverted lists —
+    * the query half of the IVF pipeline. `lists` may be the freshly
+    * built frame or a (partition-pruned) store scan; joins are
+    * name-based so either column order works.
+    */
+  private[graft] def ivfScore(lists: DataFrame, qCells: DataFrame): DataFrame = {
     val scored = lists.join(broadcast(qCells), Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine",

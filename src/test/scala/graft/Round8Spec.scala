@@ -272,6 +272,40 @@ class Round8Spec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // X3c' — materialized IVF index store
+  // ---------------------------------------------------------------
+
+  test("X3c': the store-served probe equals the self-contained IVF query bit-for-bit") {
+    val store = tmpDir("r8-ivfstore") + "/store"
+    graft.operators.IvfStore.build(spark, sfDir, store)
+    val direct = graft.operators.Similarity.x3AnnIvf(spark, sfDir).collect().toSeq
+    val served = graft.operators.IvfStore.probe(spark, sfDir, store).collect().toSeq
+    assert(served == direct, "store round trip changed the ANN answer")
+    // validity by measurement: same corpus → no rebuild; the unit
+    // contract matching LabelStore's
+    assert(!graft.operators.IvfStore.ensureCurrent(spark, sfDir, store))
+  }
+
+  test("X3c': the probe's lists scan is partition-pruned to the probed cells") {
+    val store = tmpDir("r8-ivfprune") + "/store"
+    graft.operators.IvfStore.build(spark, sfDir, store)
+    // one query probes exactly IvfNProbe of the IvfNList cells — the
+    // pruned count is deterministic (the 10-query oracle surface can
+    // legitimately touch every cell on uniform fixtures)
+    val (_, lists) = graft.operators.IvfStore.probeInputs(spark, sfDir, store, maxQueryId = 1L)
+    val p = lists.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PartitionFilters: ["), p.take(1500))
+    val scanned = lists.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scanned.nonEmpty, "no lists scan found")
+    assert(scanned.head == graft.operators.Similarity.IvfNProbe,
+      s"expected exactly ${graft.operators.Similarity.IvfNProbe} cells scanned, got ${scanned.head}")
+  }
+
+  // ---------------------------------------------------------------
   // ADVICE r7 — the ≥0.9 embedding twin's empty-fixture invariant
   // ---------------------------------------------------------------
 
