@@ -58,7 +58,19 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // the JSON line is the contract; also land it as a file so the result
+    // stays machine-readable even if log interleaving mangles the tail
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench.json: $e")
+    }
     spark.stop()
+    // print LAST, after Spark's shutdown chatter, so the tail is clean
+    println(line)
   }
 }

@@ -41,6 +41,9 @@ object SparkEntry {
     "dag_scrape_tag_upper" -> (Dags.dagScrapeTagUpper _),
     "dag_training_prep" -> (Dags.dagTrainingPrep _),
     "dag_corpus_build" -> (Dags.dagCorpusBuild _),
+    // the production read path: near-dup labels served from the
+    // materialized LabelStore (ensureCurrent → fingerprint-gated build)
+    "dag_corpus_build_stored" -> (Dags.dagCorpusBuildStored _),
     "p1_dropna_any" -> (Pipeline.p1DropnaAny _),
     "p2_dropna_all" -> (Pipeline.p2DropnaAll _),
     "p3_validate" -> (Pipeline.p3Validate _),
@@ -175,6 +178,9 @@ object SparkEntry {
     "dag_scrape_tag_upper" -> Dags.dagScrapeTagUpperSql,
     "dag_training_prep" -> Dags.dagTrainingPrepSql,
     "dag_corpus_build" -> Dags.dagCorpusBuildSql,
+    // store-backed composite: store proven equal to the pipeline, so the
+    // SAME oracle gates the production read path
+    "dag_corpus_build_stored" -> Dags.dagCorpusBuildSql,
     "p1_dropna_any" -> Pipeline.p1Sql,
     "p2_dropna_all" -> Pipeline.p2Sql,
     "p3_validate" -> Pipeline.p3Sql,

@@ -216,6 +216,21 @@ object Dags {
       .orderBy("doc_id")
   }
 
+  /** The PRODUCTION read path of [[dagCorpusBuild]]: labels served from
+    * the materialized [[LabelStore]] ([[LabelStore.ensureCurrent]] makes
+    * the store valid by measurement — a fingerprint match skips the whole
+    * cluster pipeline; a mismatch rebuilds once for every consumer).
+    * Registered under the SAME oracle SQL as the storeless row: the store
+    * is proven equal to the pipeline (Round8Spec + `x2_labels_incremental`),
+    * so this puts the store-backed read itself under the hash gate while
+    * the storeless row keeps gating the full pipeline.
+    */
+  def dagCorpusBuildStored(s: SparkSession, dir: String): DataFrame = {
+    val store = LabelStore.defaultStoreDir(dir)
+    LabelStore.ensureCurrent(s, dir, store)
+    dagCorpusBuildFrom(s, dir, Some(store))
+  }
+
   /** Oracle twin of [[dagCorpusBuild]], DERIVED from the three component
     * twins' own SQL text (the `x2DedupKeepSql` stripSuffix+require
     * discipline, composite-wide): each component's CTE block is its

@@ -172,6 +172,16 @@ object LabelStore {
     next
   }
 
+  /** Canonical store location for the corpus at `dir` — stable across
+    * processes so one build serves every later consumer (bench runs 2..N
+    * take the fingerprint-match fast path); outside the repo tree so no
+    * artifact lands in version control.
+    */
+  def defaultStoreDir(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"${sys.props("java.io.tmpdir")}/graft-label-store/$key"
+  }
+
   /** Unconditionally (re)build the store from the corpus at `dir`:
     * runs the full [[Dedup.x2DupClusters]] pipeline once and publishes
     * the labels as a new generation (plus the full signature/band

@@ -64,19 +64,21 @@ object Temporal {
     * the gap to the previous event of the same user exceeds 30 minutes.
     * Classic two-window form — lag to flag session starts, running sum to
     * number them — then one aggregate per (user, session). Gaps compare
-    * in integral microseconds (`unix_micros` / DuckDB `epoch_us`) so both
-    * engines make the identical cut. One shuffle on user_id; both windows
-    * reuse the same partitioning (a single sort, no second exchange).
+    * in integral microseconds ([[Tables.epochUs]] / DuckDB `epoch_us`) so
+    * both engines make the identical cut whichever timestamp flavor the
+    * fixture footer carries; the emitted `ts` columns stay footer-faithful
+    * for oracle symmetry. One shuffle on user_id; both windows reuse the
+    * same partitioning (a single sort, no second exchange).
     */
   def t8SessionizeBatch(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, dir)
       .select(col("user_id"), col("ts"))
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("prev_us", lag(Tables.epochUs(col("ts")), 1).over(w))
       .withColumn("new_sess",
         when(col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+          Tables.epochUs(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
       .withColumn("session_no", sum(col("new_sess")).over(run))
       .groupBy(col("user_id"), col("session_no"))
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),

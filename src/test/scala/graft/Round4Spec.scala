@@ -199,7 +199,7 @@ class Round4Spec extends SparkSpec {
         val slot = t % 5 == 0 && t / 5 <= d
         if (slot) s"alt${t}" else s"tok$t"
       }.mkString(" ")
-      (d.toLong, txt, "synthetic", "en", txt.length)
+      (d.toLong, txt, "synthetic", "en", txt.length.toLong)
     }.toDF("doc_id", "text", "source", "lang", "n_chars")
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     // sanity: consecutive docs qualify, the chain's ends do not

@@ -296,7 +296,7 @@ class Round7Spec extends SparkSpec {
       near.zipWithIndex.map { case (v, i) => ((100 + i).toLong, v) } ++
       basis.zipWithIndex.map { case (v, i) => ((200 + i).toLong, v) }
     val dir = tmpDir("r7-emb-dup")
-    vecs.toDF("vec_id", "embedding").repartition(4)
+    vecs.toDF("vec_id", "embedding").withColumn("label", lit(0)).repartition(4)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val lsh = Dedup.x2EmbeddingLshAt(spark, dir, 8, 8, 0.9).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -399,7 +399,7 @@ class Round7Spec extends SparkSpec {
       base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
       twins.map { case (id, v) => (id.toLong, v: Seq[Float]) }
     val dir = tmpDir("r7-emb-auto")
-    vecs.toDF("vec_id", "embedding").repartition(4)
+    vecs.toDF("vec_id", "embedding").withColumn("label", lit(0)).repartition(4)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val auto = Dedup.x2EmbeddingLshAuto(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

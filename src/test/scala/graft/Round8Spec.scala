@@ -390,7 +390,7 @@ class Round8Spec extends SparkSpec {
       base.zipWithIndex.map { case (v, i) => (i.toLong, v: Seq[Float]) } ++
         dups.map { case (id, v) => (id, v: Seq[Float]) } ++ twin
     val dir = tmpDir("r8-brute-dups")
-    vecs.toDF("vec_id", "embedding").repartition(4)
+    vecs.toDF("vec_id", "embedding").withColumn("label", lit(0)).repartition(4)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val brute = Dedup.x2EmbeddingBruteAt(spark, dir, 0.9).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

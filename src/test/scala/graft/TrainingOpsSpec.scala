@@ -14,12 +14,18 @@ class TrainingOpsSpec extends SparkSpec {
     val uid = rows.head.getAs[Long]("user_id")
     val ev = graft.engine.Tables.events(spark, sfDir)
       .filter(col("user_id") === uid)
-      .select(col("event_type"), col("ts").cast("long").as("sec"), col("event_id"))
+      .select(col("event_type"),
+        col("ts").cast("timestamp").cast("long").as("sec"), col("event_id"))
       .collect()
     val purchases = ev.filter(_.getString(0) == "purchase")
       .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
     rows.filter(_.getAs[Long]("user_id") == uid).foreach { r =>
-      val clickSec = r.getAs[java.sql.Timestamp]("click_ts").getTime / 1000
+      // click_ts mirrors the fixture footer: LocalDateTime when NTZ,
+      // java.sql.Timestamp when UTC-adjusted — same instant either way
+      val clickSec = r.get(r.fieldIndex("click_ts")) match {
+        case t: java.sql.Timestamp => t.getTime / 1000
+        case d: java.time.LocalDateTime => d.toEpochSecond(java.time.ZoneOffset.UTC)
+      }
       val expected = purchases.filter(_._1 <= clickSec).lastOption.map(_._2)
       val got = Option(r.getAs[java.lang.Long]("purchase_id")).map(_.longValue)
       assert(got == expected, s"user $uid click@$clickSec")
