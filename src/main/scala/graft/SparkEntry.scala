@@ -130,6 +130,9 @@ object SparkEntry {
     // the materialized-index round trip: build the IVF store, serve the
     // probe from it — bit-identical to the self-contained query
     "x3_ann_ivf_store" -> (IvfStore.x3AnnIvfStore _),
+    // index maintenance under append: split build + incremental append
+    // (frozen centroids, delta-only assignment) probed end-to-end
+    "x3_ann_ivf_inc" -> (IvfStore.x3AnnIvfIncremental _),
     "x3_ann_recall" -> (Similarity.x3AnnRecall _),
     "x4_text_stats" -> (TextAnalysis.x4Stats _),
     "x4_token_count" -> (TextAnalysis.x4TokenCount _),
@@ -296,6 +299,9 @@ object SparkEntry {
     // the store round trip is bit-deterministic (md5 seed order, exact
     // decimal means, lossless double round-trip) — same oracle
     "x3_ann_ivf_store" -> Similarity.x3AnnIvfSql,
+    // the maintained index equals a from-scratch construction with the
+    // same frozen centroids — the twin derives them from the base subset
+    "x3_ann_ivf_inc" -> Similarity.x3AnnIvfIncSql,
     "x4_text_stats" -> TextAnalysis.x4StatsSql,
     "x4_token_count" -> TextAnalysis.x4TokenCountSql,
     "x4_lang_id" -> TextAnalysis.x4LangIdSql,

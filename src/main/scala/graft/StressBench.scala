@@ -306,6 +306,23 @@ object StressBench {
     require(ivfProbe.exceptAll(ivfDirect).isEmpty && ivfProbeRows == ivfDirectRows,
       "store-served IVF probe diverged from the self-contained query")
 
+    // --- incremental IVF maintenance (X3c''): build the index on 9/10
+    // of the x10 vectors, append the last tenth through the incremental
+    // path — append cost is the delta assignment (O(delta · nlist)),
+    // never the 2-pass corpus re-train the full build pays ---
+    val ivfIncStore = s"$work/ivfstore-inc"
+    val bigVecs = spark.read.parquet(s"$bigOut/embeddings.parquet")
+    val tIvfIncB = System.nanoTime()
+    graft.operators.IvfStore.buildVecs(bigVecs.filter(col("vec_id") % 10 =!= 7), ivfIncStore)
+    val ivfIncBuildSec = (System.nanoTime() - tIvfIncB) / 1e9
+    val tIvfIncA = System.nanoTime()
+    val ivfIncMode = graft.operators.IvfStore.ensureCurrentIncremental(spark, bigOut, ivfIncStore)
+    val ivfIncAppendSec = (System.nanoTime() - tIvfIncA) / 1e9
+    require(ivfIncMode == "incremental", s"expected the incremental path, ran '$ivfIncMode'")
+    require(!graft.operators.IvfStore.ensureCurrent(spark, bigOut, ivfIncStore),
+      "append must leave the store fingerprint-current")
+    val ivfIncAppended = bigVecs.filter(col("vec_id") % 10 === 7).count()
+
     // --- clustering at scale (r7 item 1): a synthetic 11M-pair graph —
     // 160k chains of 64 (worst diameter) plus 2k 32-cliques (pair
     // volume) — through the SAME clusterPairs as the fixture path; the
@@ -381,6 +398,8 @@ object StressBench {
       f""""appended_docs":$incAppendedDocs,"full_build_sec":$storeBuildSec%.3f},""" +
       f""""ivf_store":{"direct_sec":$ivfDirectSec%.3f,"build_sec":$ivfBuildSec%.3f,""" +
       f""""probe_sec":$ivfProbeSec%.3f,"rows":$ivfProbeRows},""" +
+      f""""ivf_inc":{"base_build_sec":$ivfIncBuildSec%.3f,"append_sec":$ivfIncAppendSec%.3f,""" +
+      f""""appended_vecs":$ivfIncAppended,"full_build_sec":$ivfBuildSec%.3f},""" +
       f""""cluster11m":{"pairs":${10001376L + 2000L * 496L},"edges":$bigEdgeCount,""" +
       f""""partitions":$bigParts,"rounds":$bigRounds,"clusters":$bigClusters,"sec":$bigClusterSec%.3f},""" +
       f""""chain":{"docs":256,"edges":$chainEdges,"rounds":$chainRounds,"clusters":$chainClusters,"sec":$chainSec%.3f}}""")

@@ -6,55 +6,94 @@ import org.apache.spark.sql.functions._
 import graft.engine.Tables
 
 /** [EXT] Materialized IVF ANN INDEX — the [[LabelStore]] generational
-  * discipline applied to [[Similarity.x3AnnIvf]]'s index half.
+  * discipline applied to [[Similarity.x3AnnIvf]]'s index half, with
+  * INCREMENTAL append maintenance (VERDICT r8 item 6).
   *
   * Why it exists: `x3_ann_ivf` rebuilds the whole index inside every
   * query — seed sample, Lloyd refinement, argmax assignment of every
   * corpus vector. That is the right shape for an oracle-checked query
   * and the wrong one for production ANN serving, where the index is
-  * built once per corpus version and probed by many queries. At 100 TB
-  * the assignment pass alone is a full corpus scan per query.
+  * built once per corpus version and probed by many queries. And at
+  * 100 TB appends are the norm: re-clustering the whole corpus to
+  * absorb a sliver of new vectors is the same anti-pattern the label
+  * store retired for dup clusters. An append here signs ONLY the delta:
+  * new vectors are argmax-assigned to the generation's FROZEN centroids
+  * (the production IVF discipline — FAISS `add` vs `train`) and land as
+  * a new list batch; a full re-train runs only when the measured cell
+  * imbalance says the frozen quantizer no longer fits the data.
   *
-  * Layout: `storeDir/gen=<k>__n=<count>__fp=<digest>/` holding TWO
-  * tables published by the SAME atomic rename:
-  *   - `centroids/` — (c_id, ce), [[Similarity.IvfNList]] rows,
-  *     broadcast-sized at any corpus scale;
-  *   - `lists/` — the inverted lists (vec_id, e, norm) PARTITIONED BY
-  *     `c_id`, so a probe's scan reads only the `nprobe` cells its
-  *     queries select (partition pruning, asserted in Round8Spec) —
-  *     the nprobe/nlist cost fraction the IVF design promises is in
-  *     the STORAGE LAYOUT, not just the plan.
-  * The corpus fingerprint (row count + order-insensitive bit_xor of
-  * per-vector hashes) rides in the generation name; [[ensureCurrent]]
-  * re-fingerprints and rebuilds on mismatch — validity by measurement.
-  * The newest two generations stay live (the LabelStore/BandStore
-  * retirement idiom), so a reader that resolved just before a
-  * concurrent rebuild never scans a retired path.
+  * Layout:
+  *   - `storeDir/gen=<k>__n=<count>__fp=<digest>__b=<base>/centroids/` —
+  *     (c_id, ce), [[Similarity.IvfNList]] rows, broadcast-sized; one
+  *     directory per GENERATION, corpus fingerprint (row count +
+  *     order-insensitive bit_xor digest) in the name so data and
+  *     validity publish in one atomic rename. `b` is the generation's
+  *     BASE batch: its inverted lists are batches `b..k`.
+  *   - `storeDir/lists/__batch=<j>/c_id=<c>/` — the inverted lists
+  *     (vec_id, e, norm), a SHARED dataset outside the generation dirs
+  *     (the LabelStore index idiom): a full rebuild writes batch k and
+  *     publishes base=k; an append writes only its own batch via dynamic
+  *     partition overwrite (idempotent under crash-retry — the batch
+  *     number is the unpublished generation's, so a retry overwrites its
+  *     own orphan) and publishes base=previous base. Probes filter
+  *     `__batch ∈ [b, k]` AND the probed `c_id`s — both partition
+  *     columns, so the scan reads only the probed cells of the live
+  *     batches (partition pruning, asserted in Round8Spec).
+  *   - `storeDir/digests/__batch=<j>/` — (vec_id, h) per batch, the
+  *     append-detection key: appended = corpus digests − stored digests;
+  *     any stored digest missing from the corpus means mutation/delete →
+  *     full rebuild (validity by measurement, as everywhere).
   *
-  * Determinism: every stage of the index build is bit-deterministic
-  * (md5 seed order, exact decimal centroid means), and parquet round-
-  * trips doubles losslessly — so [[probe]] over a current store equals
-  * the self-contained query bit-for-bit, and `x3_ann_ivf_store` runs
-  * under the SAME DuckDB oracle as `x3_ann_ivf`.
+  * Retirement keeps the newest two generations' batch ranges live (the
+  * BandStore reader contract: resolve-again recovers), retiring older
+  * generation dirs by dot-rename and deleting list/digest batches no
+  * live generation references.
+  *
+  * Determinism: the full build is bit-deterministic (md5 seed order,
+  * exact decimal centroid means), assignment is per-vector pure, and
+  * parquet round-trips doubles losslessly — so a store maintained by
+  * appends equals a one-shot assignment of the full corpus to the same
+  * centroids, and `x3_ann_ivf_inc` runs under a DuckDB twin that
+  * regenerates exactly that ([[Similarity.x3AnnIvfIncSql]]).
   */
 object IvfStore {
+
+  /** Full re-train trigger: a cell holding more than this multiple of
+    * the balanced share (n / nlist) means the frozen quantizer has
+    * drifted from the data distribution — probe cost is proportional to
+    * the largest probed cell, so a runaway cell is the measurable symptom
+    * that centroids need re-learning. 8× tolerates the natural spread of
+    * argmax assignment on uniform data (measured max/mean ≈ 2–3 on the
+    * fixtures) while catching a skewed append well before one cell
+    * degenerates toward a linear scan.
+    */
+  private val ImbalanceFactor = 8.0
+
+  /** (vec_id, h) — the append-detection unit; same hash as
+    * [[fingerprint]] aggregates, so the two validity checks cannot
+    * diverge.
+    */
+  private def digestsOf(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), xxhash64(col("vec_id"), col("embedding")).as("h"))
+
+  private def fingerprintOf(dg: DataFrame): (Long, Long) = {
+    val r = dg.agg(count(lit(1)), expr("bit_xor(h)")).head
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
 
   /** (row count, order-insensitive digest) over the embeddings table —
     * xxhash64 spans vec_id and the float array, so any vector edit
     * invalidates.
     */
-  private[graft] def fingerprint(s: SparkSession, dir: String): (Long, Long) = {
-    val r = Tables.embeddings(s, dir)
-      .agg(count(lit(1)), expr("bit_xor(xxhash64(vec_id, embedding))")).head
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-  }
+  private[graft] def fingerprint(s: SparkSession, dir: String): (Long, Long) =
+    fingerprintOf(digestsOf(Tables.embeddings(s, dir)))
 
-  private case class Gen(k: Long, n: Long, fp: Long, path: Path)
+  private case class Gen(k: Long, n: Long, fp: Long, base: Long, path: Path)
 
   private def fsOf(s: SparkSession, p: Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  private val GenName = """gen=(\d+)__n=(\d+)__fp=([0-9a-f]+)""".r
+  private val GenName = """gen=(\d+)__n=(\d+)__fp=([0-9a-f]+)__b=(\d+)""".r
 
   private def listGens(s: SparkSession, storeDir: String): Seq[Gen] = {
     val root = new Path(storeDir)
@@ -62,35 +101,84 @@ object IvfStore {
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq.collect {
       case st if st.isDirectory => st.getPath.getName match {
-        case GenName(k, n, fp) =>
-          Some(Gen(k.toLong, n.toLong, java.lang.Long.parseUnsignedLong(fp, 16), st.getPath))
+        case GenName(k, n, fp, b) =>
+          Some(Gen(k.toLong, n.toLong, java.lang.Long.parseUnsignedLong(fp, 16),
+            b.toLong, st.getPath))
         case _ => None
       }
     }.flatten.sortBy(_.k)
   }
 
-  /** Unconditionally (re)build the index from the corpus at `dir` and
-    * publish it as a new generation.
+  private def listsDir(storeDir: String) = s"$storeDir/lists"
+  private def digestsDir(storeDir: String) = s"$storeDir/digests"
+
+  /** Write one batch of a shared partitioned dataset, dynamically
+    * overwriting ONLY its own `__batch` partitions — idempotent under
+    * crash-retry.
     */
-  def build(s: SparkSession, dir: String, storeDir: String): Unit = {
-    val (n, fp) = fingerprint(s, dir)
-    val e = Similarity.normed(s, dir).persist()
+  private def writeBatch(df: DataFrame, batch: Long, parts: Seq[String],
+                         dir: String): Unit =
+    df.withColumn("__batch", lit(batch))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(("__batch" +: parts): _*).parquet(dir)
+
+  private def readBatches(s: SparkSession, dir: String, from: Long, to: Long): DataFrame =
+    s.read.parquet(dir).filter(col("__batch") >= from && col("__batch") <= to)
+
+  /** Publish centroids as generation `next` with batch range
+    * `[base, next]`, then retire: all but the newest two generation dirs
+    * dot-rename away, and list/digest batches below the oldest live
+    * generation's base are deleted (no live reader can reference them).
+    */
+  private def publishGen(s: SparkSession, storeDir: String, next: Long, n: Long,
+                         fp: Long, base: Long, centroids: DataFrame): Unit = {
+    val root = new Path(storeDir)
+    val fs = fsOf(s, root)
+    fs.mkdirs(root)
+    val gens = listGens(s, storeDir)
+    val staging = new Path(root, s".staging-$next")
+    centroids.write.mode(SaveMode.Overwrite).parquet(s"$staging/centroids")
+    val pub = new Path(root,
+      s"gen=${next}__n=${n}__fp=${java.lang.Long.toHexString(fp)}__b=${base}")
+    require(fs.rename(staging, pub), s"IvfStore: could not publish $pub")
+    gens.dropRight(1).foreach { g =>
+      fs.rename(g.path, new Path(root, "." + g.path.getName + ".retired"))
+    }
+    val keepFrom = math.min(base, gens.lastOption.map(_.base).getOrElse(base))
+    Seq(listsDir(storeDir), digestsDir(storeDir)).foreach { d =>
+      val dp = new Path(d)
+      if (fs.exists(dp)) fs.listStatus(dp).foreach { st =>
+        st.getPath.getName match {
+          case s"__batch=$b" if b.toLongOption.exists(_ < keepFrom) =>
+            fs.delete(st.getPath, true)
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  /** Unconditionally (re)build the index from the corpus at `dir` and
+    * publish it as a new generation (base = its own batch: the previous
+    * generations' lists stop being referenced and retire).
+    */
+  def build(s: SparkSession, dir: String, storeDir: String): Unit =
+    buildVecs(Tables.embeddings(s, dir), storeDir)
+
+  /** Frame-based [[build]] — lets a caller scope the store to a corpus
+    * SUBSET (the incremental oracle row's split build).
+    */
+  private[graft] def buildVecs(emb: DataFrame, storeDir: String): Unit = {
+    val s = emb.sparkSession
+    val dg = digestsOf(emb)
+    val (n, fp) = fingerprintOf(dg)
+    val e = Similarity.normedOf(emb).persist()
     val (cent, lists) = Similarity.ivfIndex(e)
     try {
-      val root = new Path(storeDir)
-      val fs = fsOf(s, root)
-      fs.mkdirs(root)
-      val gens = listGens(s, storeDir)
-      val next = gens.lastOption.map(_.k).getOrElse(0L) + 1
-      val staging = new Path(root, s".staging-$next")
-      cent.write.mode(SaveMode.Overwrite).parquet(s"$staging/centroids")
-      lists.write.mode(SaveMode.Overwrite).partitionBy("c_id").parquet(s"$staging/lists")
-      val pub = new Path(root,
-        s"gen=${next}__n=${n}__fp=${java.lang.Long.toHexString(fp)}")
-      require(fs.rename(staging, pub), s"IvfStore: could not publish $pub")
-      gens.dropRight(1).foreach { g =>
-        fs.rename(g.path, new Path(root, "." + g.path.getName + ".retired"))
-      }
+      val next = listGens(s, storeDir).lastOption.map(_.k).getOrElse(0L) + 1
+      writeBatch(lists.repartition(col("c_id")), next, Seq("c_id"), listsDir(storeDir))
+      writeBatch(dg, next, Seq.empty, digestsDir(storeDir))
+      publishGen(s, storeDir, next, n, fp, base = next, centroids = cent)
     } finally { cent.unpersist(); e.unpersist() }
   }
 
@@ -105,18 +193,84 @@ object IvfStore {
     }
   }
 
-  private def latest(s: SparkSession, storeDir: String): Path = {
+  /** [[ensureCurrent]] with the INCREMENTAL append path. Returns which
+    * path ran: `"noop"` (fingerprint matches), `"incremental"`
+    * (append-only delta assigned to the frozen generation centroids and
+    * landed as a new list batch), `"full"` (store empty / any stored
+    * vector mutated or deleted / measured cell imbalance past
+    * [[ImbalanceFactor]] — the re-train triggers, all by measurement).
+    *
+    * Append cost is O(delta · nlist) for the assignment plus a
+    * metadata-cheap per-cell count for the imbalance gauge — never a
+    * corpus re-scan; the full rebuild stays O(corpus · nlist) twice
+    * (seed assign + refined assign). The maintained index equals a
+    * one-shot assignment of the whole corpus to the same centroids
+    * because assignment is per-vector pure ([[Similarity.ivfAssign]]).
+    */
+  def ensureCurrentIncremental(s: SparkSession, dir: String,
+                               storeDir: String): String =
+    ensureIncrementalVecs(Tables.embeddings(s, dir), storeDir)
+
+  private[graft] def ensureIncrementalVecs(emb: DataFrame, storeDir: String): String = {
+    val s = emb.sparkSession
+    val dg = digestsOf(emb).persist()
+    try {
+      val (n, fp) = fingerprintOf(dg)
+      val gens = listGens(s, storeDir)
+      if (gens.lastOption.exists(g => g.n == n && g.fp == fp)) return "noop"
+      val gen = gens.lastOption.getOrElse { buildVecs(emb, storeDir); return "full" }
+      val dgPath = new Path(digestsDir(storeDir))
+      if (!fsOf(s, dgPath).exists(dgPath)) { buildVecs(emb, storeDir); return "full" }
+      val stored = readBatches(s, digestsDir(storeDir), gen.base, gen.k)
+        .select(col("vec_id"), col("h"))
+      // any stored vector mutated or deleted → not an append
+      if (!stored.join(dg, Seq("vec_id", "h"), "left_anti").isEmpty) {
+        buildVecs(emb, storeDir); return "full"
+      }
+      // localCheckpoint, not persist: the batch writes below refresh the
+      // store paths, and a refresh RECACHES plans reading them — the
+      // delta must stay pinned to its pre-write measurement
+      val appended = dg.join(stored, Seq("vec_id"), "left_anti")
+        .select(col("vec_id")).localCheckpoint()
+      if (appended.isEmpty) { buildVecs(emb, storeDir); return "full" }
+
+      val cent = s.read.parquet(s"${gen.path}/centroids")
+      val delta = Similarity.ivfAssign(
+        Similarity.normedOf(emb.join(appended, Seq("vec_id"), "left_semi")),
+        cent).localCheckpoint()
+      // imbalance gauge: merged per-cell counts vs the balanced share.
+      // The stored side is a count over the lists' partition columns —
+      // columnar metadata, no vector data crosses the wire.
+      val oldCells = readBatches(s, listsDir(storeDir), gen.base, gen.k)
+        .groupBy(col("c_id")).agg(count(lit(1)).as("cnt"))
+      val newCells = delta.groupBy(col("c_id")).agg(count(lit(1)).as("cnt"))
+      val maxCell = oldCells.unionByName(newCells)
+        .groupBy(col("c_id")).agg(sum(col("cnt")).as("cnt"))
+        .agg(max(col("cnt"))).head.getLong(0)
+      if (maxCell > ImbalanceFactor * n / Similarity.IvfNList) {
+        buildVecs(emb, storeDir); return "full"
+      }
+      val next = gen.k + 1
+      writeBatch(delta.repartition(col("c_id")), next, Seq("c_id"), listsDir(storeDir))
+      writeBatch(dg.join(appended, Seq("vec_id"), "left_semi"), next,
+        Seq.empty, digestsDir(storeDir))
+      publishGen(s, storeDir, next, n, fp, base = gen.base, centroids = cent)
+      "incremental"
+    } finally dg.unpersist()
+  }
+
+  private def latest(s: SparkSession, storeDir: String): Gen = {
     val gens = listGens(s, storeDir)
     require(gens.nonEmpty, s"IvfStore: no published generation under $storeDir")
-    gens.last.path
+    gens.last
   }
 
   /** The query half of [[Similarity.x3AnnIvf]] served from the store:
     * centroids load broadcast-sized, the probed cell ids collect
     * driver-side (≤ [[Similarity.IvfNList]] values — bounded by the
-    * cell count, never the data), and the lists scan carries a
-    * partition filter on exactly those cells. No corpus-wide stage
-    * remains in the query path.
+    * cell count, never the data), and the lists scan carries partition
+    * filters on exactly the live batch range and those cells. No
+    * corpus-wide stage remains in the query path.
     */
   def probe(s: SparkSession, dir: String, storeDir: String): DataFrame = {
     val (qCells, lists) = probeInputs(s, dir, storeDir)
@@ -131,13 +285,15 @@ object IvfStore {
   private[graft] def probeInputs(s: SparkSession, dir: String, storeDir: String,
                                  maxQueryId: Long = 10L): (DataFrame, DataFrame) = {
     val gen = latest(s, storeDir)
-    val cent = s.read.parquet(s"$gen/centroids")
+    val cent = s.read.parquet(s"${gen.path}/centroids")
     val queries = Similarity.normed(s, dir).filter(col("vec_id") < maxQueryId)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("norm").as("qnorm"))
     val qCells = Similarity.ivfQueryCells(cent, queries)
     val probed = qCells.select(col("c_id")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val lists = s.read.parquet(s"$gen/lists").filter(col("c_id").isin(probed: _*))
+    val lists = readBatches(s, listsDir(storeDir), gen.base, gen.k)
+      .filter(col("c_id").isin(probed: _*))
+      .select(col("vec_id"), col("e"), col("norm"), col("c_id"))
     (qCells, lists)
   }
 
@@ -150,6 +306,23 @@ object IvfStore {
     val store = java.nio.file.Files
       .createTempDirectory("graft-ivfstore").toString + "/store"
     build(s, dir, store)
+    probe(s, dir, store)
+  }
+
+  /** X3c'' [EXT] — index maintenance under append, end-to-end: build the
+    * store on the corpus MINUS every 7th vector, append those through
+    * [[ensureCurrentIncremental]] (frozen centroids, delta-only
+    * assignment), probe the maintained index. Oracle:
+    * [[Similarity.x3AnnIvfIncSql]] — the full-corpus pipeline with
+    * centroids derived from the same base subset, so the maintained
+    * index is hash-checked against a from-scratch construction.
+    */
+  def x3AnnIvfIncremental(s: SparkSession, dir: String): DataFrame = {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-ivfinc").toString + "/store"
+    buildVecs(Tables.embeddings(s, dir).filter(col("vec_id") % 7 =!= 0), store)
+    val mode = ensureCurrentIncremental(s, dir, store)
+    require(mode == "incremental", s"expected the incremental path, ran '$mode'")
     probe(s, dir, store)
   }
 }

@@ -20,8 +20,12 @@ import graft.plans.TopKPerGroup
 object Similarity {
 
   private[operators] def normed(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    normedOf(Tables.embeddings(s, dir))
+
+  /** Frame-scoped [[normed]] — lets the IVF store prepare a corpus
+    * SUBSET or an append delta through the identical projection. */
+  private[operators] def normedOf(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("norm", sqrt(dotF64(col("e"), col("e"))))
 
   /** X3a — brute-force cosine top-5 for queries vec_id < 10 (self
@@ -371,6 +375,23 @@ object Similarity {
     * comes back persisted (two consumers: the list build and every
     * probe).
     */
+  /** Argmax cell per vector as a hash aggregate (max over a (sim, -c_id)
+    * struct = best sim with lowest-c_id tie-break) — partial-aggregates
+    * map-side, so assignment costs one narrow shuffle of nlist-wide
+    * pre-reduced rows instead of a window sort over the full cross.
+    * Per-vector pure, so assigning a subset then a delta equals one
+    * assignment of their union — the identity the IVF store's
+    * incremental append rests on.
+    */
+  private[graft] def ivfAssign(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("sim", dotF64(col("e"), col("ce")) /
+        (col("norm") * sqrt(dotF64(col("ce"), col("ce")))))
+      .groupBy(col("vec_id"))
+      .agg(first(col("e")).as("e"), first(col("norm")).as("norm"),
+        max(struct(col("sim"), (-col("c_id")).as("nc"))).as("top"))
+      .select(col("vec_id"), col("e"), col("norm"), (-col("top.nc")).as("c_id"))
+
   private[graft] def ivfIndex(e: DataFrame): (DataFrame, DataFrame) = {
     val nlist = IvfNList
 
@@ -382,18 +403,7 @@ object Similarity {
       .orderBy("h").limit(nlist)
       .select(row_number().over(Window.orderBy(col("h"))).as("c_id"), col("e").as("ce"))
 
-    // argmax cell per vector as a hash aggregate (max over a (sim, -c_id)
-    // struct = best sim with lowest-c_id tie-break) — partial-aggregates
-    // map-side, so assignment costs one narrow shuffle of nlist-wide
-    // pre-reduced rows instead of a window sort over the full cross
-    def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
-      vecs.crossJoin(broadcast(cents))
-        .withColumn("sim", dotF64(col("e"), col("ce")) /
-          (col("norm") * sqrt(dotF64(col("ce"), col("ce")))))
-        .groupBy(col("vec_id"))
-        .agg(first(col("e")).as("e"), first(col("norm")).as("norm"),
-          max(struct(col("sim"), (-col("c_id")).as("nc"))).as("top"))
-        .select(col("vec_id"), col("e"), col("norm"), (-col("top.nc")).as("c_id"))
+    def assign(vecs: DataFrame, cents: DataFrame): DataFrame = ivfAssign(vecs, cents)
 
     // one Lloyd refinement: new centroid = per-cell dimension-wise mean.
     // The mean is EXACT (decimal sum / count): double summation order is
@@ -451,13 +461,13 @@ object Similarity {
     * order. Like the LSH twin, this converts "approximate" from a
     * rows-only claim into a hash-checked result.
     */
-  val x3AnnIvfSql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+  private def ivfPipelineSql(extraCtes: String, base: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e,
       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
-      |  FROM embeddings),
+      |  FROM embeddings),$extraCtes
       |seeds AS (
       |  SELECT CAST(row_number() OVER (ORDER BY h) AS INTEGER) AS c_id, ce FROM (
-      |    SELECT md5(CAST(vec_id AS VARCHAR)) AS h, e AS ce FROM e
+      |    SELECT md5(CAST(vec_id AS VARCHAR)) AS h, e AS ce FROM $base
       |    ORDER BY h LIMIT 32)),
       |a0 AS (
       |  SELECT vec_id, e, norm, c_id FROM (
@@ -465,7 +475,7 @@ object Similarity {
       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
       |        list_dot_product(v.e, s.ce) / (v.norm * sqrt(list_dot_product(s.ce, s.ce))) DESC,
       |        s.c_id) AS rk
-      |    FROM e v CROSS JOIN seeds s) WHERE rk = 1),
+      |    FROM $base v CROSS JOIN seeds s) WHERE rk = 1),
       |refined AS (
       |  SELECT c_id, list(m ORDER BY dim) AS ce FROM (
       |    SELECT c_id, dim,
@@ -497,4 +507,19 @@ object Similarity {
       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
       |  FROM scored)
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  val x3AnnIvfSql: String = ivfPipelineSql("", "e")
+
+  /** DuckDB twin of [[IvfStore.x3AnnIvfIncremental]]: centroids (seed
+    * sample + Lloyd refinement) derive from the BASE subset
+    * (`vec_id % 7 != 0` — the corpus before the append), while the
+    * inverted lists and the probe span the FULL corpus. That is exactly
+    * what the incremental append produces — frozen generation centroids,
+    * per-vector argmax assignment of the delta (assignment is per-vector
+    * pure, so subset-then-delta equals one full assignment) — and every
+    * stage stays bit-deterministic, so the maintained index is
+    * hash-checked end to end.
+    */
+  val x3AnnIvfIncSql: String = ivfPipelineSql(
+    "\neb AS (SELECT * FROM e WHERE vec_id % 7 != 0),", "eb")
 }
