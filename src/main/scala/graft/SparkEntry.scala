@@ -133,6 +133,9 @@ object SparkEntry {
     // index maintenance under append: split build + incremental append
     // (frozen centroids, delta-only assignment) probed end-to-end
     "x3_ann_ivf_inc" -> (IvfStore.x3AnnIvfIncremental _),
+    // the production serve path: fingerprint-gated ensureCurrent against
+    // the canonical store, then the partition-pruned probe
+    "x3_ann_ivf_served" -> (IvfStore.x3AnnIvfServed _),
     "x3_ann_recall" -> (Similarity.x3AnnRecall _),
     "x4_text_stats" -> (TextAnalysis.x4Stats _),
     "x4_token_count" -> (TextAnalysis.x4TokenCount _),
@@ -302,6 +305,8 @@ object SparkEntry {
     // the maintained index equals a from-scratch construction with the
     // same frozen centroids — the twin derives them from the base subset
     "x3_ann_ivf_inc" -> Similarity.x3AnnIvfIncSql,
+    // served probe is bit-identical to the in-query build — same oracle
+    "x3_ann_ivf_served" -> Similarity.x3AnnIvfSql,
     "x4_text_stats" -> TextAnalysis.x4StatsSql,
     "x4_token_count" -> TextAnalysis.x4TokenCountSql,
     "x4_lang_id" -> TextAnalysis.x4LangIdSql,

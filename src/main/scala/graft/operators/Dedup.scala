@@ -129,12 +129,13 @@ object Dedup {
     x2DupClustersOf(Tables.documents(s, dir))
 
   /** Frame-based form of [[x2DupClusters]] (see [[x2MinHashLshOf]]). */
-  private[graft] def x2DupClustersOf(corpus: DataFrame): DataFrame = {
+  private[graft] def x2DupClustersOf(corpus: DataFrame,
+                                     preSigned: Option[DataFrame] = None): DataFrame = {
     // pairs come from the LSH SCALE path, not the quadratic all-pairs
     // twin — banding + exact verification yields the identical pair set
     // (that equality is x2_minhash_lsh's own oracle), so the cluster
     // result is unchanged while the pair stage stays candidate-bounded
-    clusterPairs(x2MinHashLshOf(corpus).select(col("doc_a"), col("doc_b")))._1
+    clusterPairs(x2MinHashLshOf(corpus, preSigned).select(col("doc_a"), col("doc_b")))._1
   }
 
   /** Min-label connected components over an undirectable (doc_a, doc_b)
@@ -470,7 +471,8 @@ object Dedup {
     * label store's split build, a partition of a larger corpus) reuse
     * the oracle-checked path instead of round-tripping through a dir.
     */
-  private[graft] def x2MinHashLshOf(corpus: DataFrame): DataFrame = {
+  private[graft] def x2MinHashLshOf(corpus: DataFrame,
+                                    preSigned: Option[DataFrame] = None): DataFrame = {
     val s = corpus.sparkSession
     val docs = corpus
       .filter(size(split(col("text"), " ")) >= 3)
@@ -492,11 +494,18 @@ object Dedup {
     // signatures feed both band sides and both verification joins —
     // persist so they are computed once (at 100 TB this is the standard
     // "materialize signatures" checkpoint of a MinHash pipeline,
-    // storage ~= 1 KB/doc), over representatives only when collapsing
-    def signed(d: DataFrame): DataFrame = d
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .withColumn("sig", minhashSig)
-      .persist()
+    // storage ~= 1 KB/doc), over representatives only when collapsing.
+    // A caller that ALREADY holds the full-corpus signed frame (the
+    // label store signs every doc for its index) passes it via
+    // `preSigned`: the needed subset is a semi-join of the persisted
+    // frame instead of a second shingling+minhash pass — identical
+    // values by determinism of both functions over the text
+    def signed(d: DataFrame): DataFrame = (preSigned match {
+      case Some(pre) => pre.join(d.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      case None => d
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .withColumn("sig", minhashSig)
+    }).persist()
     def verify(cand: DataFrame, sig: DataFrame): DataFrame = cand
       .join(sig.select(col("doc_id"), col("sh").as("sh_a")), col("rep_a") === col("doc_id")).drop("doc_id")
       .join(sig.select(col("doc_id"), col("sh").as("sh_b")), col("rep_b") === col("doc_id")).drop("doc_id")
