@@ -28,6 +28,25 @@ object Probe9 {
     }
     // warm
     graft.engine.Tables.documents(spark, sfDir).count()
+    if (args.contains("cluster11m")) {
+      // the STRESS cluster11m row in isolation: same synthetic graph
+      val chainPairs10m = spark.range(0L, 10160128L)
+        .filter(col("id") % 64 =!= 63)
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      val cliqueBase = 100000000L
+      val cliquePairs = spark.range(0L, 2000L).select(col("id").as("c"))
+        .crossJoin(spark.range(0L, 32L).select(col("id").as("i")))
+        .crossJoin(spark.range(0L, 32L).select(col("id").as("j")))
+        .filter(col("i") < col("j"))
+        .select((lit(cliqueBase) + col("c") * 32 + col("i")).as("doc_a"),
+          (lit(cliqueBase) + col("c") * 32 + col("j")).as("doc_b"))
+      val bigPairs = chainPairs10m.unionByName(cliquePairs)
+      t("cluster11m isolated") {
+        val (labels, rounds) = graft.operators.Dedup.clusterPairs(bigPairs)
+        println(s"[probe9] clusters=${labels.select(col("cluster_rep")).distinct().count()} rounds=$rounds")
+      }
+      spark.stop(); return
+    }
     for (pass <- 1 to 2) {
       println(s"[probe9] --- pass $pass ---")
       val store = java.nio.file.Files

@@ -46,7 +46,8 @@ object StressBench {
         else expr(s"""transform(embedding, (v, j) ->
                      |  CAST(v * (CAST(pmod(xxhash64(j * 131 + $i), 2) AS DOUBLE) * 2.0 - 1.0) AS FLOAT))"""
           .stripMargin)
-      emb.select((col("vec_id") + lit(i * nVecs)).as("vec_id"), flipped.as("embedding"))
+      emb.select((col("vec_id") + lit(i * nVecs)).as("vec_id"), flipped.as("embedding"),
+        col("label"))
     }
     embReps.reduce(_ unionByName _)
       .repartition(32)
@@ -115,7 +116,8 @@ object StressBench {
       .select((col("vec_id") + lit(10000000L)).as("vec_id"),
         expr("""transform(embedding, (v, j) ->
                |  CAST(v * (1.0D + 0.1D * (CAST(pmod(xxhash64(j * 31 + vec_id), 2) AS DOUBLE) * 2.0D - 1.0D)) AS FLOAT))"""
-          .stripMargin).as("embedding"))
+          .stripMargin).as("embedding"),
+        col("label"))
     val n = planted.count()
     emb.unionByName(planted)
       .repartition(32)
@@ -306,28 +308,57 @@ object StressBench {
     require(ivfProbe.exceptAll(ivfDirect).isEmpty && ivfProbeRows == ivfDirectRows,
       "store-served IVF probe diverged from the self-contained query")
 
-    // --- incremental IVF maintenance (X3c''): build the index on 9/10
-    // of the x10 vectors, append the last tenth through the incremental
-    // path — append cost is the delta assignment (O(delta · nlist)),
-    // never the 2-pass corpus re-train the full build pays ---
+    // --- incremental IVF maintenance (X3c''): at the x10 corpus's 20k
+    // vectors both paths are fixed-overhead-bound, so the asymptotic
+    // separation (append = O(delta · nlist) assignment vs re-train =
+    // TWO O(corpus · nlist) passes + full list rewrite) is measured on
+    // a ×500 embeddings corpus (1M vecs — same sign-flip replication,
+    // cross-replica cosine ≈ 0): build on 9/10, append the last tenth.
+    // At 1M the full build's Lloyd refinement alone shuffles 64M
+    // (cell, dim) rows; the append pays none of it ---
+    val embScale = s"$work/ivf-scale"
+    locally {
+      val emb = spark.read.parquet(s"$bigOut/embeddings.parquet")
+      val nV = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+      (0 until 50).map { i =>
+        val flipped =
+          if (i == 0) col("embedding")
+          else expr(s"""transform(embedding, (v, j) ->
+                       |  CAST(v * (CAST(pmod(xxhash64(j * 977 + $i), 2) AS DOUBLE) * 2.0 - 1.0) AS FLOAT))"""
+            .stripMargin)
+        emb.select((col("vec_id") + lit(i * nV)).as("vec_id"),
+          flipped.as("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(s"$embScale/embeddings.parquet")
+    }
     val ivfIncStore = s"$work/ivfstore-inc"
-    val bigVecs = spark.read.parquet(s"$bigOut/embeddings.parquet")
+    val scaleVecs = spark.read.parquet(s"$embScale/embeddings.parquet")
+    val tIvfFull = System.nanoTime()
+    graft.operators.IvfStore.build(spark, embScale, s"$work/ivfstore-scale")
+    val ivfScaleBuildSec = (System.nanoTime() - tIvfFull) / 1e9
     val tIvfIncB = System.nanoTime()
-    graft.operators.IvfStore.buildVecs(bigVecs.filter(col("vec_id") % 10 =!= 7), ivfIncStore)
+    graft.operators.IvfStore.buildVecs(scaleVecs.filter(col("vec_id") % 10 =!= 7), ivfIncStore)
     val ivfIncBuildSec = (System.nanoTime() - tIvfIncB) / 1e9
     val tIvfIncA = System.nanoTime()
-    val ivfIncMode = graft.operators.IvfStore.ensureCurrentIncremental(spark, bigOut, ivfIncStore)
+    val ivfIncMode = graft.operators.IvfStore.ensureCurrentIncremental(spark, embScale, ivfIncStore)
     val ivfIncAppendSec = (System.nanoTime() - tIvfIncA) / 1e9
     require(ivfIncMode == "incremental", s"expected the incremental path, ran '$ivfIncMode'")
-    require(!graft.operators.IvfStore.ensureCurrent(spark, bigOut, ivfIncStore),
+    require(!graft.operators.IvfStore.ensureCurrent(spark, embScale, ivfIncStore),
       "append must leave the store fingerprint-current")
-    val ivfIncAppended = bigVecs.filter(col("vec_id") % 10 === 7).count()
+    val ivfIncAppended = scaleVecs.filter(col("vec_id") % 10 === 7).count()
 
     // --- clustering at scale (r7 item 1): a synthetic 11M-pair graph —
     // 160k chains of 64 (worst diameter) plus 2k 32-cliques (pair
     // volume) — through the SAME clusterPairs as the fixture path; the
     // derived partition count and the logarithmic round count are the
     // claims under test ---
+    // phase isolation: drop cached plans and give the ContextCleaner a
+    // chance to reap earlier phases' localCheckpoint blocks before the
+    // 22M-edge fixpoint — without it the accumulated store/label phases
+    // inflate this row ~75% through memory pressure alone
+    spark.catalog.clearCache()
+    System.gc()
     val chainPairs10m = spark.range(0L, 10160128L)
       .filter(col("id") % 64 =!= 63)
       .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
@@ -398,8 +429,9 @@ object StressBench {
       f""""appended_docs":$incAppendedDocs,"full_build_sec":$storeBuildSec%.3f},""" +
       f""""ivf_store":{"direct_sec":$ivfDirectSec%.3f,"build_sec":$ivfBuildSec%.3f,""" +
       f""""probe_sec":$ivfProbeSec%.3f,"rows":$ivfProbeRows},""" +
-      f""""ivf_inc":{"base_build_sec":$ivfIncBuildSec%.3f,"append_sec":$ivfIncAppendSec%.3f,""" +
-      f""""appended_vecs":$ivfIncAppended,"full_build_sec":$ivfBuildSec%.3f},""" +
+      f""""ivf_inc":{"corpus_vecs":${scaleVecs.count()},"base_build_sec":$ivfIncBuildSec%.3f,""" +
+      f""""append_sec":$ivfIncAppendSec%.3f,"appended_vecs":$ivfIncAppended,""" +
+      f""""full_build_sec":$ivfScaleBuildSec%.3f},""" +
       f""""cluster11m":{"pairs":${10001376L + 2000L * 496L},"edges":$bigEdgeCount,""" +
       f""""partitions":$bigParts,"rounds":$bigRounds,"clusters":$bigClusters,"sec":$bigClusterSec%.3f},""" +
       f""""chain":{"docs":256,"edges":$chainEdges,"rounds":$chainRounds,"clusters":$chainClusters,"sec":$chainSec%.3f}}""")
