@@ -74,6 +74,8 @@ object SparkEntry {
     "r6_distinct" -> (Relational.r6Distinct _),
     "r6_approx_distinct" -> (Relational.r6Approx _),
     "r6_distinct_count" -> (Relational.r6DistinctCount _),
+    // mergeable per-shard HLL sketches unioned without a rescan
+    "r6_hll_shards" -> (Relational.r6HllShards _),
     "r7_rollup" -> (Relational.r7Rollup _),
     "r7_cube" -> (Relational.r7Cube _),
     "r7_grouping_sets" -> (Relational.r7GroupingSets _),
@@ -221,6 +223,9 @@ object SparkEntry {
     // |approx−exact| ≤ 2×rsd boolean; the oracle asserts the boolean TRUE
     "r6_approx_distinct" -> Relational.r6ApproxSql,
     "r6_distinct_count" -> Relational.r6DistinctCountSql,
+    // sketch union isn't reproducible in DuckDB — the oracle asserts the
+    // in-query tolerance boolean plus the exact count (r6_approx style)
+    "r6_hll_shards" -> Relational.r6HllShardsSql,
     "r7_rollup" -> Relational.r7Sql,
     "r7_cube" -> Relational.r7CubeSql,
     "r7_grouping_sets" -> Relational.r7GroupingSetsSql,

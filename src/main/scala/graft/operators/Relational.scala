@@ -276,6 +276,37 @@ object Relational {
       |  TRUE AS approx_within_tol
       |FROM lineitem""".stripMargin
 
+  /** R6d [EXT] — MERGEABLE distinct sketches, the shard-parallel form a
+    * 100 TB pipeline actually runs: each shard builds its own
+    * Datasketches HLL over its rows (`hll_sketch_agg`), the shard
+    * sketches union WITHOUT rescanning any data (`hll_union_agg` — a
+    * kilobyte-sized merge, the property that lets per-day/per-shard
+    * sketches roll up into corpus-wide distinct counts), and the merged
+    * estimate self-gates against the exact count (the
+    * `r6_approx_distinct` discipline: DuckDB cannot reproduce the
+    * sketch, so the oracle asserts the in-query tolerance boolean and
+    * the exact value). Map-side partial aggregation applies at both
+    * levels, so the shuffle carries 16 sketches, never rows.
+    */
+  def r6HllShards(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val merged = ev
+      .withColumn("shard", pmod(col("event_id"), lit(16)))
+      .groupBy(col("shard")).agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"))
+    val exact = ev.agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.crossJoin(exact)
+      .select(col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) / col("exact_users") <= 0.04)
+          .as("merged_within_tol"),
+        lit(16).as("n_shards"))
+  }
+
+  val r6HllShardsSql: String =
+    """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS merged_within_tol, 16 AS n_shards
+      |FROM events""".stripMargin
+
   /** R6c — the exact distinct count the approx sketch is judged against. */
   def r6DistinctCount(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)

@@ -86,6 +86,32 @@ class Round9Spec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // R6d — mergeable distinct sketches
+  // ---------------------------------------------------------------
+
+  test("R6d: shard-merged HLL estimate is shard-count-invariant and tracks the exact count") {
+    val ev = Tables.events(spark, sfDir)
+    def merged(shards: Int): Double = ev
+      .withColumn("shard", pmod(col("event_id"), lit(shards)))
+      .groupBy(col("shard")).agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).head.getLong(0).toDouble
+    val whole = ev.agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))"))
+      .head.getLong(0).toDouble
+    val exact = ev.agg(countDistinct(col("user_id"))).head.getLong(0).toDouble
+    // union = register-wise max: the merged estimate must not depend on
+    // how the rows were sharded — THE mergeability property that lets
+    // per-day sketches roll up without a rescan
+    assert(merged(4) == merged(16) && merged(16) == merged(64),
+      s"sharding changed the merged estimate: ${merged(4)} / ${merged(16)} / ${merged(64)}")
+    assert(math.abs(merged(16) - exact) / exact <= 0.04)
+    assert(math.abs(whole - exact) / exact <= 0.04)
+    // and the oracle row's gate holds
+    val row = graft.operators.Relational.r6HllShards(spark, sfDir).head
+    assert(row.getAs[Boolean]("merged_within_tol"))
+    assert(row.getAs[Long]("exact_users") == exact.toLong)
+  }
+
+  // ---------------------------------------------------------------
   // T8 — batch twin == streaming sessionize on the same slice
   // ---------------------------------------------------------------
 
