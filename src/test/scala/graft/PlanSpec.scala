@@ -135,14 +135,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("no SparkEntry query plans a partition-less window over unbounded input") {
+  test("no SparkEntry query plans a partition-less window over unbounded input, nor a cartesian product") {
     // a Window with an empty partitionSpec coalesces ALL rows to one
     // partition — a scale-killer unless its input is provably bounded
-    // (beneath a small literal LIMIT, e.g. IVF's nlist-row seed ranking)
+    // (beneath a small literal LIMIT, e.g. IVF's nlist-row seed ranking).
+    // A CartesianProductExec is the non-broadcast all-pairs plan — every
+    // intentional blocked product in the suite broadcasts its small side
+    // (BroadcastNestedLoopJoin), so a cartesian anywhere means a
+    // broadcast hint got lost or a join degenerated; this pins the
+    // round-9 manual plan audit permanently, over every registered query
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
     SparkEntry.queries.foreach { case (name, fn) =>
-      fn(spark, sfDir).queryExecution.optimizedPlan.foreach {
+      val qe = fn(spark, sfDir).queryExecution
+      qe.optimizedPlan.foreach {
         case w: LWindow if w.partitionSpec.isEmpty =>
           val bounded = w.child.collect {
             case GlobalLimit(Literal(n: Int, _), _) if n <= 64 => true
@@ -150,6 +156,10 @@ class PlanSpec extends SparkSpec {
           assert(bounded, s"$name: partition-less window over unbounded input")
         case _ => ()
       }
+      val cartesians = qe.sparkPlan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }
+      assert(cartesians.isEmpty, s"$name plans a CartesianProduct")
     }
   }
 
