@@ -222,20 +222,24 @@ object IvfStore {
       val dgPath = new Path(digestsDir(storeDir))
       if (!fsOf(s, dgPath).exists(dgPath)) { buildVecs(emb, storeDir); return "full" }
       val stored = readBatches(s, digestsDir(storeDir), gen.base, gen.k)
-        .select(col("vec_id"), col("h"))
-      // any stored vector mutated or deleted → not an append
-      if (!stored.join(dg, Seq("vec_id", "h"), "left_anti").isEmpty) {
-        buildVecs(emb, storeDir); return "full"
-      }
+        .select(col("vec_id"), col("h").as("h_idx"))
+      // ONE full-outer digest pass classifies the delta (the LabelStore
+      // discipline): corpus-only rows are appends; index-only or
+      // hash-changed rows mean mutation/delete → full rebuild.
       // localCheckpoint, not persist: the batch writes below refresh the
       // store paths, and a refresh RECACHES plans reading them — the
       // delta must stay pinned to its pre-write measurement
-      val appended = dg.join(stored, Seq("vec_id"), "left_anti")
-        .select(col("vec_id")).localCheckpoint()
-      if (appended.isEmpty) { buildVecs(emb, storeDir); return "full" }
+      val delta = dg.join(stored, Seq("vec_id"), "full")
+        .filter(col("h").isNull || col("h_idx").isNull || col("h") =!= col("h_idx"))
+        .select(col("vec_id"), col("h_idx").isNull.as("is_new"))
+        .localCheckpoint()
+      if (delta.isEmpty || delta.filter(!col("is_new")).limit(1).count() > 0) {
+        buildVecs(emb, storeDir); return "full"
+      }
+      val appended = delta.select(col("vec_id"))
 
       val cent = s.read.parquet(s"${gen.path}/centroids")
-      val delta = Similarity.ivfAssign(
+      val assigned = Similarity.ivfAssign(
         Similarity.normedOf(emb.join(appended, Seq("vec_id"), "left_semi")),
         cent).localCheckpoint()
       // imbalance gauge: merged per-cell counts vs the balanced share.
@@ -243,7 +247,7 @@ object IvfStore {
       // columnar metadata, no vector data crosses the wire.
       val oldCells = readBatches(s, listsDir(storeDir), gen.base, gen.k)
         .groupBy(col("c_id")).agg(count(lit(1)).as("cnt"))
-      val newCells = delta.groupBy(col("c_id")).agg(count(lit(1)).as("cnt"))
+      val newCells = assigned.groupBy(col("c_id")).agg(count(lit(1)).as("cnt"))
       val maxCell = oldCells.unionByName(newCells)
         .groupBy(col("c_id")).agg(sum(col("cnt")).as("cnt"))
         .agg(max(col("cnt"))).head.getLong(0)
@@ -251,7 +255,7 @@ object IvfStore {
         buildVecs(emb, storeDir); return "full"
       }
       val next = gen.k + 1
-      writeBatch(delta.repartition(col("c_id")), next, Seq("c_id"), listsDir(storeDir))
+      writeBatch(assigned.repartition(col("c_id")), next, Seq("c_id"), listsDir(storeDir))
       writeBatch(dg.join(appended, Seq("vec_id"), "left_semi"), next,
         Seq.empty, digestsDir(storeDir))
       publishGen(s, storeDir, next, n, fp, base = gen.base, centroids = cent)

@@ -260,21 +260,28 @@ object LabelStore {
       if (gens.isEmpty || !fsOf(s, idxPath).exists(idxPath)) {
         buildDocs(corpus, storeDir); return "full"
       }
-      val idx = s.read.parquet(digestsIdx(storeDir)).select(col("doc_id"), col("h"))
-      // any stored doc mutated or deleted → the delta is not an append;
-      // fall back to the full pipeline (which also rewrites the index)
-      if (!idx.join(dg, Seq("doc_id", "h"), "left_anti").isEmpty) {
-        buildDocs(corpus, storeDir); return "full"
-      }
+      val idx = s.read.parquet(digestsIdx(storeDir))
+        .select(col("doc_id"), col("h").as("h_idx"))
+      // ONE full-outer digest pass classifies the whole delta (was two
+      // anti-join scans): a row only in the corpus is an append; a row
+      // only in the index, or with a changed hash, means mutation or
+      // delete → not an append, fall back to the full pipeline (which
+      // also rewrites the index). At 100 TB this is one pass over the
+      // digest sets instead of two.
       // localCheckpoint — NOT persist: the digests write below refreshes
       // its path, and a refresh RECACHES every plan that reads it; a
-      // merely-cached `appended` would re-evaluate against the
-      // just-written index and collapse to empty, silently emptying the
-      // sigs/bands writes that follow. Truncating the lineage pins the
-      // delta to what was measured before any write.
-      val appended = dg.join(idx, Seq("doc_id"), "left_anti")
-        .select(col("doc_id")).localCheckpoint()
-      if (appended.isEmpty) { buildDocs(corpus, storeDir); return "full" }
+      // merely-cached delta would re-evaluate against the just-written
+      // index and collapse to empty, silently emptying the sigs/bands
+      // writes that follow. Truncating the lineage pins the delta to
+      // what was measured before any write.
+      val delta = dg.join(idx, Seq("doc_id"), "full")
+        .filter(col("h").isNull || col("h_idx").isNull || col("h") =!= col("h_idx"))
+        .select(col("doc_id"), col("h_idx").isNull.as("is_new"))
+        .localCheckpoint()
+      if (delta.isEmpty || delta.filter(!col("is_new")).limit(1).count() > 0) {
+        buildDocs(corpus, storeDir); return "full"
+      }
+      val appended = delta.select(col("doc_id"))
 
       val cap = Dedup.bucketCap(s, n)
       val sig = keep(signed(corpus.join(appended, Seq("doc_id"), "left_semi")))
