@@ -60,6 +60,40 @@ class Round9Spec extends SparkSpec {
     assert(IvfStore.ensureCurrentIncremental(spark, dir, store) == "noop")
   }
 
+  test("X3c'': a deleted vector is not an append — full rebuild, then noop") {
+    val dir = tmpDir("r9-ivf-del")
+    val store = tmpDir("r9-ivf-delstore") + "/store"
+    writeEmb(dir, baseVecs)
+    IvfStore.build(spark, dir, store)
+    // shrinking the corpus leaves index-only digest rows — the full-outer
+    // classifier must route to the full rebuild, never an "append"
+    writeEmb(dir, baseVecs.filterNot(_._1 == 5L))
+    assert(IvfStore.ensureCurrentIncremental(spark, dir, store) == "full")
+    assert(IvfStore.ensureCurrentIncremental(spark, dir, store) == "noop")
+  }
+
+  test("X2e'': a deleted doc is not an append — label store falls back to full, then noop") {
+    val dir = tmpDir("r9-label-del")
+    val store = tmpDir("r9-label-delstore") + "/store"
+    def corpus(drop: Option[Long]) = {
+      val rows = (0L until 40L).map(i =>
+        (i, (0 until 30).map(t => s"w${i}_$t").mkString(" ")))
+        .filterNot { case (i, _) => drop.contains(i) }
+      rows.toDF("doc_id", "text")
+        .withColumn("source", lit("s")).withColumn("lang", lit("en"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    corpus(None).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.operators.LabelStore.build(spark, dir, store)
+    corpus(Some(7L)).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(graft.operators.LabelStore.ensureCurrentIncremental(spark, dir, store) == "full")
+    assert(graft.operators.LabelStore.ensureCurrentIncremental(spark, dir, store) == "noop")
+    // the noop above proves the rebuilt generation's fingerprint covers
+    // exactly the shrunken corpus; with zero near-dups its label table
+    // is empty by contract (labels hold only clustered docs)
+    assert(graft.operators.LabelStore.read(spark, store).isEmpty)
+  }
+
   test("X3c'': a skewed append past the imbalance bound triggers the re-train") {
     val dir = tmpDir("r9-ivf-skew")
     val store = tmpDir("r9-ivf-skewstore") + "/store"
