@@ -114,14 +114,24 @@ object IvfStore {
 
   /** Write one batch of a shared partitioned dataset, dynamically
     * overwriting ONLY its own `__batch` partitions — idempotent under
-    * crash-retry.
+    * crash-retry. Batch `batch` is always UNPUBLISHED (no generation
+    * references it until the publish rename), so the whole `__batch`
+    * directory is deleted first: dynamic overwrite alone only replaces
+    * the partitions present in THIS attempt's data, and a crashed
+    * earlier attempt could have landed partitions (e.g. `c_id`s) this
+    * retry no longer produces — those orphans would go live with the
+    * publish and serve phantom rows (ADVICE r9, medium).
     */
   private def writeBatch(df: DataFrame, batch: Long, parts: Seq[String],
-                         dir: String): Unit =
+                         dir: String): Unit = {
+    val stale = new Path(dir, s"__batch=$batch")
+    val fs = fsOf(df.sparkSession, stale)
+    if (fs.exists(stale)) fs.delete(stale, true)
     df.withColumn("__batch", lit(batch))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(("__batch" +: parts): _*).parquet(dir)
+  }
 
   private def readBatches(s: SparkSession, dir: String, from: Long, to: Long): DataFrame =
     s.read.parquet(dir).filter(col("__batch") >= from && col("__batch") <= to)
@@ -248,9 +258,12 @@ object IvfStore {
       val oldCells = readBatches(s, listsDir(storeDir), gen.base, gen.k)
         .groupBy(col("c_id")).agg(count(lit(1)).as("cnt"))
       val newCells = assigned.groupBy(col("c_id")).agg(count(lit(1)).as("cnt"))
+      // coalesce: a null max (empty merged counts — unreachable today
+      // because the delta is checked non-empty first, but the guard must
+      // not be implicit in caller order) reads as 0, not an NPE
       val maxCell = oldCells.unionByName(newCells)
         .groupBy(col("c_id")).agg(sum(col("cnt")).as("cnt"))
-        .agg(max(col("cnt"))).head.getLong(0)
+        .agg(coalesce(max(col("cnt")), lit(0L))).head.getLong(0)
       if (maxCell > ImbalanceFactor * n / Similarity.IvfNList) {
         buildVecs(emb, storeDir); return "full"
       }
@@ -303,12 +316,13 @@ object IvfStore {
 
   /** Canonical store location for the corpus at `dir` — stable across
     * processes so one build serves every later probe (the LabelStore
-    * idiom); outside the repo tree.
+    * idiom); outside the repo tree. Keyed by the sanitized path PLUS an
+    * md5 of the raw path (ADVICE r9: sanitization alone collides
+    * `/a/b` with `/a_b`, and a fully predictable key under the shared
+    * tmpdir invites pre-seeding); the root is created owner-only.
     */
-  def defaultStoreDir(dir: String): String = {
-    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
-    s"${sys.props("java.io.tmpdir")}/graft-ivf-store/$key"
-  }
+  def defaultStoreDir(dir: String): String =
+    StoreDirs.canonical("graft-ivf-store", dir)
 
   /** X3c''' [EXT] — the PRODUCTION serve path: [[ensureCurrent]] against
     * the canonical store (fingerprint match → no build at all), then the
@@ -329,12 +343,13 @@ object IvfStore {
     * build is bit-deterministic and parquet round-trips doubles
     * losslessly), so a store/serve divergence fails the hash compare.
     */
-  def x3AnnIvfStore(s: SparkSession, dir: String): DataFrame = {
-    val store = java.nio.file.Files
-      .createTempDirectory("graft-ivfstore").toString + "/store"
-    build(s, dir, store)
-    probe(s, dir, store)
-  }
+  def x3AnnIvfStore(s: SparkSession, dir: String): DataFrame =
+    StoreDirs.withTempStore("graft-ivfstore") { store =>
+      build(s, dir, store)
+      // localCheckpoint pins the (top-k-sized) result before the
+      // throwaway store is deleted — the probe plan reads store files
+      probe(s, dir, store).localCheckpoint()
+    }
 
   /** X3c'' [EXT] — index maintenance under append, end-to-end: build the
     * store on the corpus MINUS every 7th vector, append those through
@@ -344,12 +359,11 @@ object IvfStore {
     * centroids derived from the same base subset, so the maintained
     * index is hash-checked against a from-scratch construction.
     */
-  def x3AnnIvfIncremental(s: SparkSession, dir: String): DataFrame = {
-    val store = java.nio.file.Files
-      .createTempDirectory("graft-ivfinc").toString + "/store"
-    buildVecs(Tables.embeddings(s, dir).filter(col("vec_id") % 7 =!= 0), store)
-    val mode = ensureCurrentIncremental(s, dir, store)
-    require(mode == "incremental", s"expected the incremental path, ran '$mode'")
-    probe(s, dir, store)
-  }
+  def x3AnnIvfIncremental(s: SparkSession, dir: String): DataFrame =
+    StoreDirs.withTempStore("graft-ivfinc") { store =>
+      buildVecs(Tables.embeddings(s, dir).filter(col("vec_id") % 7 =!= 0), store)
+      val mode = ensureCurrentIncremental(s, dir, store)
+      require(mode == "incremental", s"expected the incremental path, ran '$mode'")
+      probe(s, dir, store).localCheckpoint()
+    }
 }

@@ -177,10 +177,8 @@ object LabelStore {
     * take the fingerprint-match fast path); outside the repo tree so no
     * artifact lands in version control.
     */
-  def defaultStoreDir(dir: String): String = {
-    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
-    s"${sys.props("java.io.tmpdir")}/graft-label-store/$key"
-  }
+  def defaultStoreDir(dir: String): String =
+    StoreDirs.canonical("graft-label-store", dir)
 
   /** Unconditionally (re)build the store from the corpus at `dir`:
     * runs the full [[Dedup.x2DupClusters]] pipeline once and publishes
@@ -370,14 +368,14 @@ object LabelStore {
     * ([[Dedup.x2DupClustersSql]]) — the incremental merge must equal
     * the from-scratch rebuild, hash-exactly.
     */
-  def x2LabelsIncremental(s: SparkSession, dir: String): DataFrame = {
-    val store = java.nio.file.Files
-      .createTempDirectory("graft-labelinc").toString + "/store"
-    buildDocs(Tables.documents(s, dir).filter(col("doc_id") % 7 =!= 0), store)
-    val mode = ensureCurrentIncremental(s, dir, store)
-    require(mode == "incremental", s"expected the incremental path, ran '$mode'")
-    read(s, store).orderBy("doc_id")
-  }
+  def x2LabelsIncremental(s: SparkSession, dir: String): DataFrame =
+    StoreDirs.withTempStore("graft-labelinc") { store =>
+      buildDocs(Tables.documents(s, dir).filter(col("doc_id") % 7 =!= 0), store)
+      val mode = ensureCurrentIncremental(s, dir, store)
+      require(mode == "incremental", s"expected the incremental path, ran '$mode'")
+      // pin the (cluster-sized) labels before the throwaway store deletes
+      read(s, store).orderBy("doc_id").localCheckpoint()
+    }
 
   /** Labels of the newest generation: (doc_id, cluster_rep), the exact
     * schema of [[Dedup.x2DupClusters]]. Resolves the generation at call

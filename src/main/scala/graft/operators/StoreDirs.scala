@@ -1,0 +1,61 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+import java.nio.file.attribute.PosixFilePermissions
+
+/** Canonical on-disk locations for the materialized stores
+  * ([[LabelStore]], [[IvfStore]]) plus the shared "temp store scoped to
+  * one query" lifecycle the maintenance-gate rows use.
+  */
+private[graft] object StoreDirs {
+
+  /** Stable per-corpus store path under the system tmpdir.
+    *
+    * The key is the sanitized corpus path PLUS an md5 of the raw path:
+    * sanitization alone maps distinct dirs (`/a/b`, `/a_b`) to one key,
+    * and a key derivable from the corpus path alone is pre-creatable by
+    * another local user under the world-writable tmpdir (ADVICE r9). The
+    * hash disambiguates collisions; owner-only permissions on the root
+    * (best-effort — non-POSIX filesystems skip) close the pre-seeding
+    * window: if the root already exists but is not ours, creation of our
+    * subdirectories inside a 0700 dir we don't own fails loudly rather
+    * than serving someone else's generations.
+    */
+  def canonical(family: String, dir: String): String = {
+    val sanitized = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val root = Paths.get(sys.props("java.io.tmpdir"), family)
+    ownerOnlyDir(root)
+    s"$root/$sanitized-$digest"
+  }
+
+  private def ownerOnlyDir(p: Path): Unit =
+    try {
+      if (!Files.exists(p))
+        Files.createDirectories(p,
+          PosixFilePermissions.asFileAttribute(PosixFilePermissions.fromString("rwx------")))
+    } catch {
+      case _: UnsupportedOperationException => Files.createDirectories(p)
+    }
+
+  /** Run `body` against a fresh throwaway store, then DELETE the store
+    * once the caller has pinned everything it needs (ADVICE r9: the
+    * maintenance-gate rows created a full index copy per invocation and
+    * the bench invokes each row N times — the copies accumulated for the
+    * life of the tmpdir). The caller must localCheckpoint/collect its
+    * result BEFORE returning: the store files are gone when this exits.
+    */
+  def withTempStore[A](prefix: String)(body: String => A): A = {
+    val root = Files.createTempDirectory(prefix)
+    try body(s"$root/store")
+    finally deleteRecursively(root)
+  }
+
+  private def deleteRecursively(root: Path): Unit =
+    if (Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+}

@@ -167,7 +167,8 @@ class Round9Spec extends SparkSpec {
       gapEvents = 1800L * 1000000L)
     val q = out.writeStream.format("memory").queryName("sess_parity")
       .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000),
+      "streaming sessionize query did not finish within 120s")
     val streamed = spark.sql("SELECT * FROM sess_parity").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
 
