@@ -29,6 +29,9 @@ object SparkEntry {
     "a7_anomaly" -> (Analytics.a7Anomaly _),
     "x3_sq8_recall" -> (Similarity.x3Sq8Recall _),
     "s10_orc_scan" -> (graft.sources.Sources.s10OrcScan _),
+    // date-partitioned store round trip: write events partitioned by
+    // event_date, aggregate one week through the partition-pruned scan
+    "s11_date_rollup" -> (graft.sources.DateStore.s11DateRollup _),
     "x6_pack_sequences" -> (Sampling.x6PackSequences _),
     "x6_mixture" -> (Sampling.x6Mixture _),
     "x6_export_shards" -> (Sampling.x6ExportShards _),
@@ -115,6 +118,9 @@ object SparkEntry {
     // label maintenance under append: split build + incremental merge
     // must reproduce the from-scratch clusters, hash-exactly
     "x2_labels_incremental" -> (LabelStore.x2LabelsIncremental _),
+    // label maintenance under delete: full build + tombstone delete must
+    // reproduce the from-scratch clusters of the REDUCED corpus
+    "x2_labels_delete" -> (LabelStore.x2LabelsDelete _),
     "x2_dedup_keep" -> (Dedup.x2DedupKeep _),
     "x2_incremental" -> (Dedup.x2IncrementalLsh _),
     "x7_decontaminate" -> (Dedup.x7Decontaminate _),
@@ -135,6 +141,9 @@ object SparkEntry {
     // index maintenance under append: split build + incremental append
     // (frozen centroids, delta-only assignment) probed end-to-end
     "x3_ann_ivf_inc" -> (IvfStore.x3AnnIvfIncremental _),
+    // index maintenance under delete: full build + tombstone delete must
+    // serve the reduced corpus (frozen centroids, touched cells masked)
+    "x3_ann_ivf_del" -> (IvfStore.x3AnnIvfDelete _),
     // the production serve path: fingerprint-gated ensureCurrent against
     // the canonical store, then the partition-pruned probe
     "x3_ann_ivf_served" -> (IvfStore.x3AnnIvfServed _),
@@ -173,6 +182,9 @@ object SparkEntry {
     "a7_anomaly" -> Analytics.a7AnomalySql,
     "x3_sq8_recall" -> Similarity.x3Sq8RecallSql,
     "s10_orc_scan" -> graft.sources.Sources.s10OrcScanSql,
+    // the twin recomputes the rollup from the fixture table directly —
+    // the partitioned write + pruned read round trip is under the gate
+    "s11_date_rollup" -> graft.sources.DateStore.s11DateRollupSql,
     "x6_pack_sequences" -> Sampling.x6PackSequencesSql,
     "x6_mixture" -> Sampling.x6MixtureSql,
     "x6_export_shards" -> Sampling.x6ExportShardsSql,
@@ -272,6 +284,9 @@ object SparkEntry {
     // the incremental path must land on the same clusters as the
     // from-scratch pipeline — same oracle by design
     "x2_labels_incremental" -> Dedup.x2DupClustersSql,
+    // the tombstone-delete path must land on the from-scratch clusters
+    // of the REDUCED corpus — the twin reruns the CTE over it
+    "x2_labels_delete" -> LabelStore.x2LabelsDeleteSql,
     "x2_dedup_keep" -> Dedup.x2DedupKeepSql,
     "x2_incremental" -> Dedup.x2IncrementalSql,
     "x7_decontaminate" -> Dedup.x7DecontaminateSql,
@@ -310,6 +325,9 @@ object SparkEntry {
     // the maintained index equals a from-scratch construction with the
     // same frozen centroids — the twin derives them from the base subset
     "x3_ann_ivf_inc" -> Similarity.x3AnnIvfIncSql,
+    // the tombstone-deleted index equals a from-scratch assignment of the
+    // reduced corpus to the same (full-corpus) centroids
+    "x3_ann_ivf_del" -> Similarity.x3AnnIvfDelSql,
     // served probe is bit-identical to the in-query build — same oracle
     "x3_ann_ivf_served" -> Similarity.x3AnnIvfSql,
     "x4_text_stats" -> TextAnalysis.x4StatsSql,

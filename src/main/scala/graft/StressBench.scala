@@ -288,6 +288,36 @@ object StressBench {
       "incremental labels diverged from the full build")
     val incAppendedDocs = bigDocs.filter(col("doc_id") % 10 === 7).count()
 
+    // --- incremental label DELETE (X2e''', round 10): two takedowns
+    // against the full x10 store — 0.1% then a further 1% of the corpus.
+    // The tombstone path pays one digest classification pass plus a
+    // re-fixpoint of only the TOUCHED components, so both deletes must
+    // cost a small fraction of the full rebuild (storeBuildSec), and the
+    // 10x-larger second delete must scale with its touched membership,
+    // not the corpus ---
+    val delCorpus1 = bigDocs.filter(col("doc_id") % 1000 =!= 3)
+    val labelDel1 = bigDocs.count() - delCorpus1.count()
+    val tDel1 = System.nanoTime()
+    val delMode1 = graft.operators.LabelStore.ensureIncrementalDocs(delCorpus1, labelStore)
+    val labelDelSec1 = (System.nanoTime() - tDel1) / 1e9
+    require(delMode1 == "incremental-delete", s"expected the delete path, ran '$delMode1'")
+    val delCorpus2 = delCorpus1.filter(col("doc_id") % 100 =!= 7)
+    val labelDel2 = delCorpus1.count() - delCorpus2.count()
+    val tDel2 = System.nanoTime()
+    val delMode2 = graft.operators.LabelStore.ensureIncrementalDocs(delCorpus2, labelStore)
+    val labelDelSec2 = (System.nanoTime() - tDel2) / 1e9
+    require(delMode2 == "incremental-delete", s"expected the delete path, ran '$delMode2'")
+    // and the maintained store equals a from-scratch build on what
+    // remains — the correctness half of the stress claim
+    val delScratch = s"$work/labelstore-delscratch"
+    graft.operators.LabelStore.buildDocs(delCorpus2, delScratch)
+    locally {
+      val a = graft.operators.LabelStore.read(spark, labelStore)
+      val b = graft.operators.LabelStore.read(spark, delScratch)
+      require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "deleted labels diverged from the from-scratch build")
+    }
+
     // --- materialized IVF index (X3c'): the index is a build artifact;
     // the store-served probe must beat rebuilding the index inside the
     // query, at identical output ---
@@ -347,6 +377,63 @@ object StressBench {
     require(!graft.operators.IvfStore.ensureCurrent(spark, embScale, ivfIncStore),
       "append must leave the store fingerprint-current")
     val ivfIncAppended = scaleVecs.filter(col("vec_id") % 10 === 7).count()
+
+    // --- incremental IVF DELETE (X3c'''', round 10): a 0.1% takedown
+    // against the 1M-vector store. The tombstone path pays one digest
+    // classification pass plus a NARROW id scan of the lists (vec_id +
+    // partition column, no vector data) — it must cost a small fraction
+    // of the full re-train (ivfScaleBuildSec), which is what every
+    // delete used to pay ---
+    val ivfDelCorpus = scaleVecs.filter(col("vec_id") % 1000 =!= 3)
+    val ivfDeleted = scaleVecs.count() - ivfDelCorpus.count()
+    val tIvfDel = System.nanoTime()
+    val ivfDelMode = graft.operators.IvfStore.ensureIncrementalVecs(
+      ivfDelCorpus, s"$work/ivfstore-scale")
+    val ivfDelSec = (System.nanoTime() - tIvfDel) / 1e9
+    require(ivfDelMode == "incremental-delete", s"expected the delete path, ran '$ivfDelMode'")
+
+    // --- skew join under AQE (VERDICT r9 item 7): a Zipf-hot fact key
+    // against a dim too large to broadcast. 30% of 20M fact rows land on
+    // ONE key, so one shuffle partition of the sort-merge join carries
+    // ~6M rows while the median carries ~0.4M — the OptimizeSkewedJoin
+    // shape. The skew thresholds are scaled to the stress volume
+    // (default 256 MB trigger ÷ ~32, matching how the 100 TB deployment
+    // leaves them at default against multi-GB partitions); the claims
+    // under test: AQE actually splits the hot partition (the executed
+    // plan says skew=true), and the split run beats the split-disabled
+    // one on the same data ---
+    spark.catalog.clearCache(); System.gc()
+    val nFact = 20000000L
+    val nDim = 5000000L
+    def skewRun(split: Boolean): (Double, Long, Boolean) = {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", split)
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      try {
+        val fact = spark.range(nFact).select(
+          when(col("id") % 10 < 3, 0L)
+            .otherwise(pmod(xxhash64(col("id")), lit(nDim))).as("k"),
+          (col("id") % 97).as("v"))
+        val dim = spark.range(nDim).select(col("id").as("k"),
+          md5(col("id").cast("string")).as("payload"))
+        val joined = fact.join(dim, Seq("k"))
+          .agg(count(lit(1)).as("n"), sum(col("v") + length(col("payload"))).as("chk"))
+        val t0 = System.nanoTime()
+        val row = joined.head
+        val sec = (System.nanoTime() - t0) / 1e9
+        val skewed = joined.queryExecution.executedPlan.toString.contains("skew=true")
+        (sec, row.getLong(0), skewed)
+      } finally {
+        Seq("spark.sql.adaptive.skewJoin.enabled",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes").foreach(spark.conf.unset)
+      }
+    }
+    val (skewOffSec, skewOffRows, _) = skewRun(split = false)
+    val (skewOnSec, skewOnRows, skewSplit) = skewRun(split = true)
+    require(skewOnRows == nFact && skewOffRows == nFact,
+      s"skew join lost rows: on=$skewOnRows off=$skewOffRows expected $nFact")
+    require(skewSplit, "AQE did not split the skewed partition (no skew=true in the plan)")
 
     // --- clustering at scale (r7 item 1): a synthetic 11M-pair graph —
     // 160k chains of 64 (worst diameter) plus 2k 32-cliques (pair
@@ -432,6 +519,12 @@ object StressBench {
       f""""ivf_inc":{"corpus_vecs":${scaleVecs.count()},"base_build_sec":$ivfIncBuildSec%.3f,""" +
       f""""append_sec":$ivfIncAppendSec%.3f,"appended_vecs":$ivfIncAppended,""" +
       f""""full_build_sec":$ivfScaleBuildSec%.3f},""" +
+      f""""label_del":{"deleted_1":$labelDel1,"sec_1":$labelDelSec1%.3f,""" +
+      f""""deleted_2":$labelDel2,"sec_2":$labelDelSec2%.3f,"full_build_sec":$storeBuildSec%.3f},""" +
+      f""""ivf_del":{"deleted":$ivfDeleted,"sec":$ivfDelSec%.3f,""" +
+      f""""full_build_sec":$ivfScaleBuildSec%.3f},""" +
+      f""""skew_join":{"fact":$nFact,"dim":$nDim,"rows":$skewOnRows,"skew_split":$skewSplit,""" +
+      f""""split_sec":$skewOnSec%.3f,"no_split_sec":$skewOffSec%.3f},""" +
       f""""cluster11m":{"pairs":${10001376L + 2000L * 496L},"edges":$bigEdgeCount,""" +
       f""""partitions":$bigParts,"rounds":$bigRounds,"clusters":$bigClusters,"sec":$bigClusterSec%.3f},""" +
       f""""chain":{"docs":256,"edges":$chainEdges,"rounds":$chainRounds,"clusters":$chainClusters,"sec":$chainSec%.3f}}""")

@@ -227,7 +227,11 @@ object Dags {
     */
   def dagCorpusBuildStored(s: SparkSession, dir: String): DataFrame = {
     val store = LabelStore.defaultStoreDir(dir)
-    LabelStore.ensureCurrent(s, dir, store)
+    // the INCREMENTAL form: a corpus that moved by an append merges the
+    // delta, one that shrank takes the tombstone-delete path — the
+    // composite serves the maintained labels either way (lifecycle
+    // pinned in Round10Spec), and only a mutated/mixed corpus rebuilds
+    LabelStore.ensureCurrentIncremental(s, dir, store)
     dagCorpusBuildFrom(s, dir, Some(store))
   }
 

@@ -165,8 +165,13 @@ object Dedup {
       if (parts < inherited) edgesRaw.coalesce(parts)
       else if (parts > inherited) edgesRaw.repartition(parts)
       else edgesRaw
-    var labels = edges.select(col("doc_a").as("doc")).distinct()
-      .withColumn("label", col("doc"))
+    // initialize one hop AHEAD: label₀ = min(self, neighbors) is exactly
+    // the state after the first neighbor round of a self-labeled start,
+    // for the same single shuffle the distinct() would have cost — every
+    // graph converges one round earlier
+    var labels = edges.groupBy(col("doc_a"))
+      .agg(min(col("doc_b")).as("__mn"))
+      .select(col("doc_a").as("doc"), least(col("doc_a"), col("__mn")).as("label"))
       .localCheckpoint()
     // iterate to the FIXPOINT, not a fixed round count: a duplicate
     // chain longer than any hardcoded k would silently mislabel.

@@ -111,6 +111,38 @@ object IvfStore {
 
   private def listsDir(storeDir: String) = s"$storeDir/lists"
   private def digestsDir(storeDir: String) = s"$storeDir/digests"
+  private def tombsDir(storeDir: String) = s"$storeDir/tombs"
+
+  /** Tombstones visible to generation `gen` —
+    * `tombs/__batch=<j>/ (vec_id, c_id)`, the FAISS `remove_ids`
+    * analogue under the batch discipline: a delete lands its tombstone
+    * batch numbered with the generation it publishes with, so the
+    * published range filter `[base, k]` that gates every list/digest
+    * read gates tombstones identically — a crashed (never-published)
+    * delete attempt's batch sits outside the live range and the retry
+    * overwrites it. `c_id` (from the narrow id scan at delete time) lets
+    * later imbalance gauges subtract per-cell dead counts without ever
+    * touching vector data.
+    */
+  private def tombstonesOf(s: SparkSession, storeDir: String,
+                           gen: Gen): Option[DataFrame] = {
+    val p = new Path(tombsDir(storeDir))
+    if (!fsOf(s, p).exists(p)) None
+    else Some(readBatches(s, tombsDir(storeDir), gen.base, gen.k))
+  }
+
+  /** Drop rows a tombstone masks: a row is dead iff some visible
+    * tombstone for its vec_id is at least as new as the row's batch —
+    * batch-aware so a vector RE-ADDED after deletion (landing in a later
+    * batch) stays live. Tombstone volume is bounded by the compaction
+    * trigger, so the anti-join's build side stays small.
+    */
+  private def maskDead(df: DataFrame, ts: Option[DataFrame]): DataFrame =
+    ts.fold(df) { t =>
+      val k = t.select(col("vec_id").as("__ts_id"), col("__batch").as("__ts_b"))
+      df.join(k, df("vec_id") === k("__ts_id") && k("__ts_b") >= df("__batch"),
+        "left_anti")
+    }
 
   /** Write one batch of a shared partitioned dataset, dynamically
     * overwriting ONLY its own `__batch` partitions — idempotent under
@@ -156,7 +188,7 @@ object IvfStore {
       fs.rename(g.path, new Path(root, "." + g.path.getName + ".retired"))
     }
     val keepFrom = math.min(base, gens.lastOption.map(_.base).getOrElse(base))
-    Seq(listsDir(storeDir), digestsDir(storeDir)).foreach { d =>
+    Seq(listsDir(storeDir), digestsDir(storeDir), tombsDir(storeDir)).foreach { d =>
       val dp = new Path(d)
       if (fs.exists(dp)) fs.listStatus(dp).foreach { st =>
         st.getPath.getName match {
@@ -231,43 +263,88 @@ object IvfStore {
       val gen = gens.lastOption.getOrElse { buildVecs(emb, storeDir); return "full" }
       val dgPath = new Path(digestsDir(storeDir))
       if (!fsOf(s, dgPath).exists(dgPath)) { buildVecs(emb, storeDir); return "full" }
-      val stored = readBatches(s, digestsDir(storeDir), gen.base, gen.k)
+      val ts = tombstonesOf(s, storeDir, gen)
+      val stored = maskDead(readBatches(s, digestsDir(storeDir), gen.base, gen.k), ts)
         .select(col("vec_id"), col("h").as("h_idx"))
       // ONE full-outer digest pass classifies the delta (the LabelStore
-      // discipline): corpus-only rows are appends; index-only or
-      // hash-changed rows mean mutation/delete → full rebuild.
+      // discipline): corpus-only rows are appends; index-only rows are
+      // deletes; hash-changed rows are mutations → full rebuild.
       // localCheckpoint, not persist: the batch writes below refresh the
       // store paths, and a refresh RECACHES plans reading them — the
       // delta must stay pinned to its pre-write measurement
       val delta = dg.join(stored, Seq("vec_id"), "full")
         .filter(col("h").isNull || col("h_idx").isNull || col("h") =!= col("h_idx"))
-        .select(col("vec_id"), col("h_idx").isNull.as("is_new"))
+        .select(col("vec_id"), col("h_idx").isNull.as("is_new"),
+          col("h").isNull.as("is_del"))
         .localCheckpoint()
-      if (delta.isEmpty || delta.filter(!col("is_new")).limit(1).count() > 0) {
+      // one aggregate classifies the whole delta: appends, deletes, and
+      // (by difference) mutations
+      val c = delta.agg(count(lit(1)), count(when(col("is_new"), 1)),
+        count(when(col("is_del"), 1))).head
+      val (nDelta, nNew, nDel) = (c.getLong(0), c.getLong(1), c.getLong(2))
+      if (nDelta == 0 || nDelta != nNew + nDel || (nNew > 0 && nDel > 0)) {
         buildVecs(emb, storeDir); return "full"
       }
-      val appended = delta.select(col("vec_id"))
-
       val cent = s.read.parquet(s"${gen.path}/centroids")
+      val next = gen.k + 1
+
+      if (nDel > 0) {
+        // ---- incremental DELETE (tombstone) path — FAISS `remove_ids`
+        // under the batch discipline: a takedown must not re-train or
+        // re-assign anything. One NARROW id scan of the lists (vec_id +
+        // the c_id partition column — no vector data crosses the wire)
+        // locates the dead rows' cells; the tombstone batch masks them at
+        // probe time; centroids stay frozen. Cost: the id scan plus a
+        // tombstone write sized by the delete, never a corpus re-scan.
+        val deleted = delta.select(col("vec_id"))
+        // compaction by measurement: once the dead fraction approaches
+        // the live corpus, probes pay more masking than a rebuild costs
+        val priorDead = ts.map(_.count()).getOrElse(0L)
+        if (priorDead + nDel > 0.5 * n) { buildVecs(emb, storeDir); return "full" }
+        val live = maskDead(readBatches(s, listsDir(storeDir), gen.base, gen.k)
+          .select(col("vec_id"), col("c_id"), col("__batch")), ts)
+        val newTombs = live.join(deleted, Seq("vec_id"), "left_semi")
+          .select(col("vec_id"), col("c_id")).localCheckpoint()
+        // imbalance gauge against the REDUCED balanced share: deletes
+        // concentrated away from a hot cell can leave its share past the
+        // bound — the same measured symptom that the frozen quantizer no
+        // longer fits what remains
+        val maxCell = live.join(deleted, Seq("vec_id"), "left_anti")
+          .groupBy(col("c_id")).agg(count(lit(1)).as("cnt"))
+          .agg(coalesce(max(col("cnt")), lit(0L))).head.getLong(0)
+        if (maxCell > ImbalanceFactor * n / Similarity.IvfNList) {
+          buildVecs(emb, storeDir); return "full"
+        }
+        // tombstones land as batch `next` BEFORE the publish: outside the
+        // published range until the rename, so a crash in between leaves
+        // the old generation serving unmasked and the retry (which still
+        // sees the deletes in the stored digests) overwrites the batch
+        writeBatch(newTombs.coalesce(8), next, Seq.empty, tombsDir(storeDir))
+        publishGen(s, storeDir, next, n, fp, base = gen.base, centroids = cent)
+        return "incremental-delete"
+      }
+
+      val appended = delta.select(col("vec_id"))
       val assigned = Similarity.ivfAssign(
         Similarity.normedOf(emb.join(appended, Seq("vec_id"), "left_semi")),
         cent).localCheckpoint()
       // imbalance gauge: merged per-cell counts vs the balanced share.
       // The stored side is a count over the lists' partition columns —
-      // columnar metadata, no vector data crosses the wire.
+      // columnar metadata, no vector data crosses the wire — minus the
+      // per-cell dead counts the tombstones carry.
       val oldCells = readBatches(s, listsDir(storeDir), gen.base, gen.k)
         .groupBy(col("c_id")).agg(count(lit(1)).as("cnt"))
+      val deadCells = ts.map(_.groupBy(col("c_id")).agg((-count(lit(1))).as("cnt")))
       val newCells = assigned.groupBy(col("c_id")).agg(count(lit(1)).as("cnt"))
       // coalesce: a null max (empty merged counts — unreachable today
       // because the delta is checked non-empty first, but the guard must
       // not be implicit in caller order) reads as 0, not an NPE
-      val maxCell = oldCells.unionByName(newCells)
+      val maxCell = deadCells.foldLeft(oldCells.unionByName(newCells))(_ unionByName _)
         .groupBy(col("c_id")).agg(sum(col("cnt")).as("cnt"))
         .agg(coalesce(max(col("cnt")), lit(0L))).head.getLong(0)
       if (maxCell > ImbalanceFactor * n / Similarity.IvfNList) {
         buildVecs(emb, storeDir); return "full"
       }
-      val next = gen.k + 1
       writeBatch(assigned.repartition(col("c_id")), next, Seq("c_id"), listsDir(storeDir))
       writeBatch(dg.join(appended, Seq("vec_id"), "left_semi"), next,
         Seq.empty, digestsDir(storeDir))
@@ -308,8 +385,13 @@ object IvfStore {
     val qCells = Similarity.ivfQueryCells(cent, queries)
     val probed = qCells.select(col("c_id")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val lists = readBatches(s, listsDir(storeDir), gen.base, gen.k)
-      .filter(col("c_id").isin(probed: _*))
+    // cell + batch-range partition filters first, THEN the tombstone
+    // mask: the anti-join's probe side is already pruned to the probed
+    // cells and its build side is delete-sized
+    val lists = maskDead(
+        readBatches(s, listsDir(storeDir), gen.base, gen.k)
+          .filter(col("c_id").isin(probed: _*)),
+        tombstonesOf(s, storeDir, gen))
       .select(col("vec_id"), col("e"), col("norm"), col("c_id"))
     (qCells, lists)
   }
@@ -364,6 +446,34 @@ object IvfStore {
       buildVecs(Tables.embeddings(s, dir).filter(col("vec_id") % 7 =!= 0), store)
       val mode = ensureCurrentIncremental(s, dir, store)
       require(mode == "incremental", s"expected the incremental path, ran '$mode'")
+      probe(s, dir, store).localCheckpoint()
+    }
+
+  /** The delete oracle row removes every vector with
+    * `vec_id % 5 == 3 && vec_id >= 10` — the floor spares the 10 probe
+    * queries (they read from the corpus table, which the twin reduces
+    * identically). Shared with [[Similarity.x3AnnIvfDelSql]].
+    */
+  private[graft] val DeletePredicateSql = "vec_id % 5 = 3 AND vec_id >= 10"
+
+  /** X3c'''' [EXT] — index maintenance under DELETE, end-to-end: build
+    * the store on the FULL corpus (centroids trained on everything),
+    * shrink the corpus by the predicate above, run
+    * [[ensureCurrentIncremental]] — which must take the tombstone path:
+    * frozen centroids, one narrow id scan, dead rows masked at probe
+    * time — then probe. Oracle: [[Similarity.x3AnnIvfDelSql]], the
+    * full-corpus centroid pipeline with the inverted lists reduced by
+    * the same predicate, so the tombstone-masked index is hash-checked
+    * against a from-scratch construction on what remains (deleted
+    * vectors must vanish from every top-k).
+    */
+  def x3AnnIvfDelete(s: SparkSession, dir: String): DataFrame =
+    StoreDirs.withTempStore("graft-ivfdel") { store =>
+      buildVecs(Tables.embeddings(s, dir), store)
+      val reduced = Tables.embeddings(s, dir)
+        .filter(!(col("vec_id") % 5 === 3 && col("vec_id") >= 10))
+      val mode = ensureIncrementalVecs(reduced, store)
+      require(mode == "incremental-delete", s"expected the delete path, ran '$mode'")
       probe(s, dir, store).localCheckpoint()
     }
 }

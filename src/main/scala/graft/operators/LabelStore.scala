@@ -61,6 +61,17 @@ object LabelStore {
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
+  /** Stage timer for maintenance profiling, off unless
+    * `spark.graft.debug.timing=true` (Probe10's label modes set it).
+    */
+  private def timed[A](s: SparkSession, name: String)(f: => A): A =
+    if (s.conf.get("spark.graft.debug.timing", "false") != "true") f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[label-timing] $name%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
+    }
+
   private case class Gen(k: Long, n: Long, fp: Long, path: Path)
 
   private def fsOf(s: SparkSession, p: Path) =
@@ -91,18 +102,23 @@ object LabelStore {
   // per-doc state for the WHOLE corpus — the standard "materialize
   // signatures" checkpoint (~1 KB/doc) of a production MinHash
   // pipeline:
-  //   index/digests/ __batch=<gen>/            (doc_id, h)
-  //   index/sigs/    __batch=<gen>/__db=<b>/   (doc_id, sh)
-  //   index/bands/   __batch=<gen>/__bb=<b>/   (band, bh, doc_id)
+  //   index/digests/    __batch=<gen>/            (doc_id, h)
+  //   index/sigs/       __batch=<gen>/__db=<b>/   (doc_id, sh)
+  //   index/bands/      __batch=<gen>/__bb=<b>/   (band, bh, doc_id)
+  //   index/tombstones/ __batch=<gen>/            (doc_id)
   // sigs/bands carry the BandStore bucketing so an append's probe and
   // verify read only the buckets its band hashes / candidate peers
   // touch — per-append cost is bounded by the batch and its
-  // candidates, never O(corpus).
-  // Write order is labels-first, index-second: a crash in between
-  // leaves the index missing exactly the docs the next append will
-  // recompute (appended = corpus digests − index digests), and the
-  // re-merge is idempotent — contracted endpoints of already-labeled
-  // docs collapse to their reps, so replayed edges change nothing.
+  // candidates, never O(corpus). Deletes never rewrite index rows in
+  // place (a live generation still scans them): they land a TOMBSTONE
+  // batch that every index read masks (batch-aware, see maskDead), and
+  // the full rebuild compacts the dead rows away.
+  // Write order is labels-first, index-second, and within the index
+  // digests LAST: a crash mid-maintenance leaves digest drift that the
+  // next call re-classifies (appended = corpus digests − live index
+  // digests), and the re-merge is idempotent — contracted endpoints of
+  // already-labeled docs collapse to their reps, so replayed edges
+  // change nothing.
   // ----------------------------------------------------------------
 
   private val BandBuckets = 64
@@ -111,6 +127,45 @@ object LabelStore {
   private def digestsIdx(storeDir: String) = s"$storeDir/index/digests"
   private def sigsIdx(storeDir: String) = s"$storeDir/index/sigs"
   private def bandsIdx(storeDir: String) = s"$storeDir/index/bands"
+  private def tombstonesIdx(storeDir: String) = s"$storeDir/index/tombstones"
+
+  /** Tombstoned doc ids visible at generation `upTo` —
+    * `index/tombstones/__batch=<gen>/ (doc_id)`. A delete lands its
+    * tombstone batch NUMBERED with the generation it publishes with and
+    * writes it BEFORE the publish rename, so readers gate on
+    * `__batch <= <published gen>`: a tombstone from a crashed
+    * (never-published) delete attempt stays invisible, and the retry —
+    * whose classification therefore still sees the deleted docs in the
+    * index — re-runs the delete path and idempotently overwrites the
+    * same batch.
+    */
+  private def tombstones(s: SparkSession, storeDir: String,
+                         upTo: Long): Option[DataFrame] = {
+    val p = new Path(tombstonesIdx(storeDir))
+    if (!fsOf(s, p).exists(p)) None
+    else Some(s.read.parquet(tombstonesIdx(storeDir))
+      .filter(col("__batch") <= upTo)
+      .select(col("doc_id").as("__ts_id"), col("__batch").as("__ts_b")))
+  }
+
+  /** Drop index rows a tombstone masks: a row is dead iff some visible
+    * tombstone for its doc_id is at least as new as the row's batch —
+    * batch-aware so a doc RE-ADDED after deletion (its new rows land in
+    * a batch after the tombstone's) stays live. Tombstone volume is
+    * bounded by deletes since the last full rebuild (the compaction
+    * trigger caps the dead fraction), so the anti-join's build side
+    * stays small.
+    */
+  private def maskDead(df: DataFrame, ts: Option[DataFrame]): DataFrame =
+    ts.fold(df)(t => df.join(t,
+      df("doc_id") === t("__ts_id") && t("__ts_b") >= df("__batch"), "left_anti"))
+
+  private def writeTombstones(deleted: DataFrame, gen: Long, storeDir: String): Unit =
+    deleted.select(col("doc_id")).withColumn("__batch", lit(gen))
+      .coalesce(8)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch").parquet(tombstonesIdx(storeDir))
 
   /** (doc_id, sh, sig) of the signable subset of a corpus frame —
     * identical shingling/signing to [[Dedup.x2MinHashLsh]].
@@ -123,28 +178,64 @@ object LabelStore {
   private def bandsOf(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"), posexplode(expr(Dedup.bandSql)).as(Seq("band", "bh")))
 
+  /** Exact Jaccard ≥ 0.8 over (sh_a, sh_b) — identical arithmetic to
+    * [[Dedup.x2MinHashLsh]] so maintained labels hash-match its oracle.
+    */
+  private def jaccardOk: org.apache.spark.sql.Column = {
+    val c = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    round(c / (size(col("sh_a")) + size(col("sh_b")) - c), 6) >= 0.8
+  }
+
   /** Write the index slice for one generation. `replaceAll` (full
     * rebuild) statically overwrites the whole index; an append
     * dynamically overwrites only its own `__batch` partitions
     * (idempotent under retry, the BandStore discipline).
     */
+  /** Row-count threshold under which a delta's index slice is written as
+    * ONE task per dataset instead of a bucket-repartition shuffle: a
+    * takedown/append-sized delta produces one file per touched bucket
+    * dir either way, and the shuffle is pure overhead.
+    */
+  private val SmallDeltaRows = 100000L
+
   private def writeIndex(dg: DataFrame, sig: DataFrame, gen: Long,
-                         storeDir: String, replaceAll: Boolean): Unit = {
+                         storeDir: String, replaceAll: Boolean,
+                         deltaRows: Long = Long.MaxValue): Unit = {
     def write(df: DataFrame, parts: Seq[String], dir: String): Unit = {
       val w = df.withColumn("__batch", lit(gen))
         .write.mode(SaveMode.Overwrite)
       (if (replaceAll) w else w.option("partitionOverwriteMode", "dynamic"))
         .partitionBy(parts: _*).parquet(dir)
     }
-    write(dg, Seq("__batch"), digestsIdx(storeDir))
-    write(sig.select(col("doc_id"), col("sh"))
-        .withColumn("__db", pmod(col("doc_id"), lit(SigBuckets)).cast("int"))
-        .repartition(col("__db")),
-      Seq("__batch", "__db"), sigsIdx(storeDir))
-    write(bandsOf(sig).select(col("band"), col("bh"), col("doc_id"))
-        .withColumn("__bb", pmod(col("bh"), lit(BandBuckets)).cast("int"))
-        .repartition(col("__bb")),
-      Seq("__batch", "__bb"), bandsIdx(storeDir))
+    val small = deltaRows <= SmallDeltaRows
+    val sigsDf = sig.select(col("doc_id"), col("sh"))
+      .withColumn("__db", pmod(col("doc_id"), lit(SigBuckets)).cast("int"))
+    val bandsDf = bandsOf(sig).select(col("band"), col("bh"), col("doc_id"))
+      .withColumn("__bb", pmod(col("bh"), lit(BandBuckets)).cast("int"))
+    // sigs and bands land CONCURRENTLY (independent datasets, both
+    // derived from the persisted sig frame — the scheduler overlaps the
+    // two small jobs); digests are the index's VALIDITY KEY (appended =
+    // corpus digests − index digests), so they land LAST and alone: a
+    // crash mid-writeIndex then always shows digest drift on the next
+    // maintenance call and routes to a rebuild, instead of fresh digests
+    // vouching for stale sigs/bands.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future(write(if (small) sigsDf.coalesce(1) else sigsDf.repartition(col("__db")),
+        Seq("__batch", "__db"), sigsIdx(storeDir))),
+      Future(write(if (small) bandsDf.coalesce(1) else bandsDf.repartition(col("__bb")),
+        Seq("__batch", "__bb"), bandsIdx(storeDir))))), Duration.Inf)
+    // a full rebuild COMPACTS: the fresh index has no dead rows, so the
+    // accumulated tombstones (whose masked rows it replaces wholesale)
+    // retire with it
+    if (replaceAll) {
+      val tp = new Path(tombstonesIdx(storeDir))
+      val fs = fsOf(dg.sparkSession, tp)
+      if (fs.exists(tp)) fs.delete(tp, true)
+    }
+    write(if (small) dg.coalesce(1) else dg, Seq("__batch"), digestsIdx(storeDir))
   }
 
   /** Publish `labels` as the next generation named by (n, fp); returns
@@ -245,40 +336,137 @@ object LabelStore {
     * measurement; a deployment with append manifests can skip it.
     */
   def ensureCurrentIncremental(s: SparkSession, dir: String,
-                               storeDir: String): String = {
-    val corpus = Tables.documents(s, dir).persist()
+                               storeDir: String): String =
+    ensureIncrementalDocs(Tables.documents(s, dir), storeDir)
+
+  /** Frame-based [[ensureCurrentIncremental]] — lets a caller scope the
+    * corpus to a subset (the delete oracle row's reduced corpus).
+    */
+  private[graft] def ensureIncrementalDocs(corpus0: DataFrame,
+                                           storeDir: String): String = {
+    val s = corpus0.sparkSession
+    val corpus = corpus0.persist()
     val persisted = scala.collection.mutable.ArrayBuffer[DataFrame](corpus)
     def keep(df: DataFrame): DataFrame = { persisted += df; df.persist() }
     try {
       val dg = keep(digests(corpus))
-      val (n, fp) = fingerprintOf(dg)
+      val (n, fp) = timed(s, "fingerprint") { fingerprintOf(dg) }
       val gens = listGens(s, storeDir)
       if (gens.lastOption.exists(g => g.n == n && g.fp == fp)) return "noop"
       val idxPath = new Path(digestsIdx(storeDir))
       if (gens.isEmpty || !fsOf(s, idxPath).exists(idxPath)) {
         buildDocs(corpus, storeDir); return "full"
       }
-      val idx = s.read.parquet(digestsIdx(storeDir))
+      val latest = gens.last
+      val ts = tombstones(s, storeDir, upTo = latest.k)
+      val idx = maskDead(s.read.parquet(digestsIdx(storeDir)), ts)
         .select(col("doc_id"), col("h").as("h_idx"))
       // ONE full-outer digest pass classifies the whole delta (was two
       // anti-join scans): a row only in the corpus is an append; a row
-      // only in the index, or with a changed hash, means mutation or
-      // delete → not an append, fall back to the full pipeline (which
-      // also rewrites the index). At 100 TB this is one pass over the
-      // digest sets instead of two.
+      // only in the index is a delete; a changed hash is a mutation.
+      // At 100 TB this is one pass over the digest sets instead of two.
       // localCheckpoint — NOT persist: the digests write below refreshes
       // its path, and a refresh RECACHES every plan that reads it; a
       // merely-cached delta would re-evaluate against the just-written
       // index and collapse to empty, silently emptying the sigs/bands
       // writes that follow. Truncating the lineage pins the delta to
       // what was measured before any write.
-      val delta = dg.join(idx, Seq("doc_id"), "full")
+      val delta = timed(s, "classify") { dg.join(idx, Seq("doc_id"), "full")
         .filter(col("h").isNull || col("h_idx").isNull || col("h") =!= col("h_idx"))
-        .select(col("doc_id"), col("h_idx").isNull.as("is_new"))
-        .localCheckpoint()
-      if (delta.isEmpty || delta.filter(!col("is_new")).limit(1).count() > 0) {
+        .select(col("doc_id"), col("h_idx").isNull.as("is_new"),
+          col("h").isNull.as("is_del"))
+        .localCheckpoint() }
+      // one aggregate classifies the whole delta: appends, deletes, and
+      // (by difference) mutations — was an isEmpty probe plus a
+      // filter-count, two jobs
+      val c = delta.agg(count(lit(1)), count(when(col("is_new"), 1)),
+        count(when(col("is_del"), 1))).head
+      val (nDelta, nNew, nDel) = (c.getLong(0), c.getLong(1), c.getLong(2))
+      // mutations (nDelta > nNew + nDel), a mixed append+delete batch,
+      // and the inconsistent empty-delta-with-stale-fingerprint state all
+      // take the full rebuild — correct by construction, and each is rare
+      // at 100 TB (appends and takedowns arrive as separate maintenance
+      // calls; mutation means the corpus was edited in place)
+      if (nDelta == 0 || nDelta != nNew + nDel || (nNew > 0 && nDel > 0)) {
         buildDocs(corpus, storeDir); return "full"
       }
+
+      if (nDel > 0) {
+        // ---- incremental DELETE (tombstone) path: a takedown of k docs
+        // must not re-sign the corpus. Drop the docs' index rows via a
+        // tombstone batch (masked at read time, batch-aware), and
+        // re-fixpoint ONLY the clusters the deleted docs touched: the
+        // dup-pair graph is partitioned by its components, so removing
+        // docs can only split/relabel THEIR components — every other
+        // label row is untouched, and cost scales with the touched
+        // membership, never the corpus.
+        val deleted = delta.select(col("doc_id"))
+        // compaction by measurement: once the dead fraction of the index
+        // approaches the live corpus, probes pay more masking than a
+        // rebuild costs — rebuild, which also clears the tombstones
+        val priorDead = ts.map(_.count()).getOrElse(0L)
+        if (priorDead + nDel > 0.5 * n) { buildDocs(corpus, storeDir); return "full" }
+        val oldLabels = keep(read(s, storeDir))
+        val touchedReps = oldLabels.join(deleted, Seq("doc_id"), "left_semi")
+          .select(col("cluster_rep")).distinct().localCheckpoint()
+        val members = keep(oldLabels.join(touchedReps, Seq("cluster_rep"), "left_semi"))
+        val touchedMass = members.count()
+        // recompute cost ∝ touched members (re-sign + re-band + re-pair
+        // just those); past half the corpus the full rebuild is cheaper
+        // and compacts the index
+        if (touchedMass > 0.5 * n) { buildDocs(corpus, storeDir); return "full" }
+        val labels =
+          if (touchedMass == 0) oldLabels // deletes outside every cluster
+          else {
+            val survivors = keep(members.join(deleted, Seq("doc_id"), "left_anti")
+              .select(col("doc_id")))
+            // surviving members' shingles from the sigs index,
+            // bucket-pruned (≤ SigBuckets driver-side values — bounded,
+            // never data rows): the only per-doc state the re-cluster
+            // needs; banding/signing reruns for the touched docs only
+            val dbs = survivors
+              .select(pmod(col("doc_id"), lit(SigBuckets)).cast("int").as("__db"))
+              .distinct().collect().map(_.getInt(0)).toSeq
+            val sh = keep(maskDead(
+                s.read.parquet(sigsIdx(storeDir)).filter(col("__db").isin(dbs: _*)), ts)
+              .join(survivors, Seq("doc_id"), "left_semi")
+              .select(col("doc_id"), col("sh")))
+            val sig = sh.withColumn("sig", Dedup.minhashSig)
+            val cand = Dedup.cappedSelfPairs(bandsOf(sig), "doc_id",
+              Dedup.bucketCap(s, n), "doc_a", "doc_b", keep)
+            // exact Jaccard verification, identical arithmetic to the
+            // full pipeline — the relabeled components must hash-match a
+            // from-scratch build on the reduced corpus
+            val edges = cand
+              .join(sh.select(col("doc_id"), col("sh").as("sh_a")),
+                col("doc_a") === col("doc_id")).drop("doc_id")
+              .join(sh.select(col("doc_id"), col("sh").as("sh_b")),
+                col("doc_b") === col("doc_id")).drop("doc_id")
+              .filter(jaccardOk).select(col("doc_a"), col("doc_b"))
+            val (relabeled, _) = Dedup.clusterPairs(edges)
+            // untouched components keep their labels; touched ones are
+            // replaced by the re-fixpoint (members leaving every cluster
+            // drop out — they are singletons of the reduced corpus).
+            // Edges never cross old components, so the per-component
+            // recompute equals the global one.
+            oldLabels.join(touchedReps, Seq("cluster_rep"), "left_anti")
+              // the cluster_rep join key moves first — restore the
+              // published (doc_id, cluster_rep) schema
+              .select(col("doc_id"), col("cluster_rep"))
+              .unionByName(relabeled)
+          }
+        // tombstones FIRST (numbered with the generation they publish
+        // with — invisible until the rename), then the publish: a crash
+        // in between leaves the store on the old generation with an
+        // unpublished tombstone batch, and the retry re-detects the
+        // deletes and overwrites that same batch
+        val next = latest.k + 1
+        writeTombstones(deleted, next, storeDir)
+        val pub = publishGen(s, storeDir, n, fp, labels.orderBy("doc_id"))
+        require(pub == next, s"LabelStore: delete expected gen $next, published $pub")
+        return "incremental-delete"
+      }
+
       val appended = delta.select(col("doc_id"))
 
       val cap = Dedup.bucketCap(s, n)
@@ -288,18 +476,22 @@ object LabelStore {
       val nn = Dedup.cappedSelfPairs(newBands, "doc_id", cap, "na", "nb", keep)
       // new-old candidates: bucket-pruned probe of the stored bands
       // (≤ BandBuckets driver-side values — bounded, never data rows)
-      val touched = newBands
+      val touched = timed(s, "delta-sign+bands") { newBands
         .select(pmod(col("bh"), lit(BandBuckets)).cast("int").as("__bb"))
-        .distinct().collect().map(_.getInt(0)).toSeq
-      val no =
+        .distinct().collect().map(_.getInt(0)).toSeq }
+      val no = timed(s, "probe-candidates") {
         if (touched.isEmpty) s.range(0).select(col("id").as("new_id"), col("id").as("old_id"))
         else {
-          val probe = s.read.parquet(bandsIdx(storeDir))
-            .filter(col("__bb").isin(touched: _*))
+          val probe = maskDead(
+              s.read.parquet(bandsIdx(storeDir)).filter(col("__bb").isin(touched: _*)), ts)
             .select(col("band"), col("bh"), col("doc_id").as("old_id"))
           // adaptive store-side cap, the admitBatch bipartite discipline:
           // star over-cap buckets to their min peer; under-drops only,
-          // every surviving candidate still exactly verified
+          // every surviving candidate still exactly verified. (Round-10
+          // probe: composing the stats join unconditionally to save this
+          // blocking scalar job measured NET SLOWER — the guarded plan's
+          // extra shuffles on the no-overflow path cost more than the
+          // gauge — so the adaptive form stays.)
           val stats = probe.groupBy(col("band"), col("bh"))
             .agg(count(lit(1)).as("__n"), min(col("old_id")).as("__pmin"))
           val maxBucket = stats.agg(coalesce(max(col("__n")), lit(0L))).head.getLong(0)
@@ -313,24 +505,19 @@ object LabelStore {
             .join(newBands.withColumnRenamed("doc_id", "new_id"), Seq("band", "bh"))
             .select(col("new_id"), col("old_id")).distinct())
         }
-      // exact Jaccard ≥ 0.8 verification — identical arithmetic to
-      // x2MinHashLsh so the merged labels can hash-match its oracle
-      def jaccardOk = {
-        val c = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-        round(c / (size(col("sh_a")) + size(col("sh_b")) - c), 6) >= 0.8
       }
       val nnV = nn
         .join(sig.select(col("doc_id"), col("sh").as("sh_a")), col("na") === col("doc_id")).drop("doc_id")
         .join(sig.select(col("doc_id"), col("sh").as("sh_b")), col("nb") === col("doc_id")).drop("doc_id")
         .filter(jaccardOk).select(col("na").as("doc_a"), col("nb").as("doc_b"))
-      val peerBuckets = no
+      val peerBuckets = timed(s, "peer-buckets") { no
         .select(pmod(col("old_id"), lit(SigBuckets)).cast("int").as("__db"))
-        .distinct().collect().map(_.getInt(0)).toSeq // ≤ SigBuckets values
+        .distinct().collect().map(_.getInt(0)).toSeq } // ≤ SigBuckets values
       val noV =
         if (peerBuckets.isEmpty) nnV.limit(0)
         else {
-          val oldSh = s.read.parquet(sigsIdx(storeDir))
-            .filter(col("__db").isin(peerBuckets: _*))
+          val oldSh = maskDead(
+              s.read.parquet(sigsIdx(storeDir)).filter(col("__db").isin(peerBuckets: _*)), ts)
             .select(col("doc_id"), col("sh").as("sh_b"))
           no.join(sig.select(col("doc_id"), col("sh").as("sh_a")), col("new_id") === col("doc_id")).drop("doc_id")
             .join(oldSh, col("old_id") === col("doc_id")).drop("doc_id")
@@ -344,7 +531,8 @@ object LabelStore {
       val contracted = noV
         .join(oldLabels.select(col("doc_id").as("doc_b"), col("cluster_rep")), Seq("doc_b"), "left")
         .select(col("doc_a"), coalesce(col("cluster_rep"), col("doc_b")).as("doc_b"))
-      val (merged, _) = Dedup.clusterPairs(nnV.unionByName(contracted).distinct())
+      val (merged, _) = timed(s, "cluster-merge") {
+        Dedup.clusterPairs(nnV.unionByName(contracted).distinct()) }
       // remap relabeled components; add rows for new docs and for old
       // singletons a new edge pulled into a cluster
       val remap = merged
@@ -354,9 +542,10 @@ object LabelStore {
           coalesce(col("__new_rep"), col("cluster_rep")).as("cluster_rep"))
         .unionByName(merged.join(oldLabels.select(col("doc_id")), Seq("doc_id"), "left_anti"))
         .orderBy("doc_id")
-      val gen = publishGen(s, storeDir, n, fp, labels)
-      writeIndex(dg.join(appended, Seq("doc_id"), "left_semi"), sig, gen,
-        storeDir, replaceAll = false)
+      val gen = timed(s, "labels-publish") { publishGen(s, storeDir, n, fp, labels) }
+      timed(s, "index-write") {
+        writeIndex(dg.join(appended, Seq("doc_id"), "left_semi"), sig, gen,
+          storeDir, replaceAll = false, deltaRows = nNew) }
       "incremental"
     } finally persisted.foreach(_.unpersist())
   }
@@ -376,6 +565,44 @@ object LabelStore {
       // pin the (cluster-sized) labels before the throwaway store deletes
       read(s, store).orderBy("doc_id").localCheckpoint()
     }
+
+  /** The delete oracle row removes every doc with
+    * `doc_id % [[DeleteModulus]] == [[DeleteRemainder]]` — shared by the
+    * Spark path and the SQL twin so the two cannot drift.
+    */
+  private val DeleteModulus = 5
+  private val DeleteRemainder = 3
+
+  /** X2e''' [EXT] — label maintenance under DELETE, end-to-end: build
+    * the store on the FULL corpus, shrink the corpus to
+    * `doc_id % 5 != 3`, run [[ensureCurrentIncremental]] (which must
+    * take the tombstone path: index rows masked, only the touched
+    * components re-fixpointed), return the final labels. Oracle: the
+    * recursive-CTE clusters over the REDUCED corpus — the incremental
+    * delete must equal a from-scratch rebuild on what remains,
+    * hash-exactly.
+    */
+  def x2LabelsDelete(s: SparkSession, dir: String): DataFrame =
+    StoreDirs.withTempStore("graft-labeldel") { store =>
+      buildDocs(Tables.documents(s, dir), store)
+      val reduced = Tables.documents(s, dir)
+        .filter(col("doc_id") % DeleteModulus =!= DeleteRemainder)
+      val mode = ensureIncrementalDocs(reduced, store)
+      require(mode == "incremental-delete", s"expected the delete path, ran '$mode'")
+      read(s, store).orderBy("doc_id").localCheckpoint()
+    }
+
+  /** Oracle twin of [[x2LabelsDelete]], derived from
+    * [[Dedup.x2DupClustersSql]]'s own text with the corpus reduced by the
+    * same predicate (single-occurrence rewrite, checked loudly).
+    */
+  val x2LabelsDeleteSql: String = {
+    val marker = "FROM documents)"
+    require(Dedup.x2DupClustersSql.split(java.util.regex.Pattern.quote(marker), -1)
+      .length == 2, "x2DupClustersSql no longer reads documents exactly once")
+    Dedup.x2DupClustersSql.replace(marker,
+      s"FROM (SELECT * FROM documents WHERE doc_id % $DeleteModulus <> $DeleteRemainder))")
+  }
 
   /** Labels of the newest generation: (doc_id, cluster_rep), the exact
     * schema of [[Dedup.x2DupClusters]]. Resolves the generation at call

@@ -461,7 +461,8 @@ object Similarity {
     * order. Like the LSH twin, this converts "approximate" from a
     * rows-only claim into a hash-checked result.
     */
-  private def ivfPipelineSql(extraCtes: String, base: String): String =
+  private def ivfPipelineSql(extraCtes: String, base: String,
+                             listsBase: String = "e"): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e,
       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
       |  FROM embeddings),$extraCtes
@@ -490,7 +491,7 @@ object Similarity {
       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
       |        list_dot_product(v.e, r.ce) / (v.norm * sqrt(list_dot_product(r.ce, r.ce))) DESC,
       |        r.c_id) AS rk
-      |    FROM e v CROSS JOIN refined r) WHERE rk = 1),
+      |    FROM $listsBase v CROSS JOIN refined r) WHERE rk = 1),
       |qcells AS (
       |  SELECT q_id, qe, qnorm, c_id FROM (
       |    SELECT q.vec_id AS q_id, q.e AS qe, q.norm AS qnorm, r.c_id,
@@ -522,4 +523,17 @@ object Similarity {
     */
   val x3AnnIvfIncSql: String = ivfPipelineSql(
     "\neb AS (SELECT * FROM e WHERE vec_id % 7 != 0),", "eb")
+
+  /** DuckDB twin of [[IvfStore.x3AnnIvfDelete]]: centroids (seed sample
+    * + Lloyd refinement) derive from the FULL corpus — the frozen
+    * generation the delete never re-trains — while the inverted lists
+    * are reduced by the delete predicate
+    * ([[IvfStore.DeletePredicateSql]]); queries span the full table
+    * (the predicate spares them). Exactly what the tombstone mask
+    * serves, stage-for-stage bit-deterministic, so "deleted vectors
+    * vanish from every top-k" is hash-checked, not asserted.
+    */
+  val x3AnnIvfDelSql: String = ivfPipelineSql(
+    s"\ner AS (SELECT * FROM e WHERE NOT (${IvfStore.DeletePredicateSql})),",
+    "e", listsBase = "er")
 }

@@ -60,19 +60,26 @@ class Round9Spec extends SparkSpec {
     assert(IvfStore.ensureCurrentIncremental(spark, dir, store) == "noop")
   }
 
-  test("X3c'': a deleted vector is not an append — full rebuild, then noop") {
+  test("X3c'': a deleted vector takes the tombstone path, then noop — and vanishes from probes") {
     val dir = tmpDir("r9-ivf-del")
     val store = tmpDir("r9-ivf-delstore") + "/store"
     writeEmb(dir, baseVecs)
     IvfStore.build(spark, dir, store)
-    // shrinking the corpus leaves index-only digest rows — the full-outer
-    // classifier must route to the full rebuild, never an "append"
+    // shrinking the corpus leaves index-only digest rows — the
+    // classifier routes them to the incremental delete (tombstone) path,
+    // never an "append" and (since round 10) no longer a full rebuild
     writeEmb(dir, baseVecs.filterNot(_._1 == 5L))
-    assert(IvfStore.ensureCurrentIncremental(spark, dir, store) == "full")
+    assert(IvfStore.ensureCurrentIncremental(spark, dir, store) == "incremental-delete")
     assert(IvfStore.ensureCurrentIncremental(spark, dir, store) == "noop")
+    assert(!IvfStore.ensureCurrent(spark, dir, store),
+      "the deleted store must be current by fingerprint")
+    val served = IvfStore.probe(spark, dir, store)
+    assert(served.filter(col("vec_id") === 5L).isEmpty,
+      "a tombstoned vector must never be served")
+    assert(served.groupBy("q_id").count().filter(col("count") =!= 5).count() == 0)
   }
 
-  test("X2e'': a deleted doc is not an append — label store falls back to full, then noop") {
+  test("X2e'': a deleted doc is not an append — label store takes the tombstone path, then noop") {
     val dir = tmpDir("r9-label-del")
     val store = tmpDir("r9-label-delstore") + "/store"
     def corpus(drop: Option[Long]) = {
@@ -86,9 +93,12 @@ class Round9Spec extends SparkSpec {
     corpus(None).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     graft.operators.LabelStore.build(spark, dir, store)
     corpus(Some(7L)).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    assert(graft.operators.LabelStore.ensureCurrentIncremental(spark, dir, store) == "full")
+    // a deleted doc routes to the tombstone path (since round 10, no
+    // longer a full rebuild); this corpus has zero near-dups, so the
+    // touched-component mass is 0 and the labels stay empty
+    assert(graft.operators.LabelStore.ensureCurrentIncremental(spark, dir, store) == "incremental-delete")
     assert(graft.operators.LabelStore.ensureCurrentIncremental(spark, dir, store) == "noop")
-    // the noop above proves the rebuilt generation's fingerprint covers
+    // the noop above proves the published generation's fingerprint covers
     // exactly the shrunken corpus; with zero near-dups its label table
     // is empty by contract (labels hold only clustered docs)
     assert(graft.operators.LabelStore.read(spark, store).isEmpty)
