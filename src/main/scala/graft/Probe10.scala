@@ -52,7 +52,7 @@ object Probe10 {
   private def labelAppendSplit(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
     import graft.operators.LabelStore
-    for (pass <- 1 to 2) {
+    for (pass <- 1 to 4) {
       println(s"[probe10] --- pass $pass ---")
       val store = java.nio.file.Files.createTempDirectory("probe10-la").toString + "/store"
       val t0 = System.nanoTime()

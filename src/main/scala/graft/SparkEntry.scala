@@ -32,6 +32,9 @@ object SparkEntry {
     // date-partitioned store round trip: write events partitioned by
     // event_date, aggregate one week through the partition-pruned scan
     "s11_date_rollup" -> (graft.sources.DateStore.s11DateRollup _),
+    // day-grain store maintenance under the gate: build on the first 24
+    // days, append the rest incrementally, roll up across the seam
+    "s11_date_evolve" -> (graft.sources.DateStore.s11DateEvolve _),
     "x6_pack_sequences" -> (Sampling.x6PackSequences _),
     "x6_mixture" -> (Sampling.x6Mixture _),
     "x6_export_shards" -> (Sampling.x6ExportShards _),
@@ -185,6 +188,7 @@ object SparkEntry {
     // the twin recomputes the rollup from the fixture table directly —
     // the partitioned write + pruned read round trip is under the gate
     "s11_date_rollup" -> graft.sources.DateStore.s11DateRollupSql,
+    "s11_date_evolve" -> graft.sources.DateStore.s11DateEvolveSql,
     "x6_pack_sequences" -> Sampling.x6PackSequencesSql,
     "x6_mixture" -> Sampling.x6MixtureSql,
     "x6_export_shards" -> Sampling.x6ExportShardsSql,

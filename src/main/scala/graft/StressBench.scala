@@ -483,7 +483,12 @@ object StressBench {
     val chainPairs = graft.operators.Dedup.x2MinHashLsh(spark, chainDir)
       .select(col("doc_a"), col("doc_b")).persist()
     val chainEdges = chainPairs.count()
-    val (chainLabels, chainRounds) = graft.operators.Dedup.clusterPairs(chainPairs)
+    // this row exists to prove the DISTRIBUTED fixpoint stays
+    // logarithmic on the worst diameter shape — keep the tiny chain off
+    // the driver union-find fast path
+    spark.conf.set(graft.operators.Dedup.DriverMaxEdgesConf, "0")
+    val (chainLabels, chainRounds) = try graft.operators.Dedup.clusterPairs(chainPairs)
+      finally spark.conf.unset(graft.operators.Dedup.DriverMaxEdgesConf)
     val chainClusters = chainLabels.select(col("cluster_rep")).distinct().count()
     val chainSec = (System.nanoTime() - tChain) / 1e9
 

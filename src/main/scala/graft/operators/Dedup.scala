@@ -143,20 +143,49 @@ object Dedup {
     * what the planted long-chain stress asserts stays logarithmic.
     */
   private[graft] def clusterPairs(pairs: DataFrame): (DataFrame, Int) = {
-    // the dup-pair graph is orders of magnitude smaller than the corpus
-    // (near-dups are sparse by definition): materialize it ONCE, eagerly,
-    // with lineage truncated — otherwise every propagation round drags
-    // the whole Jaccard pipeline through its plan — then size the edge
-    // partitioning from the MEASURED edge count (the count is one cheap
-    // pass over the already-checkpointed frame), so each round's shuffle
-    // is proportional to the graph: a fixture graph collapses to 4
-    // partitions, a crawl-scale dup graph of billions of edges gets the
-    // partitions its volume demands instead of serializing through a
-    // constant
+    // a MEASURED-small graph runs its fixpoint driver-side — the
+    // broadcast-join discipline applied to iteration control: Spark
+    // itself centralizes a join side once a size measurement says it
+    // fits (autoBroadcastJoinThreshold), and a dup graph under the bound
+    // (~16 MB of long pairs) costs less to union-find in one pass than
+    // one distributed round's scheduler overhead, let alone the
+    // O(log diameter) rounds × (2 joins + agg + checkpoint) jobs of the
+    // loop below. This is where delta-append/delete maintenance lives:
+    // the CONTRACTED graph of a bounded delta is delta-sized, so store
+    // maintenance pays array arithmetic, not per-round job latency.
+    // The size probe is `limit(bound + 1).collect()` — ONE job that is
+    // also the data transfer when the graph fits (count-then-collect
+    // would pay two); an overflowed probe discards its sample and the
+    // graph proceeds to the distributed path, whose own cost dwarfs the
+    // probe. The result is identical by construction (min reachable doc
+    // per component); crawl-scale graphs (the 22M-edge stress row) stay
+    // distributed, and tests pinning the distributed round count force
+    // it via the conf.
+    val session = pairs.sparkSession
+    val driverMax = session.conf.get(DriverMaxEdgesConf, "1000000").toLong
+    if (driverMax > 0) {
+      import session.implicits._
+      val probe = pairs.select(col("doc_a"), col("doc_b"))
+        .limit(math.min(driverMax, Int.MaxValue - 1L).toInt + 1)
+        .as[(Long, Long)].collect()
+      if (probe.length <= driverMax) {
+        val labels = driverComponents(probe)
+        return (labels.toSeq.sortBy(_._1).toDF("doc_id", "cluster_rep"), 0)
+      }
+    }
+    // distributed path: the graph is still orders of magnitude smaller
+    // than the corpus (near-dups are sparse by definition) — materialize
+    // it ONCE, eagerly, with lineage truncated (otherwise every
+    // propagation round drags the whole Jaccard pipeline through its
+    // plan), then size the edge partitioning from the MEASURED edge
+    // count, so each round's shuffle is proportional to the graph: a
+    // crawl-scale dup graph of billions of edges gets the partitions its
+    // volume demands instead of serializing through a constant
     val edgesRaw = pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
-    val parts = edgePartitions(edgesRaw.count(),
+    val nEdges = edgesRaw.count()
+    val parts = edgePartitions(nEdges,
       edgesRaw.sparkSession.conf.get(EdgesPerPartitionConf, "1000000").toLong)
     // coalesce (narrow, reads the checkpoint) when shrinking; repartition
     // only when the graph outgrows the corpus-inherited partitioning
@@ -215,6 +244,49 @@ object Dedup {
     * of (long, long) rows — comfortably in-memory per task).
     */
   private[graft] val EdgesPerPartitionConf = "spark.graft.cluster.edgesPerPartition"
+
+  /** Directed-edge count at or under which [[clusterPairs]] runs its
+    * fixpoint driver-side (`spark.graft.cluster.driverMaxEdges`,
+    * default 1M ≈ 16 MB of long pairs — the autoBroadcastJoinThreshold
+    * size class). 0 forces the distributed path (the round-count specs
+    * and the diameter stress set it).
+    */
+  private[graft] val DriverMaxEdgesConf = "spark.graft.cluster.driverMaxEdges"
+
+  /** Union-find (path-halving + union by rank) over a collected edge
+    * list; returns doc → min reachable doc — definitionally the same
+    * labeling the distributed min-propagation converges to.
+    */
+  private[graft] def driverComponents(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    val rank = new java.util.HashMap[Long, Int]()
+    def find(x0: Long): Long = {
+      var x = x0
+      if (!parent.containsKey(x)) { parent.put(x, x); rank.put(x, 0) }
+      while (parent.get(x) != x) {
+        val p = parent.get(x)
+        parent.put(x, parent.get(p)) // path halving
+        x = parent.get(x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        val (hi, lo) =
+          if (rank.get(ra) >= rank.get(rb)) (ra, rb) else (rb, ra)
+        parent.put(lo, hi)
+        if (rank.get(ra) == rank.get(rb)) rank.put(hi, rank.get(hi) + 1)
+      }
+    }
+    val minOf = new java.util.HashMap[Long, Long]()
+    val docs = parent.keySet().toArray(Array.empty[java.lang.Long]).map(_.longValue())
+    docs.foreach { d =>
+      val r = find(d)
+      if (d < minOf.getOrDefault(r, Long.MaxValue)) minOf.put(r, d)
+    }
+    docs.map(d => (d, minOf.get(find(d)).longValue()))
+  }
 
   /** Partition count for the dup-edge frame, derived from the measured
     * edge count — the measure-before-spend discipline applied to the

@@ -198,35 +198,79 @@ object LabelStore {
     */
   private val SmallDeltaRows = 100000L
 
-  private def writeIndex(dg: DataFrame, sig: DataFrame, gen: Long,
-                         storeDir: String, replaceAll: Boolean,
-                         deltaRows: Long = Long.MaxValue): Unit = {
-    def write(df: DataFrame, parts: Seq[String], dir: String): Unit = {
-      val w = df.withColumn("__batch", lit(gen))
+  /** One index dataset write. `replaceAll` statically overwrites the
+    * whole dataset. An append writes DIRECTLY into its own
+    * `__batch=<gen>` directory (the partition value comes from the dir
+    * name at read time, exactly as a partitionBy write lands it),
+    * deleting any crashed earlier attempt's dir first — the
+    * [[IvfStore]] writeBatch discipline. The batch is always
+    * unpublished until the generation rename, so no reader can see the
+    * in-flight dir, and the delete-first makes retries idempotent
+    * without the dynamic-partition-overwrite committer's stage-and-move
+    * machinery (measured ~2 s per small write against the 64-bucket
+    * bands dir).
+    */
+  private def writeOne(df: DataFrame, gen: Long, parts: Seq[String],
+                       dir: String, replaceAll: Boolean): Unit =
+    if (replaceAll)
+      df.withColumn("__batch", lit(gen))
         .write.mode(SaveMode.Overwrite)
-      (if (replaceAll) w else w.option("partitionOverwriteMode", "dynamic"))
-        .partitionBy(parts: _*).parquet(dir)
+        .partitionBy(("__batch" +: parts): _*).parquet(dir)
+    else {
+      val batchDir = new Path(dir, s"__batch=$gen")
+      val fs = fsOf(df.sparkSession, batchDir)
+      if (fs.exists(batchDir)) fs.delete(batchDir, true)
+      df.write.mode(SaveMode.Overwrite)
+        .partitionBy(parts: _*).parquet(batchDir.toString)
     }
-    val small = deltaRows <= SmallDeltaRows
+
+  /** The sigs + bands halves of the index slice for one generation —
+    * CONCURRENT (independent datasets, both derived from the persisted
+    * sig frame), and safe to run while the maintenance chain is still
+    * probing the PREVIOUS batches (the caller pins the chain's index
+    * listings first). Deltas repartition BY THE BUCKET COLUMN even when
+    * small: a delta touches up to all 64 band buckets, and a
+    * single-task write creates those files serially (measured
+    * 1.7–3.6 s); hashing the tiny delta across tasks writes them in
+    * parallel for a trivial shuffle. `replaceAll` (full rebuild)
+    * statically overwrites the whole dataset; an append dynamically
+    * overwrites only its own `__batch` partitions (idempotent under
+    * retry, the BandStore discipline).
+    */
+  private def writeSigsBands(sig: DataFrame, gen: Long, storeDir: String,
+                             replaceAll: Boolean): Unit = {
+    val s = sig.sparkSession
     val sigsDf = sig.select(col("doc_id"), col("sh"))
       .withColumn("__db", pmod(col("doc_id"), lit(SigBuckets)).cast("int"))
     val bandsDf = bandsOf(sig).select(col("band"), col("bh"), col("doc_id"))
       .withColumn("__bb", pmod(col("bh"), lit(BandBuckets)).cast("int"))
-    // sigs and bands land CONCURRENTLY (independent datasets, both
-    // derived from the persisted sig frame — the scheduler overlaps the
-    // two small jobs); digests are the index's VALIDITY KEY (appended =
-    // corpus digests − index digests), so they land LAST and alone: a
-    // crash mid-writeIndex then always shows digest drift on the next
-    // maintenance call and routes to a rebuild, instead of fresh digests
-    // vouching for stale sigs/bands.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     Await.result(Future.sequence(Seq(
-      Future(write(if (small) sigsDf.coalesce(1) else sigsDf.repartition(col("__db")),
-        Seq("__batch", "__db"), sigsIdx(storeDir))),
-      Future(write(if (small) bandsDf.coalesce(1) else bandsDf.repartition(col("__bb")),
-        Seq("__batch", "__bb"), bandsIdx(storeDir))))), Duration.Inf)
+      // EXPLICIT partition counts: pmod makes bucket == shuffle
+      // partition, so every task writes exactly one file — and a
+      // user-specified count is exempt from AQE coalescing, which would
+      // otherwise fold the tiny shuffle into ONE task that creates all
+      // 64 bucket files serially (measured ~2 s per append)
+      Future(timed(s, "  idx-sigs") {
+        writeOne(sigsDf.repartition(SigBuckets, col("__db")), gen,
+          Seq("__db"), sigsIdx(storeDir), replaceAll) }),
+      Future(timed(s, "  idx-bands") {
+        writeOne(bandsDf.repartition(BandBuckets, col("__bb")), gen,
+          Seq("__bb"), bandsIdx(storeDir), replaceAll) }))), Duration.Inf)
+  }
+
+  /** Digests are the index's VALIDITY KEY (appended = corpus digests −
+    * index digests), so they land LAST and alone, after sigs, bands,
+    * and the publish have all settled: any partial outcome then reads
+    * as digest drift on the next maintenance call (idempotent
+    * re-append) or as the documented stale-fingerprint-empty-delta full
+    * rebuild — fresh digests can never vouch for stale sigs/bands.
+    */
+  private def writeDigests(dg: DataFrame, gen: Long, storeDir: String,
+                           replaceAll: Boolean,
+                           deltaRows: Long = Long.MaxValue): Unit = {
     // a full rebuild COMPACTS: the fresh index has no dead rows, so the
     // accumulated tombstones (whose masked rows it replaces wholesale)
     // retire with it
@@ -235,7 +279,9 @@ object LabelStore {
       val fs = fsOf(dg.sparkSession, tp)
       if (fs.exists(tp)) fs.delete(tp, true)
     }
-    write(if (small) dg.coalesce(1) else dg, Seq("__batch"), digestsIdx(storeDir))
+    timed(dg.sparkSession, "  idx-digests") {
+      writeOne(if (deltaRows <= SmallDeltaRows) dg.coalesce(1) else dg,
+        gen, Seq.empty, digestsIdx(storeDir), replaceAll) }
   }
 
   /** Publish `labels` as the next generation named by (n, fp); returns
@@ -294,9 +340,25 @@ object LabelStore {
       val s = corpus.sparkSession
       val dg = digests(corpus)
       val (n, fp) = fingerprintOf(dg)
-      val gen = publishGen(s, storeDir, n, fp,
-        Dedup.x2DupClustersOf(corpus, preSigned = Some(sig)))
-      writeIndex(dg, sig, gen, storeDir, replaceAll = true)
+      // materialize the shared signing pass ONCE, then run the cluster
+      // pipeline + publish CONCURRENTLY with the sigs/bands index writes
+      // — they share only the now-cached sig frame and touch disjoint
+      // paths (gen dirs vs index/). The batch number is deterministic
+      // (last gen + 1, asserted against publishGen's own computation);
+      // digests still land last, after both, so crash consistency is
+      // the writeDigests contract unchanged.
+      timed(s, "sign") { sig.count() }
+      val next = listGens(s, storeDir).lastOption.map(_.k).getOrElse(0L) + 1
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fIdx = Future(timed(s, "index-write") {
+        writeSigsBands(sig, next, storeDir, replaceAll = true) })
+      val pub = timed(s, "cluster+publish") { publishGen(s, storeDir, n, fp,
+        Dedup.x2DupClustersOf(corpus, preSigned = Some(sig))) }
+      Await.result(fIdx, Duration.Inf)
+      require(pub == next, s"LabelStore: build expected gen $next, published $pub")
+      writeDigests(dg, next, storeDir, replaceAll = true)
     } finally { sig.unpersist(); corpus.unpersist() }
   }
 
@@ -379,8 +441,8 @@ object LabelStore {
       // one aggregate classifies the whole delta: appends, deletes, and
       // (by difference) mutations — was an isEmpty probe plus a
       // filter-count, two jobs
-      val c = delta.agg(count(lit(1)), count(when(col("is_new"), 1)),
-        count(when(col("is_del"), 1))).head
+      val c = timed(s, "delta-agg") { delta.agg(count(lit(1)), count(when(col("is_new"), 1)),
+        count(when(col("is_del"), 1))).head }
       val (nDelta, nNew, nDel) = (c.getLong(0), c.getLong(1), c.getLong(2))
       // mutations (nDelta > nNew + nDel), a mixed append+delete batch,
       // and the inconsistent empty-delta-with-stale-fingerprint state all
@@ -472,18 +534,42 @@ object LabelStore {
       val cap = Dedup.bucketCap(s, n)
       val sig = keep(signed(corpus.join(appended, Seq("doc_id"), "left_semi")))
       val newBands = keep(bandsOf(sig))
+      // materialize the delta signing ONCE (one small job), then this
+      // batch's sigs/bands index writes run CONCURRENTLY with the whole
+      // probe/verify/merge/publish chain below: the writes need only
+      // the cached sig frame and the chain only the PREVIOUS batches.
+      // The chain cannot see the in-flight batch — a parquet frame's
+      // file index lists at construction, so the stored-index frames
+      // are pinned BEFORE the writes launch — and its candidate frame
+      // is localCheckpoint'd (not persisted), so the writes' path
+      // refresh cannot trigger a mid-chain recache.
+      timed(s, "delta-sign") { sig.count() }
+      val (bandsStored, sigsStored) = timed(s, "pin-listings") {
+        (s.read.parquet(bandsIdx(storeDir)), s.read.parquet(sigsIdx(storeDir))) }
+      val next = latest.k + 1
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fIdx = Future(timed(s, "index-write") {
+        writeSigsBands(sig, next, storeDir, replaceAll = false) })
       // new-new candidates through the shared hot-bucket guard
       val nn = Dedup.cappedSelfPairs(newBands, "doc_id", cap, "na", "nb", keep)
       // new-old candidates: bucket-pruned probe of the stored bands
       // (≤ BandBuckets driver-side values — bounded, never data rows)
-      val touched = timed(s, "delta-sign+bands") { newBands
-        .select(pmod(col("bh"), lit(BandBuckets)).cast("int").as("__bb"))
-        .distinct().collect().map(_.getInt(0)).toSeq }
+      // the bucket-list collect prunes the stored-bands scan — worth a
+      // blocking job only when the delta can MISS buckets: a delta of
+      // ≥ 4×BandBuckets band rows almost surely touches all 64, and the
+      // collect would pay scheduler latency to learn nothing
+      val touched = timed(s, "delta-bands") {
+        if (nNew * Dedup.minhashBands >= 4L * BandBuckets) (0 until BandBuckets)
+        else newBands
+          .select(pmod(col("bh"), lit(BandBuckets)).cast("int").as("__bb"))
+          .distinct().collect().map(_.getInt(0)).toSeq }
       val no = timed(s, "probe-candidates") {
         if (touched.isEmpty) s.range(0).select(col("id").as("new_id"), col("id").as("old_id"))
         else {
           val probe = maskDead(
-              s.read.parquet(bandsIdx(storeDir)).filter(col("__bb").isin(touched: _*)), ts)
+              bandsStored.filter(col("__bb").isin(touched: _*)), ts)
             .select(col("band"), col("bh"), col("doc_id").as("old_id"))
           // adaptive store-side cap, the admitBatch bipartite discipline:
           // star over-cap buckets to their min peer; under-drops only,
@@ -501,9 +587,13 @@ object LabelStore {
               .join(stats.filter(col("__n") <= cap).select(col("band"), col("bh")), Seq("band", "bh"))
               .unionByName(stats.filter(col("__n") > cap)
                 .select(col("band"), col("bh"), col("__pmin").as("old_id")))
-          keep(guarded
+          // localCheckpoint, NOT persist: the concurrent index writes
+          // refresh the bands path on commit, and a refresh RECACHES
+          // every persisted plan reading it — mid-chain that would
+          // re-evaluate the candidates against a half-written batch
+          guarded
             .join(newBands.withColumnRenamed("doc_id", "new_id"), Seq("band", "bh"))
-            .select(col("new_id"), col("old_id")).distinct())
+            .select(col("new_id"), col("old_id")).distinct().localCheckpoint()
         }
       }
       val nnV = nn
@@ -517,7 +607,7 @@ object LabelStore {
         if (peerBuckets.isEmpty) nnV.limit(0)
         else {
           val oldSh = maskDead(
-              s.read.parquet(sigsIdx(storeDir)).filter(col("__db").isin(peerBuckets: _*)), ts)
+              sigsStored.filter(col("__db").isin(peerBuckets: _*)), ts)
             .select(col("doc_id"), col("sh").as("sh_b"))
           no.join(sig.select(col("doc_id"), col("sh").as("sh_a")), col("new_id") === col("doc_id")).drop("doc_id")
             .join(oldSh, col("old_id") === col("doc_id")).drop("doc_id")
@@ -527,7 +617,7 @@ object LabelStore {
       // doc outside every cluster is its own contracted node. Old reps
       // are component minima, so min-label over the contracted graph is
       // the global min-label.
-      val oldLabels = keep(read(s, storeDir))
+      val oldLabels = timed(s, "old-labels") { keep(read(s, storeDir)) }
       val contracted = noV
         .join(oldLabels.select(col("doc_id").as("doc_b"), col("cluster_rep")), Seq("doc_b"), "left")
         .select(col("doc_a"), coalesce(col("cluster_rep"), col("doc_b")).as("doc_b"))
@@ -542,10 +632,15 @@ object LabelStore {
           coalesce(col("__new_rep"), col("cluster_rep")).as("cluster_rep"))
         .unionByName(merged.join(oldLabels.select(col("doc_id")), Seq("doc_id"), "left_anti"))
         .orderBy("doc_id")
-      val gen = timed(s, "labels-publish") { publishGen(s, storeDir, n, fp, labels) }
-      timed(s, "index-write") {
-        writeIndex(dg.join(appended, Seq("doc_id"), "left_semi"), sig, gen,
-          storeDir, replaceAll = false, deltaRows = nNew) }
+      // publish (still concurrent with the sigs/bands writes launched
+      // above), then settle both, then digests last — the writeDigests
+      // crash contract
+      val pub = timed(s, "labels-publish") {
+        publishGen(s, storeDir, n, fp, labels) }
+      Await.result(fIdx, Duration.Inf)
+      require(pub == next, s"LabelStore: append expected gen $next, published $pub")
+      writeDigests(dg.join(appended, Seq("doc_id"), "left_semi"), next,
+        storeDir, replaceAll = false, deltaRows = nNew)
       "incremental"
     } finally persisted.foreach(_.unpersist())
   }

@@ -1,40 +1,79 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{Exact, Tables}
 import graft.operators.StoreDirs
 
-/** S11 [EXT] — DATE-PARTITIONED events store + partition-pruned scan.
+/** S11 [EXT] — DATE-PARTITIONED events store: partition-pruned scans
+  * plus INCREMENTAL day-grain maintenance.
   *
   * Why it exists: every fixture table is a single parquet file, so
   * `PruneFileSourcePartitions` (SURVEY §4.2) was the one listed
   * optimization no query exercised (VERDICT r9's named 100 TB-shape
-  * gap). At 100 TB an events/lineitem store is date-partitioned as a
-  * matter of survival — a date-ranged query must read the days it asks
-  * for, not the decade it doesn't — and this store proves that shape
-  * end-to-end: the table lands as `event_date=YYYY-MM-DD/` partitions
-  * (one atomic generational publish, the [[graft.operators.LabelStore]]
-  * idiom), the rollup query filters on the partition column, and
-  * PlanSpec pins that the scan's `selectedPartitions` is exactly the
-  * requested window, not the full history.
+  * gap). At 100 TB an events store is date-partitioned as a matter of
+  * survival — a date-ranged query must read the days it asks for, not
+  * the decade it doesn't — and it is append-MOSTLY: each ingest lands
+  * a new day (or restates a recent one), and rewriting the whole
+  * history to absorb one day is the same anti-pattern the label/IVF
+  * stores retired for their domains. This store proves both shapes
+  * end-to-end: partition-pruned reads (PlanSpec pins the scanned
+  * partition count) and day-grain incremental maintenance (the
+  * lakehouse `INSERT OVERWRITE PARTITION` discipline — cost scales
+  * with the CHANGED dates, never the history).
   *
-  * The oracle recomputes the same rollup from the fixture events table
-  * in DuckDB: store write → partition-pruned read → aggregate must
-  * equal a direct aggregate of the source — the round trip itself is
-  * under the hash gate.
+  * Layout (the [[graft.operators.IvfStore]] shared-batch idiom):
+  *   - `storeDir/days/__batch=<j>/event_date=<d>/` — the rows, a
+  *     shared dataset outside the generation dirs; a maintenance call
+  *     writes ONLY its changed dates as a new batch (delete-first
+  *     direct write: the batch is unpublished until the rename, so
+  *     retries are idempotent and readers never see it in-flight).
+  *   - `storeDir/gen=<k>__n=<count>__fp=<digest>/manifest/` — the
+  *     AUTHORITY: one row per live date, `(event_date, n_rows, fp,
+  *     batch)` naming the batch that serves that date. Data + validity
+  *     + routing publish in one atomic rename; a date absent from the
+  *     manifest is deleted (no tombstones needed at day grain — the
+  *     manifest is a positive list). All but the newest two
+  *     generations retire after publish, and `days/` batches no live
+  *     manifest references are deleted.
+  *
+  * Staleness is measured per DATE: one aggregate computes per-date
+  * (row count, order-insensitive bit_xor digest); the global
+  * fingerprint is their driver-side XOR (associativity — identical to
+  * digesting all rows at once), so the noop check costs the same one
+  * scan as before. Changed/new dates land as a new batch; removed
+  * dates drop out of the manifest; a changed mass past half the table
+  * falls back to the full rebuild, which also compacts the batches.
+  * The manifest collect is DATES, not data rows — bounded metadata
+  * (a decade of days is ~3,650 rows).
   */
 object DateStore {
 
-  /** (row count, order-insensitive digest) over the full events rows —
-    * any append/mutation/delete invalidates the store by measurement.
+  /** Per-row digest — spans every column, so any row edit flips its
+    * date's fingerprint.
     */
-  private def fingerprintOf(ev: DataFrame): (Long, Long) = {
-    val r = ev.agg(count(lit(1)),
-      expr("bit_xor(xxhash64(event_id, ts, user_id, event_type, value, props))")).head
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-  }
+  private def rowDigest: Column =
+    xxhash64(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"), col("props"))
+
+  private case class DayStat(date: java.sql.Date, n: Long, fp: Long)
+
+  /** One narrow aggregate over the corpus: per-date (count, digest). */
+  private def dayStats(ev: DataFrame): Seq[DayStat] =
+    ev.withColumn("event_date", to_date(col("ts")))
+      .withColumn("__h", rowDigest)
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(__h)").as("fp"))
+      .collect()
+      .map(r => DayStat(r.getDate(0), r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2)))
+
+  /** Global (n, fp) from the per-date stats — XOR associativity makes
+    * this identical to a bit_xor over all rows at once.
+    */
+  private def globalOf(stats: Seq[DayStat]): (Long, Long) =
+    (stats.map(_.n).sum, stats.map(_.fp).foldLeft(0L)(_ ^ _))
 
   private case class Gen(k: Long, n: Long, fp: Long, path: Path)
 
@@ -56,48 +95,148 @@ object DateStore {
     }.flatten.sortBy(_.k)
   }
 
+  private def daysDir(storeDir: String) = s"$storeDir/days"
+
+  /** The latest generation's manifest: (event_date, n_rows, fp, batch),
+    * one row per LIVE date.
+    */
+  private def readManifest(s: SparkSession, gen: Gen): Seq[(java.sql.Date, Long, Long, Long)] =
+    s.read.parquet(s"${gen.path}/manifest").collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
   def defaultStoreDir(dir: String): String =
     StoreDirs.canonical("graft-events-bydate", dir)
 
-  /** (Re)write the partitioned table iff the events fingerprint no
-    * longer matches the newest generation; true when a write ran. The
-    * partition column is `event_date = to_date(ts)` — ~daily grain, the
-    * standard lakehouse layout for an append-mostly event stream (fine
-    * enough to prune a week out of a year, coarse enough that files
-    * stay larger than the footer overhead).
+  /** Back-compat single-shot surface: (re)build/maintain the store iff
+    * the events fingerprint no longer matches; true when any write ran.
     */
-  def ensureCurrent(s: SparkSession, dir: String, storeDir: String): Boolean = {
-    val ev = Tables.events(s, dir)
-    val (n, fp) = fingerprintOf(ev)
+  def ensureCurrent(s: SparkSession, dir: String, storeDir: String): Boolean =
+    ensureCurrentIncremental(s, dir, storeDir) != "noop"
+
+  /** Day-grain incremental maintenance. Returns which path ran:
+    * `"noop"` (global fingerprint matches), `"full"` (store empty, or
+    * changed mass past half the table — the compaction threshold),
+    * `"incremental"` (changed/new dates landed as one new batch),
+    * `"incremental-delete"` (dates dropped from the manifest only).
+    * Cost: one per-date aggregate over the corpus (the price of
+    * validity by measurement) + a write sized by the CHANGED dates.
+    */
+  def ensureCurrentIncremental(s: SparkSession, dir: String,
+                               storeDir: String): String =
+    ensureIncrementalEvents(Tables.events(s, dir), storeDir)
+
+  private[graft] def ensureIncrementalEvents(ev: DataFrame,
+                                             storeDir: String): String = {
+    val s = ev.sparkSession
+    val stats = dayStats(ev)
+    val (n, fp) = globalOf(stats)
     val gens = listGens(s, storeDir)
-    if (gens.lastOption.exists(g => g.n == n && g.fp == fp)) return false
-    val root = new Path(storeDir)
-    val fs = fsOf(s, root)
-    fs.mkdirs(root)
-    val next = gens.lastOption.map(_.k).getOrElse(0L) + 1
-    val staging = new Path(root, s".staging-$next")
-    ev.withColumn("event_date", to_date(col("ts")))
-      // one file per day: the fixture's day is small; a production
-      // deployment sizes files via maxRecordsPerFile instead
-      .repartition(col("event_date"))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("event_date").parquet(staging.toString)
-    val pub = new Path(root, s"gen=${next}__n=${n}__fp=${java.lang.Long.toHexString(fp)}")
-    require(fs.rename(staging, pub), s"DateStore: could not publish $pub")
-    gens.dropRight(1).foreach { g =>
-      fs.rename(g.path, new Path(root, "." + g.path.getName + ".retired"))
+    // a generation without a readable manifest (pre-manifest layout or
+    // mid-crash debris) is not servable — it can neither noop nor seed
+    // the incremental path, however its fingerprint reads
+    def hasManifest(g: Gen): Boolean = {
+      val p = new Path(s"${g.path}/manifest")
+      fsOf(s, p).exists(p)
     }
-    true
+    if (gens.lastOption.exists(g => g.n == n && g.fp == fp && hasManifest(g)))
+      return "noop"
+    val next = gens.lastOption.map(_.k).getOrElse(0L) + 1
+
+    def writeDays(rows: DataFrame, batch: Long): Unit = {
+      val batchDir = new Path(daysDir(storeDir), s"__batch=$batch")
+      val fs = fsOf(s, batchDir)
+      if (fs.exists(batchDir)) fs.delete(batchDir, true)
+      rows.withColumn("event_date", to_date(col("ts")))
+        // one file per day at fixture scale; a production deployment
+        // sizes files via maxRecordsPerFile instead
+        .repartition(col("event_date"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("event_date").parquet(batchDir.toString)
+    }
+
+    def publish(manifest: Seq[(java.sql.Date, Long, Long, Long)]): Unit = {
+      val root = new Path(storeDir)
+      val fs = fsOf(s, root)
+      fs.mkdirs(root)
+      val staging = new Path(root, s".staging-$next")
+      import s.implicits._
+      manifest.map { case (d, nr, f, b) => (d, nr, f, b) }
+        .toDF("event_date", "n_rows", "fp", "batch")
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/manifest")
+      val pub = new Path(root,
+        s"gen=${next}__n=${n}__fp=${java.lang.Long.toHexString(fp)}")
+      require(fs.rename(staging, pub), s"DateStore: could not publish $pub")
+      gens.dropRight(1).foreach { g =>
+        fs.rename(g.path, new Path(root, "." + g.path.getName + ".retired"))
+      }
+      // delete days/ batches no live manifest references (the newest two
+      // generations' routing tables — bounded metadata reads)
+      val live = (listGens(s, storeDir).takeRight(2).flatMap { g =>
+        // a live generation may predate the manifest layout (migration)
+        val mp = new Path(s"${g.path}/manifest")
+        if (fsOf(s, mp).exists(mp)) readManifest(s, g).map(_._4) else Seq.empty
+      } :+ next).toSet
+      val dd = new Path(daysDir(storeDir))
+      if (fs.exists(dd)) fs.listStatus(dd).foreach { st =>
+        st.getPath.getName match {
+          case s"__batch=$b" if b.toLongOption.exists(!live.contains(_)) =>
+            fs.delete(st.getPath, true)
+          case _ => ()
+        }
+      }
+    }
+
+    val prior = gens.lastOption.filter(hasManifest)
+    prior match {
+      case None =>
+        writeDays(ev, next)
+        publish(stats.map(d => (d.date, d.n, d.fp, next)))
+        "full"
+      case Some(g) =>
+        val old = readManifest(s, g).map(m => m._1 -> m).toMap
+        val cur = stats.map(d => d.date -> d).toMap
+        val changed = stats.filter(d =>
+          !old.get(d.date).exists(m => m._2 == d.n && m._3 == d.fp))
+        val removed = old.keySet.diff(cur.keySet)
+        // compaction by measurement: restating most of the table as a
+        // delta batch would leave the history smeared across batches
+        // for no read benefit — rebuild, which also compacts
+        if (changed.map(_.n).sum > 0.5 * n) {
+          writeDays(ev, next)
+          publish(stats.map(d => (d.date, d.n, d.fp, next)))
+          return "full"
+        }
+        if (changed.nonEmpty) {
+          val dates = changed.map(_.date)
+          writeDays(ev.filter(to_date(col("ts")).isin(dates: _*)), next)
+        }
+        val manifest = stats.map { d =>
+          if (changed.exists(_.date == d.date)) (d.date, d.n, d.fp, next)
+          else { val m = old(d.date); (d.date, d.n, d.fp, m._4) }
+        }
+        publish(manifest)
+        if (changed.isEmpty && removed.nonEmpty) "incremental-delete"
+        else "incremental"
+    }
   }
 
-  /** The newest generation's partitioned table — `event_date` comes back
-    * as a DATE partition column, so filters on it prune at file-listing
-    * time (`PruneFileSourcePartitions`), before any row is read.
+  /** The live table: the newest generation's manifest routes each date
+    * to its serving batch, and the scan filter is a per-batch date
+    * disjunction over PARTITION COLUMNS — file pruning happens at
+    * listing time (`PruneFileSourcePartitions`), before any row is
+    * read. `event_date` comes back as a DATE partition column, so
+    * callers' date filters prune the same way.
     */
   def readEvents(s: SparkSession, storeDir: String): DataFrame = {
     val gens = listGens(s, storeDir)
     require(gens.nonEmpty, s"DateStore: no published generation under $storeDir")
-    s.read.parquet(gens.last.path.toString)
+    val manifest = readManifest(s, gens.last)
+    require(manifest.nonEmpty, s"DateStore: empty manifest under ${gens.last.path}")
+    val pred = manifest.groupBy(_._4).map { case (b, rows) =>
+      col("__batch") === b && col("event_date").isin(rows.map(_._1): _*)
+    }.reduce(_ || _)
+    s.read.parquet(daysDir(storeDir)).filter(pred).drop("__batch")
   }
 
   /** The pruned scan [[s11DateRollup]] aggregates — exposed so PlanSpec
@@ -107,6 +246,12 @@ object DateStore {
     readEvents(s, storeDir)
       .filter(col("event_date").between(lit("2024-01-08"), lit("2024-01-14")))
 
+  private def rollup(scan: DataFrame): DataFrame =
+    scan
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("sum_value"))
+      .orderBy("event_date", "event_type")
+
   /** S11 — the date-ranged daily rollup over the partition-pruned store
     * scan: one ISO week of a 30-day table, so the scan must touch 7 of
     * the 30 date partitions. Oracle: the same rollup computed from the
@@ -115,11 +260,8 @@ object DateStore {
     */
   def s11DateRollup(s: SparkSession, dir: String): DataFrame = {
     val store = defaultStoreDir(dir)
-    ensureCurrent(s, dir, store)
-    rollupScan(s, store)
-      .groupBy(col("event_date"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("sum_value"))
-      .orderBy("event_date", "event_type")
+    ensureCurrentIncremental(s, dir, store)
+    rollup(rollupScan(s, store))
   }
 
   val s11DateRollupSql: String =
@@ -128,5 +270,40 @@ object DateStore {
       |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
       |FROM events
       |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** The evolve oracle row splits history at this date: the store is
+    * built on the days before it, and the remaining days arrive through
+    * the incremental append path.
+    */
+  private val EvolveSplit = "2024-01-25"
+
+  /** S11b [EXT] — day-grain maintenance under the hash gate: build the
+    * store on the days before [[EvolveSplit]], land the remaining days
+    * via [[ensureCurrentIncremental]] (which must take the incremental
+    * path: only the new dates' partitions written), then run a rollup
+    * over a window STRADDLING the split — old batches and the appended
+    * batch must read back as one table. Oracle: the same rollup from
+    * the fixture events directly.
+    */
+  def s11DateEvolve(s: SparkSession, dir: String): DataFrame =
+    StoreDirs.withTempStore("graft-dateevolve") { store =>
+      val ev = Tables.events(s, dir)
+      val first = ensureIncrementalEvents(
+        ev.filter(to_date(col("ts")) < lit(EvolveSplit)), store)
+      require(first == "full", s"expected the initial build, ran '$first'")
+      val mode = ensureIncrementalEvents(ev, store)
+      require(mode == "incremental", s"expected the incremental path, ran '$mode'")
+      rollup(readEvents(s, store)
+        .filter(col("event_date").between(lit("2024-01-22"), lit("2024-01-28"))))
+        .localCheckpoint()
+    }
+
+  val s11DateEvolveSql: String =
+    """SELECT CAST(ts AS DATE) AS event_date, event_type,
+      |  count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-22' AND DATE '2024-01-28'
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -195,6 +195,52 @@ class Round10Spec extends SparkSpec {
     assert(!p.contains("to_date"), "date filter leaked past the partition boundary")
   }
 
+  test("S11b: day-grain maintenance — append, late-data restate, date delete") {
+    import graft.sources.DateStore
+    val store = tmpDir("r10-dateevolve") + "/store"
+    val ev0 = graft.engine.Tables.events(spark, sfDir).localCheckpoint()
+    def day(c: org.apache.spark.sql.Column) = to_date(c)
+    def dates(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(col("event_date").cast("string")).distinct()
+        .collect().map(_.getString(0)).toSet
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select(col("event_id")).collect().map(_.getLong(0)).toSet
+
+    // initial build on the first 24 days, then append days 25..30
+    assert(DateStore.ensureIncrementalEvents(
+      ev0.filter(day(col("ts")) < lit("2024-01-25")), store) == "full")
+    assert(DateStore.ensureIncrementalEvents(ev0, store) == "incremental")
+    assert(DateStore.ensureIncrementalEvents(ev0, store) == "noop")
+    // the appended batch holds ONLY the new dates — the old 24 days
+    // were not rewritten
+    val b2 = spark.read.parquet(s"$store/days/__batch=2")
+    assert(dates(b2).forall(_ >= "2024-01-25"), s"old dates rewritten: ${dates(b2)}")
+    assert(ids(DateStore.readEvents(spark, store)) == ids(
+      ev0.withColumn("event_date", day(col("ts")))), "merged view != source")
+
+    // late data restates one old day: only that date lands in the new
+    // batch, and the view serves the restated rows
+    val extra = ev0.filter(day(col("ts")) === lit("2024-01-10")).limit(5)
+      .withColumn("event_id", col("event_id") + 10000000L)
+    val ev1 = ev0.unionByName(extra).localCheckpoint()
+    assert(DateStore.ensureIncrementalEvents(ev1, store) == "incremental")
+    val b3 = spark.read.parquet(s"$store/days/__batch=3")
+    assert(dates(b3) == Set("2024-01-10"), s"restate touched ${dates(b3)}")
+    assert(ids(DateStore.readEvents(spark, store)) == ids(
+      ev1.withColumn("event_date", day(col("ts")))))
+
+    // deleting whole dates drops them from the manifest without any
+    // data write — no __batch=4 appears
+    val ev2 = ev1.filter(day(col("ts")) =!= lit("2024-01-03") &&
+      day(col("ts")) =!= lit("2024-01-04")).localCheckpoint()
+    assert(DateStore.ensureIncrementalEvents(ev2, store) == "incremental-delete")
+    assert(!new java.io.File(s"$store/days/__batch=4").exists,
+      "a date delete must not write data")
+    val after = DateStore.readEvents(spark, store)
+    assert(dates(after).size == 28 && !dates(after)("2024-01-03"))
+    assert(ids(after) == ids(ev2.withColumn("event_date", day(col("ts")))))
+  }
+
   // ---------------------------------------------------------------
   // Store-backed corpus composite across the append→delete lifecycle
   // ---------------------------------------------------------------
@@ -224,5 +270,36 @@ class Round10Spec extends SparkSpec {
     docs0.filter(col("doc_id") % 9 =!= 5)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     assert(stored == storeless, "after delete")
+  }
+
+  // ---------------------------------------------------------------
+  // clusterPairs driver fast path (the broadcast-discipline gate)
+  // ---------------------------------------------------------------
+
+  test("X2e: the measured-small driver union-find equals the distributed fixpoint") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // chain ⊕ clique ⊕ two isolated-pair components ⊕ a revisited edge —
+    // mixed shapes, edges in arbitrary order with duplicates
+    val pairs = ((0L until 63L).map(i => (i, i + 1)) ++
+      (for { a <- 100L until 108L; b <- (a + 1) until 108L } yield (a, b)) ++
+      Seq((200L, 300L), (301L, 201L), (0L, 1L)))
+      .toDF("doc_a", "doc_b")
+    val (driver, driverRounds) = Dedup.clusterPairs(pairs) // 186 ≤ 1M edges
+    assert(driverRounds == 0, "small graph must take the driver path")
+    spark.conf.set(Dedup.DriverMaxEdgesConf, "0")
+    val (dist, distRounds) = try Dedup.clusterPairs(pairs)
+      finally spark.conf.unset(Dedup.DriverMaxEdgesConf)
+    assert(distRounds > 0, "conf 0 must force the distributed path")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val (a, b) = (m(driver), m(dist))
+    assert(a == b, s"paths disagree: ${(a.toSet diff b.toSet).take(5)}")
+    assert((0L until 64L).forall(a(_) == 0L) &&
+      (100L until 108L).forall(a(_) == 100L) &&
+      a(300L) == 200L && a(301L) == 201L)
+    // empty edge set: both paths yield an empty label table
+    val none = spark.range(0).select(col("id").as("doc_a"), col("id").as("doc_b"))
+    assert(Dedup.clusterPairs(none)._1.count() == 0)
   }
 }

@@ -271,7 +271,11 @@ class Round7Spec extends SparkSpec {
     writeDocs(docs, dir)
     val pairs = Dedup.x2MinHashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
     assert(pairs.count() == 63, "exactly the 63 consecutive chain edges")
-    val (labels, rounds) = Dedup.clusterPairs(pairs)
+    // this test pins the DISTRIBUTED fixpoint's convergence class — keep
+    // the measured-small graph off the driver union-find fast path
+    spark.conf.set(Dedup.DriverMaxEdgesConf, "0")
+    val (labels, rounds) = try Dedup.clusterPairs(pairs)
+      finally spark.conf.unset(Dedup.DriverMaxEdgesConf)
     val reps = labels.collect().map(r => r.getLong(1)).toSet
     assert(reps == Set(0L), s"one cluster rooted at doc 0, got reps $reps")
     // pointer doubling squares the reach each round: ⌈log₂ 63⌉ = 6 plus

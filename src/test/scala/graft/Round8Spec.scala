@@ -33,6 +33,9 @@ class Round8Spec extends SparkSpec {
     val pairs = ((0L until 63L).map(i => (i, i + 1)) ++
       (for { a <- 100L until 108L; b <- (a + 1) until 108L } yield (a, b)))
       .toDF("doc_a", "doc_b")
+    // this test pins the DISTRIBUTED fixpoint's partitioning invariance —
+    // keep the measured-small graph off the driver union-find fast path
+    spark.conf.set(Dedup.DriverMaxEdgesConf, "0")
     val (labelsDefault, roundsDefault) = Dedup.clusterPairs(pairs)
     val expect = labelsDefault.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     // force the scaled path: 8 edges/partition puts the doubled edge set
@@ -48,7 +51,10 @@ class Round8Spec extends SparkSpec {
       // every chain node labels to 0; every clique node to 100
       assert((0L until 64L).forall(expect(_) == 0L))
       assert((100L until 108L).forall(expect(_) == 100L))
-    } finally spark.conf.unset(Dedup.EdgesPerPartitionConf)
+    } finally {
+      spark.conf.unset(Dedup.EdgesPerPartitionConf)
+      spark.conf.unset(Dedup.DriverMaxEdgesConf)
+    }
   }
 
   // ---------------------------------------------------------------
