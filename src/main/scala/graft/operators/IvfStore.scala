@@ -184,6 +184,7 @@ object IvfStore {
     val pub = new Path(root,
       s"gen=${next}__n=${n}__fp=${java.lang.Long.toHexString(fp)}__b=${base}")
     require(fs.rename(staging, pub), s"IvfStore: could not publish $pub")
+    StoreDirs.sweepRetired(fs, root)
     gens.dropRight(1).foreach { g =>
       fs.rename(g.path, new Path(root, "." + g.path.getName + ".retired"))
     }

@@ -302,7 +302,9 @@ object LabelStore {
     require(fs.rename(staging, pub), s"LabelStore: could not publish $pub")
     // retire everything older than the previous latest — keep two live
     // generations so a reader that resolved just before this publish
-    // still scans existing files
+    // still scans existing files; debris retired by EARLIER publishes is
+    // past its grace window and is deleted now (StoreDirs.sweepRetired)
+    StoreDirs.sweepRetired(fs, root)
     gens.dropRight(1).foreach { g =>
       fs.rename(g.path, new Path(root, "." + g.path.getName + ".retired"))
     }

@@ -52,6 +52,24 @@ private[graft] object StoreDirs {
     finally deleteRecursively(root)
   }
 
+  /** Delete `.gen…retired` debris left by EARLIER publishes. Retirement
+    * is a dot-rename (not a delete) so a reader that resolved a
+    * generation path just before the publish still scans existing files;
+    * but without a later sweep the renamed dirs live forever — on a
+    * long-lived store that is an unbounded disk leak (every superseded
+    * label table / centroid set / day manifest kept in full). Each
+    * publish therefore sweeps the PREVIOUS publishes' retired dirs
+    * before retiring its own: the grace window is exactly one publish
+    * cycle, matching the two-live-generations reader contract.
+    */
+  def sweepRetired(fs: org.apache.hadoop.fs.FileSystem,
+                   root: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val nm = st.getPath.getName
+      if (st.isDirectory && nm.startsWith(".") && nm.endsWith(".retired"))
+        fs.delete(st.getPath, true)
+    }
+
   private def deleteRecursively(root: Path): Unit =
     if (Files.exists(root)) {
       import scala.jdk.CollectionConverters._

@@ -167,6 +167,7 @@ object DateStore {
       val pub = new Path(root,
         s"gen=${next}__n=${n}__fp=${java.lang.Long.toHexString(fp)}")
       require(fs.rename(staging, pub), s"DateStore: could not publish $pub")
+      StoreDirs.sweepRetired(fs, root)
       gens.dropRight(1).foreach { g =>
         fs.rename(g.path, new Path(root, "." + g.path.getName + ".retired"))
       }

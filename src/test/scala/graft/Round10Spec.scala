@@ -241,6 +241,28 @@ class Round10Spec extends SparkSpec {
     assert(ids(after) == ids(ev2.withColumn("event_date", day(col("ts")))))
   }
 
+  test("store publishes sweep prior retired generations — disk held by a long-lived store is bounded") {
+    import graft.sources.DateStore
+    val store = tmpDir("r10-datesweep") + "/store"
+    val ev0 = graft.engine.Tables.events(spark, sfDir)
+      .filter(to_date(col("ts")) < lit("2024-01-05")).localCheckpoint()
+    def listNames = new java.io.File(store).list() match {
+      case null => Seq.empty[String]; case a => a.toSeq
+    }
+    // four publish cycles: build, then three single-day restates
+    assert(DateStore.ensureIncrementalEvents(ev0, store) == "full")
+    (1 to 3).foreach { i =>
+      val extra = ev0.limit(i).withColumn("event_id", col("event_id") + 900000L + i)
+      assert(DateStore.ensureIncrementalEvents(
+        ev0.unionByName(extra).localCheckpoint(), store) == "incremental")
+    }
+    val retired = listNames.filter(_.endsWith(".retired"))
+    val live = listNames.filter(_.startsWith("gen="))
+    assert(live.size == 2, s"two live generations expected, found $live")
+    assert(retired.size <= 1,
+      s"retired debris must be bounded at one publish cycle, found $retired")
+  }
+
   // ---------------------------------------------------------------
   // Store-backed corpus composite across the append→delete lifecycle
   // ---------------------------------------------------------------
