@@ -401,30 +401,43 @@ object StressBench {
     // leaves them at default against multi-GB partitions); the claims
     // under test: AQE actually splits the hot partition (the executed
     // plan says skew=true), and the split run beats the split-disabled
-    // one on the same data ---
+    // one on the same data. Two hard-won probe findings baked in here:
+    // (a) the flag must be read AFTER executing the dataset's OWN
+    // QueryExecution — Dataset.head runs a separate limit(1) execution,
+    // leaving joined.queryExecution at isFinalPlan=false with no skew
+    // markers no matter what AQE did (collect() executes the plan the
+    // check reads); (b) detection compares COMPRESSED shuffle-partition
+    // bytes against max(threshold, factor × median), and a constant hot
+    // key with small cyclic values run-length-compresses so well the hot
+    // partition missed 5×median — the factor scales down with the other
+    // thresholds (÷~2.5 as they are ÷32), and the value column is a
+    // 64-bit hash so partition bytes track row counts ---
     spark.catalog.clearCache(); System.gc()
     val nFact = 20000000L
     val nDim = 5000000L
     def skewRun(split: Boolean): (Double, Long, Boolean) = {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", split)
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
       spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
       spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
       try {
         val fact = spark.range(nFact).select(
           when(col("id") % 10 < 3, 0L)
             .otherwise(pmod(xxhash64(col("id")), lit(nDim))).as("k"),
-          (col("id") % 97).as("v"))
+          xxhash64(col("id")).as("v"))
         val dim = spark.range(nDim).select(col("id").as("k"),
           md5(col("id").cast("string")).as("payload"))
         val joined = fact.join(dim, Seq("k"))
-          .agg(count(lit(1)).as("n"), sum(col("v") + length(col("payload"))).as("chk"))
+          .agg(count(lit(1)).as("n"),
+            sum(pmod(col("v"), lit(97)) + length(col("payload"))).as("chk"))
         val t0 = System.nanoTime()
-        val row = joined.head
+        val row = joined.collect().head
         val sec = (System.nanoTime() - t0) / 1e9
         val skewed = joined.queryExecution.executedPlan.toString.contains("skew=true")
         (sec, row.getLong(0), skewed)
       } finally {
         Seq("spark.sql.adaptive.skewJoin.enabled",
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
           "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
           "spark.sql.adaptive.advisoryPartitionSizeInBytes").foreach(spark.conf.unset)
       }
