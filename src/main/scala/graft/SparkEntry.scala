@@ -22,6 +22,13 @@ object SparkEntry {
     "q10_returned_items" -> (Analytics.q10ReturnedItems _),
     "q4_order_priority" -> (Analytics.q4OrderPriority _),
     "q18_large_orders" -> (Analytics.q18LargeOrders _),
+    "q6_forecast" -> (Analytics.q6Forecast _),
+    "q7_volume_shipping" -> (Analytics.q7VolumeShipping _),
+    "q8_market_share" -> (Analytics.q8MarketShare _),
+    "q9_profit_shape" -> (Analytics.q9ProfitShape _),
+    "q14_promo_revenue" -> (Analytics.q14PromoRevenue _),
+    "q15_top_supplier" -> (Analytics.q15TopSupplier _),
+    "q19_disjunctive" -> (Analytics.q19Disjunctive _),
     "r4_range_join_binned" -> (graft.plans.RangeJoin.r4bBinnedRangeJoin _),
     "r8_topk_grouped" -> (graft.plans.TopKPerGroup.r8gTopKGrouped _),
     "a5_funnel" -> (Analytics.a5Funnel _),
@@ -82,6 +89,9 @@ object SparkEntry {
     "r6_distinct_count" -> (Relational.r6DistinctCount _),
     // mergeable per-shard HLL sketches unioned without a rescan
     "r6_hll_shards" -> (Relational.r6HllShards _),
+    "r6_theta_setops" -> (Relational.r6ThetaSetops _),
+    "r6_kll_shards" -> (Relational.r6KllShards _),
+    "r6_cm_freq" -> (Relational.r6CmHeavyHitters _),
     "r7_rollup" -> (Relational.r7Rollup _),
     "r7_cube" -> (Relational.r7Cube _),
     "r7_grouping_sets" -> (Relational.r7GroupingSets _),
@@ -178,6 +188,13 @@ object SparkEntry {
     "q10_returned_items" -> Analytics.q10Sql,
     "q4_order_priority" -> Analytics.q4Sql,
     "q18_large_orders" -> Analytics.q18Sql,
+    "q6_forecast" -> Analytics.q6Sql,
+    "q7_volume_shipping" -> Analytics.q7Sql,
+    "q8_market_share" -> Analytics.q8Sql,
+    "q9_profit_shape" -> Analytics.q9Sql,
+    "q14_promo_revenue" -> Analytics.q14Sql,
+    "q15_top_supplier" -> Analytics.q15Sql,
+    "q19_disjunctive" -> Analytics.q19Sql,
     "r4_range_join_binned" -> graft.plans.RangeJoin.r4bSql,
     "r8_topk_grouped" -> graft.plans.TopKPerGroup.r8gSql,
     "a5_funnel" -> Analytics.a5FunnelSql,
@@ -242,6 +259,9 @@ object SparkEntry {
     // sketch union isn't reproducible in DuckDB — the oracle asserts the
     // in-query tolerance boolean plus the exact count (r6_approx style)
     "r6_hll_shards" -> Relational.r6HllShardsSql,
+    "r6_theta_setops" -> Relational.r6ThetaSetopsSql,
+    "r6_kll_shards" -> Relational.r6KllShardsSql,
+    "r6_cm_freq" -> Relational.r6CmHeavyHittersSql,
     "r7_rollup" -> Relational.r7Sql,
     "r7_cube" -> Relational.r7CubeSql,
     "r7_grouping_sets" -> Relational.r7GroupingSetsSql,

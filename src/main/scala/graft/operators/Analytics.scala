@@ -184,6 +184,262 @@ object Analytics {
       |JOIN customer ON o_custkey = c_custkey
       |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin
 
+  /** Q6 shape — forecasting revenue change: one selective filter-agg
+    * over the biggest fact table, no joins at all. The plan the 100 TB
+    * deployment cares about: every predicate (ship year, discount band,
+    * quantity cap) reaches the parquet scan as PushedFilters, the
+    * projection prunes to three columns, and the whole query is one
+    * scan + partial/final agg — no shuffle of data rows, only of one
+    * partial sum per partition.
+    */
+  def q6Forecast(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24.0)
+      .agg(Exact.dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  val q6Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24.0""".stripMargin
+
+  /** Q7 shape — volume shipping between two nations: the supplier's
+    * nation comes through lineitem→supplier, the customer's through
+    * lineitem→orders→customer, and only the two directed pairs between
+    * NATION_1 and NATION_2 survive. Both nation joins broadcast (25
+    * rows); supplier broadcasts under the default threshold; the one
+    * real shuffle is lineitem⋈orders on the order key. The pair filter
+    * lands AFTER both nation attributions, so it cannot be pushed below
+    * either join — the shape exists to exercise a residual filter over
+    * a multi-join result.
+    */
+  def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(s, dir).select(col("n_nationkey").as("s_nk"),
+      col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir).select(col("n_nationkey").as("c_nk"),
+      col("n_name").as("cust_nation"))
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    l.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7Sql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(CAST(volume AS DECIMAL(28,6))) AS DOUBLE) AS volume
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    year(l_shipdate) AS l_year,
+      |    l_extendedprice * (1.0 - l_discount) AS volume
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01'
+      |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** Q8 shape — national market share: of the ECONOMY-part volume sold
+    * to ASIA customers in 1996–1997, what fraction was supplied by
+    * NATION_3, per order year. The share is a conditional-sum over
+    * total-sum ratio — both sums exact decimal, the division in double,
+    * so the quotient is bit-identical across engines. region/nation
+    * broadcast twice (customer side gates the rows, supplier side
+    * attributes them); part's type filter prunes before its join.
+    */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val asiaNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("asia_nk"))
+    val suppNation = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val p = Tables.part(s, dir).filter(col("p_type") === "ECONOMY")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    Tables.lineitem(s, dir)
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(asiaNations), col("c_nationkey") === col("asia_nk"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+      .withColumn("volume", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((Exact.dsum(when(col("supp_nation") === "NATION_3", col("volume"))
+          .otherwise(lit(0.0))) / Exact.dsum(col("volume"))).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  val q8Sql: String =
+    """SELECT year(o_orderdate) AS o_year,
+      |  CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_3'
+      |        THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+      |      AS DECIMAL(28,6))) AS DOUBLE)
+      |  / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |      AS DECIMAL(28,6))) AS DOUBLE) AS mkt_share
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN region ON n1.n_regionkey = r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY year(o_orderdate) ORDER BY o_year""".stripMargin
+
+  /** Q9 shape — product-type profit by supplier nation and year. The
+    * fixture has no partsupp table, so supply cost is modeled as 10% of
+    * the part's retail price per unit — the JOIN/AGG shape (fact ×
+    * part × supplier × nation, group by nation × year) is Q9's; only
+    * the cost constant is synthetic. PROMO parts only (331 of 2,000 at
+    * sf0.01), so the part join prunes the fact early.
+    */
+  def q9ProfitShape(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(col("p_type") === "PROMO")
+    val suppNation = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation"))
+    Tables.lineitem(s, dir)
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+      .withColumn("profit",
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          col("p_retailprice") * lit(0.1) * col("l_quantity"))
+      .groupBy(col("nation"), year(col("l_shipdate")).as("o_year"))
+      .agg(Exact.dsum(col("profit")).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q9Sql: String =
+    """SELECT n_name AS nation, year(l_shipdate) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    - p_retailprice * 0.1 * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_type = 'PROMO'
+      |GROUP BY n_name, year(l_shipdate)
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** Q14 shape — promotion revenue share for one ship month: a
+    * conditional-over-total ratio on the lineitem×part join. part is
+    * the broadcast side; the month filter prunes the fact scan at the
+    * parquet level before the join.
+    */
+  def q14PromoRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .withColumn("volume", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .agg((lit(100.0) *
+        Exact.dsum(when(col("p_type") === "PROMO", col("volume")).otherwise(lit(0.0))) /
+        Exact.dsum(col("volume"))).as("promo_revenue_pct"))
+
+  val q14Sql: String =
+    """SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+      |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+      |    AS DECIMAL(28,6))) AS DOUBLE)
+      |  / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(28,6))) AS DOUBLE) AS promo_revenue_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin
+
+  /** Q15 shape — top supplier(s) of 1996Q1 by revenue. The classic form
+    * compares each supplier's revenue to the global max; here the max
+    * rides a broadcast single-row cross join (the suite's 1-row gate
+    * idiom) instead of a partition-less window, which the PlanSpec
+    * no-global-window pin forbids over unbounded input. Exact decimal
+    * revenue makes the max and the equality deterministic; ties would
+    * all surface (none at the fixture SFs — the orderBy pins output
+    * order regardless).
+    */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val q15Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+      |      AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Q19 shape — discounted revenue under disjunctive brand/size/
+    * quantity predicates: three (brand, size-range, quantity-range)
+    * branches OR-ed together across the lineitem×part join. The branch
+    * predicates mix columns from BOTH sides, so nothing beyond the
+    * equi-key can push below the join — the shape exercises residual
+    * disjunction evaluation inside the joined stream, with part
+    * broadcast and the fact never shuffled.
+    */
+  def q19Disjunctive(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity") >= 1.0 && col("l_quantity") <= 11.0) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+          col("l_quantity") >= 10.0 && col("l_quantity") <= 20.0) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 50) &&
+          col("l_quantity") >= 20.0 && col("l_quantity") <= 30.0))
+      .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val q19Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+      |    AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity >= 1.0 AND l_quantity <= 11.0)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity >= 10.0 AND l_quantity <= 20.0)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
+      |       AND l_quantity >= 20.0 AND l_quantity <= 30.0)""".stripMargin
+
   // --- event-stream analytics (A5–A7 [EXT]) ---------------------------------
   // The reference's events are opaque Kafka payloads counted in aggregate
   // (dags/kafka_to_mongo_pipeline.py:56-62); these are the product-analytics

@@ -315,6 +315,130 @@ object Relational {
   val r6DistinctCountSql: String =
     "SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts FROM lineitem"
 
+  /** R6e [EXT] — mergeable THETA sketches: set algebra over shard-level
+    * distinct sketches WITHOUT rescanning the shards. Per-event-type
+    * theta sketches of user_id union into the global distinct count and
+    * intersect into "users who did BOTH click and purchase" — the
+    * cross-segment overlap question a 100 TB deployment answers from
+    * stored per-segment sketches (HLL can union but never intersect;
+    * theta is the sketch that buys set intersection/difference). Both
+    * estimates self-gate against exact counts computed in the same
+    * query (the `r6_approx_distinct` discipline — DuckDB cannot
+    * reproduce the sketch, so the oracle asserts the tolerance boolean
+    * and the exact values). Intersection error is bounded relative to
+    * the UNION size, so its gate scales by exact_users. Default lgK=12
+    * (4,096 retained hashes): the sketch is exact below that
+    * cardinality and ~1.6% at millions — tolerance 0.05 holds across
+    * every deployment scale.
+    */
+  def r6ThetaSetops(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val perType = ev.groupBy(col("event_type"))
+      .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+    val unioned = perType
+      .agg(expr("round(theta_sketch_estimate(theta_union_agg(sk)))").as("approx_users"))
+    val both = perType.filter(col("event_type").isin("click", "purchase"))
+      .agg(expr("round(theta_sketch_estimate(theta_intersection_agg(sk)))").as("approx_both"))
+    val exactU = ev.agg(countDistinct(col("user_id")).as("exact_users"))
+    val exactB = ev.filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("event_type")).as("nt"))
+      .filter(col("nt") === 2)
+      .agg(count(lit(1)).as("exact_both"))
+    unioned.crossJoin(broadcast(exactU)).crossJoin(broadcast(both))
+      .crossJoin(broadcast(exactB))
+      .select(col("exact_users"), col("exact_both"),
+        (abs(col("approx_users") - col("exact_users")) / col("exact_users") <= 0.05)
+          .as("union_within_tol"),
+        (abs(col("approx_both") - col("exact_both")) <= col("exact_users") * 0.05)
+          .as("inter_within_tol"))
+  }
+
+  val r6ThetaSetopsSql: String =
+    """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM (
+      |     SELECT user_id FROM events WHERE event_type IN ('click', 'purchase')
+      |     GROUP BY user_id HAVING count(DISTINCT event_type) = 2)) AS exact_both,
+      |  TRUE AS union_within_tol, TRUE AS inter_within_tol
+      |FROM events""".stripMargin
+
+  /** R6f [EXT] — mergeable KLL quantile sketches: per-shard
+    * `kll_sketch_agg_double` merges via `kll_sketch_merge_double`
+    * without rescanning any shard — the quantile analogue of
+    * [[r6HllShards]] (exact percentiles need a global sort or a
+    * full-width hash agg; shard-level KLL is how a 100 TB deployment
+    * serves p50/p95/p99 from stored per-partition state). Self-gate:
+    * the merged sketch's quantile estimates are judged by their EXACT
+    * RANK — one counting pass computes the fraction of values at or
+    * below each estimate, which must sit within KLL's normalized rank
+    * error of the target (default k=200 → ~1.65% at 99% confidence;
+    * gate 0.03). Rank counts are integers, the rank division double —
+    * deterministic across engines and partition orders.
+    */
+  def r6KllShards(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val est = ev
+      .withColumn("shard", pmod(col("event_id"), lit(16)))
+      .groupBy(col("shard")).agg(expr("kll_sketch_agg_double(value)").as("sk"))
+      // kll_sketch_merge_double is a 2-ary scalar (no merge AGGREGATE
+      // exists) — fold the 16 shard sketches with the aggregate HOF:
+      // 16 KB-sized blobs on one row, never a rescan of any shard
+      .agg(collect_list(col("sk")).as("sks"))
+      .select(expr("aggregate(slice(sks, 2, size(sks) - 1), sks[0], " +
+        "(acc, x) -> kll_sketch_merge_double(acc, x))").as("sk"))
+      .select(expr("kll_sketch_get_quantile_double(sk, 0.5)").as("est_p50"),
+        expr("kll_sketch_get_quantile_double(sk, 0.95)").as("est_p95"),
+        expr("kll_sketch_get_quantile_double(sk, 0.99)").as("est_p99"))
+    ev.crossJoin(broadcast(est))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("value") <= col("est_p50"), 1)).as("le50"),
+        count(when(col("value") <= col("est_p95"), 1)).as("le95"),
+        count(when(col("value") <= col("est_p99"), 1)).as("le99"))
+      .select(col("n").as("exact_n"),
+        (abs(col("le50") / col("n") - 0.5) <= 0.03).as("p50_within_tol"),
+        (abs(col("le95") / col("n") - 0.95) <= 0.03).as("p95_within_tol"),
+        (abs(col("le99") / col("n") - 0.99) <= 0.03).as("p99_within_tol"),
+        lit(16).as("n_shards"))
+  }
+
+  val r6KllShardsSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS exact_n,
+      |  TRUE AS p50_within_tol, TRUE AS p95_within_tol, TRUE AS p99_within_tol,
+      |  16 AS n_shards
+      |FROM events""".stripMargin
+
+  /** R6g [EXT] — mergeable count-min frequency sketch: one CM sketch of
+    * event_type (eps=0.001, confidence 0.99, fixed seed — deterministic
+    * bytes) aggregated with map-side partial merge, probed driver-side
+    * for each of the five event types against exact counts. The driver
+    * step reads ONE sketch blob and five candidate labels — bounded
+    * metadata, never data rows (the [[graft.streaming.BandStore]]
+    * collect discipline). CM guarantees est ≥ exact and est ≤ exact +
+    * eps·N w.h.p.; the gate asserts both sides.
+    */
+  def r6CmHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val bytes = ev
+      .agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("cm"))
+      .head.getAs[Array[Byte]](0)
+    val cm = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("exact_n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val n = exact.map(_._2).sum
+    val bound = math.ceil(0.001 * n).toLong
+    exact.toSeq.map { case (t, ex) =>
+      val est = cm.estimateCount(t)
+      (t, ex, est >= ex && est <= ex + bound)
+    }.toDF("event_type", "exact_n", "cm_within_eps")
+      .orderBy("event_type")
+  }
+
+  val r6CmHeavyHittersSql: String =
+    """SELECT event_type, count(*) AS exact_n, TRUE AS cm_within_eps
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** R7 — rollup with grouping_id (subtotals + grand total). */
   def r7Rollup(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
