@@ -29,6 +29,8 @@ object SparkEntry {
     "q14_promo_revenue" -> (Analytics.q14PromoRevenue _),
     "q15_top_supplier" -> (Analytics.q15TopSupplier _),
     "q19_disjunctive" -> (Analytics.q19Disjunctive _),
+    "q21_waiting_supplier" -> (Analytics.q21WaitingSupplier _),
+    "q22_idle_rich" -> (Analytics.q22IdleRich _),
     "r4_range_join_binned" -> (graft.plans.RangeJoin.r4bBinnedRangeJoin _),
     "r8_topk_grouped" -> (graft.plans.TopKPerGroup.r8gTopKGrouped _),
     "a5_funnel" -> (Analytics.a5Funnel _),
@@ -195,6 +197,8 @@ object SparkEntry {
     "q14_promo_revenue" -> Analytics.q14Sql,
     "q15_top_supplier" -> Analytics.q15Sql,
     "q19_disjunctive" -> Analytics.q19Sql,
+    "q21_waiting_supplier" -> Analytics.q21Sql,
+    "q22_idle_rich" -> Analytics.q22Sql,
     "r4_range_join_binned" -> graft.plans.RangeJoin.r4bSql,
     "r8_topk_grouped" -> graft.plans.TopKPerGroup.r8gSql,
     "a5_funnel" -> Analytics.a5FunnelSql,

@@ -440,6 +440,90 @@ object Analytics {
       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
       |       AND l_quantity >= 20.0 AND l_quantity <= 30.0)""".stripMargin
 
+  /** Q21 shape — suppliers who alone held up an order: for finished
+    * orders, lineitems shipped >60 days after the order date where
+    * SOME other supplier contributed to the same order (EXISTS → left
+    * semi) but NO other supplier was also late (NOT EXISTS → left
+    * anti). The fixture has no commit/receipt dates, so "late" is
+    * ship-vs-order-date; the planner shape is Q21's: two correlated
+    * subqueries against the same fact table become one semi and one
+    * anti join on a composite (equi + inequality) condition, the
+    * fact joined three times without ever being collected or
+    * cross-producted.
+    */
+  def q21WaitingSupplier(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+    val l = Tables.lineitem(s, dir)
+    val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey").as("lk"), col("l_suppkey").as("sk"),
+        col("o_orderdate").as("od"))
+    val others = l.select(col("l_orderkey").as("o_lk"), col("l_suppkey").as("o_sk"))
+    val lateOthers = late.select(col("lk").as("a_lk"), col("sk").as("a_sk"))
+    late
+      .join(others, col("lk") === col("o_lk") && col("sk") =!= col("o_sk"), "left_semi")
+      .join(lateOthers, col("lk") === col("a_lk") && col("sk") =!= col("a_sk"), "left_anti")
+      .join(Tables.supplier(s, dir), col("sk") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(countDistinct(col("lk")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  val q21Sql: String =
+    """WITH late AS (
+      |  SELECT l_orderkey AS lk, l_suppkey AS sk
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |SELECT s_name, CAST(count(DISTINCT lk) AS BIGINT) AS numwait
+      |FROM late t
+      |JOIN supplier ON t.sk = s_suppkey
+      |WHERE EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = t.lk AND l2.l_suppkey <> t.sk)
+      |  AND NOT EXISTS (SELECT 1 FROM late t2
+      |                  WHERE t2.lk = t.lk AND t2.sk <> t.sk)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
+  /** Q22 shape — wealthy LAPSED customers: account balance above the
+    * positive-balance average (an uncorrelated scalar subquery — the
+    * 1-row broadcast gate) and no orders since 1998 (NOT EXISTS over a
+    * filtered orders scan → left anti), counted per market segment.
+    * Every fixture customer has SOME order, so the classic
+    * never-ordered form is empty at all SFs — the recency cutoff keeps
+    * the identical anti-join shape with live rows (3 customers at
+    * sf0.01, 30 at sf0.1). The average is the exact-decimal-sum /
+    * count double quotient, so the > comparison is bit-identical
+    * across engines.
+    */
+  def q22IdleRich(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val avgBal = c.filter(col("c_acctbal") > 0.0)
+      .agg(Exact.davg(col("c_acctbal")).as("avg_bal"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        Exact.dsum(col("c_acctbal"), 2).as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q22Sql: String =
+    """SELECT c_mktsegment, count(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS totacctbal
+      |FROM customer c
+      |WHERE c_acctbal > (
+      |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(c_acctbal)
+      |    FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c.c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '1998-01-01')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // --- event-stream analytics (A5–A7 [EXT]) ---------------------------------
   // The reference's events are opaque Kafka payloads counted in aggregate
   // (dags/kafka_to_mongo_pipeline.py:56-62); these are the product-analytics

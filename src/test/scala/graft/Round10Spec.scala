@@ -264,6 +264,60 @@ class Round10Spec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // Mergeable-sketch family (R6e/R6f/R6g)
+  // ---------------------------------------------------------------
+
+  test("R6f: the shard-folded KLL rank gate holds at any shard count") {
+    import graft.engine.Tables
+    val ev = Tables.events(spark, sfDir)
+    // the estimate itself may differ by shard count (KLL retains a
+    // sample set; merge order matters) — the GUARANTEE that must hold
+    // regardless of sharding is the rank error bound
+    for (shards <- Seq(4, 16, 64)) {
+      val est = ev.withColumn("shard", pmod(col("event_id"), lit(shards)))
+        .groupBy(col("shard")).agg(expr("kll_sketch_agg_double(value)").as("sk"))
+        .agg(collect_list(col("sk")).as("sks"))
+        .select(expr("aggregate(slice(sks, 2, size(sks) - 1), sks[0], " +
+          "(acc, x) -> kll_sketch_merge_double(acc, x))").as("sk"))
+        .select(expr("kll_sketch_get_quantile_double(sk, 0.5)").as("p50"))
+        .head.getDouble(0)
+      val n = ev.count()
+      val rank = ev.filter(col("value") <= est).count().toDouble / n
+      assert(math.abs(rank - 0.5) <= 0.03,
+        s"$shards shards: p50 estimate $est has rank $rank")
+    }
+    val row = graft.operators.Relational.r6KllShards(spark, sfDir).head
+    assert(Seq("p50_within_tol", "p95_within_tol", "p99_within_tol")
+      .forall(row.getAs[Boolean](_)))
+  }
+
+  test("R6e: theta union and intersection are EXACT below sketch capacity, and match set arithmetic") {
+    import graft.engine.Tables
+    val ev = Tables.events(spark, sfDir)
+    val users = ev.select(col("user_id")).distinct().count()
+    assume(users < 4096, "fixture user cardinality exceeds theta exact mode")
+    val row = graft.operators.Relational.r6ThetaSetops(spark, sfDir).head
+    assert(row.getAs[Long]("exact_users") == users)
+    assert(row.getAs[Boolean]("union_within_tol") && row.getAs[Boolean]("inter_within_tol"))
+    // below 4,096 distinct the sketch stores every hash — the estimate
+    // is not just within tolerance, it is exact, so the intersection
+    // equals true set arithmetic
+    val est = ev.groupBy(col("event_type"))
+      .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+      .filter(col("event_type").isin("click", "purchase"))
+      .agg(expr("CAST(round(theta_sketch_estimate(theta_intersection_agg(sk))) AS BIGINT)"))
+      .head.getLong(0)
+    assert(est == row.getAs[Long]("exact_both"),
+      s"exact-mode intersection $est != set-arithmetic ${row.getAs[Long]("exact_both")}")
+  }
+
+  test("R6g: the count-min bound holds both-sided for every label") {
+    val rows = graft.operators.Relational.r6CmHeavyHitters(spark, sfDir).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getAs[Boolean]("cm_within_eps")))
+  }
+
+  // ---------------------------------------------------------------
   // Store-backed corpus composite across the append→delete lifecycle
   // ---------------------------------------------------------------
 
