@@ -3,16 +3,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
-/** Round-10 dev harness: [[Verify]] restricted to a named query subset —
-  * fast local iteration on a new oracle row without dumping the whole
-  * 120+-query surface (`scripts/check.py` consumes the output the same
-  * way). Usage: runMain graft.Probe10 <sfDir> <outDir> <name> [<name>…]
+/** Round-10 dev harness: the LabelStore stage-timer modes. The generic
+  * "dump a named query subset" branch this file carried moved into
+  * [[Verify]] itself (args 3+ select the subset), which removed a
+  * verbatim copy of its JSON escaper — use
+  * `runMain graft.Verify <sfDir> <outDir> <name> [<name>…]` for that.
+  * Usage here: runMain graft.Probe10 <sfDir> labelbuild|labelappend
   */
 object Probe10 {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val outDir = args(1)
-    val names = args.drop(2).toSet
+    val mode = args(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,26 +24,12 @@ object Probe10 {
       .withExtensions(e => new graft.functions.GraftExtensions()(e))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    if (names.contains("labelbuild")) { labelBuildSplit(spark, sfDir); spark.stop(); return }
-    if (names.contains("labelappend")) { labelAppendSplit(spark, sfDir); spark.stop(); return }
-    SparkEntry.queries.filter(q => names.contains(q._1)).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-      println(f"[probe10] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    mode match {
+      case "labelbuild" => labelBuildSplit(spark, sfDir)
+      case "labelappend" => labelAppendSplit(spark, sfDir)
+      case other => sys.error(s"Probe10: unknown mode '$other' " +
+        "(query-subset dumps moved to graft.Verify)")
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql.filter(o => names.contains(o._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
 

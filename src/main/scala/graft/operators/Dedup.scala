@@ -153,19 +153,22 @@ object Dedup {
     // loop below. This is where delta-append/delete maintenance lives:
     // the CONTRACTED graph of a bounded delta is delta-sized, so store
     // maintenance pays array arithmetic, not per-round job latency.
-    // The size probe is `limit(bound + 1).collect()` — ONE job that is
-    // also the data transfer when the graph fits (count-then-collect
-    // would pay two); an overflowed probe discards its sample and the
-    // graph proceeds to the distributed path, whose own cost dwarfs the
-    // probe. The result is identical by construction (min reachable doc
-    // per component); crawl-scale graphs (the 22M-edge stress row) stay
+    // The candidate/verify pipeline ABOVE the pairs is materialized
+    // exactly once, before the probe (round-10 review): probing the raw
+    // frame would run that pipeline for the probe and then AGAIN for
+    // the distributed path's checkpoint — precisely on the crawl-scale
+    // graphs where the pipeline dominates. The probe reads the pinned
+    // blocks, so an overflow costs one bounded collect, nothing more.
+    // The result is identical by construction (min reachable doc per
+    // component); crawl-scale graphs (the 22M-edge stress row) stay
     // distributed, and tests pinning the distributed round count force
     // it via the conf.
     val session = pairs.sparkSession
+    val pinned = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
     val driverMax = session.conf.get(DriverMaxEdgesConf, "1000000").toLong
     if (driverMax > 0) {
       import session.implicits._
-      val probe = pairs.select(col("doc_a"), col("doc_b"))
+      val probe = pinned
         .limit(math.min(driverMax, Int.MaxValue - 1L).toInt + 1)
         .as[(Long, Long)].collect()
       if (probe.length <= driverMax) {
@@ -174,15 +177,15 @@ object Dedup {
       }
     }
     // distributed path: the graph is still orders of magnitude smaller
-    // than the corpus (near-dups are sparse by definition) — materialize
-    // it ONCE, eagerly, with lineage truncated (otherwise every
-    // propagation round drags the whole Jaccard pipeline through its
-    // plan), then size the edge partitioning from the MEASURED edge
-    // count, so each round's shuffle is proportional to the graph: a
-    // crawl-scale dup graph of billions of edges gets the partitions its
-    // volume demands instead of serializing through a constant
-    val edgesRaw = pairs.unionByName(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // than the corpus (near-dups are sparse by definition) — the
+    // undirected doubling re-checkpoints FROM the pinned blocks (cheap:
+    // no lineage above them), then the edge partitioning is sized from
+    // the MEASURED edge count, so each round's shuffle is proportional
+    // to the graph: a crawl-scale dup graph of billions of edges gets
+    // the partitions its volume demands instead of serializing through
+    // a constant
+    val edgesRaw = pinned.unionByName(
+        pinned.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
     val nEdges = edgesRaw.count()
     val parts = edgePartitions(nEdges,

@@ -127,7 +127,7 @@ object IvfStore {
   private def tombstonesOf(s: SparkSession, storeDir: String,
                            gen: Gen): Option[DataFrame] = {
     val p = new Path(tombsDir(storeDir))
-    if (!fsOf(s, p).exists(p)) None
+    if (!StoreDirs.hasBatchDirs(fsOf(s, p), p)) None
     else Some(readBatches(s, tombsDir(storeDir), gen.base, gen.k))
   }
 

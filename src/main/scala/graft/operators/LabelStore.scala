@@ -142,7 +142,7 @@ object LabelStore {
   private def tombstones(s: SparkSession, storeDir: String,
                          upTo: Long): Option[DataFrame] = {
     val p = new Path(tombstonesIdx(storeDir))
-    if (!fsOf(s, p).exists(p)) None
+    if (!StoreDirs.hasBatchDirs(fsOf(s, p), p)) None
     else Some(s.read.parquet(tombstonesIdx(storeDir))
       .filter(col("__batch") <= upTo)
       .select(col("doc_id").as("__ts_id"), col("__batch").as("__ts_b")))
@@ -356,8 +356,16 @@ object LabelStore {
       import scala.concurrent.ExecutionContext.Implicits.global
       val fIdx = Future(timed(s, "index-write") {
         writeSigsBands(sig, next, storeDir, replaceAll = true) })
-      val pub = timed(s, "cluster+publish") { publishGen(s, storeDir, n, fp,
-        Dedup.x2DupClustersOf(corpus, preSigned = Some(sig))) }
+      // settle the concurrent static overwrite before any failure
+      // propagates: a zombie index write racing an in-process retry is
+      // two writers statically overwriting the same directories
+      val pub =
+        try timed(s, "cluster+publish") { publishGen(s, storeDir, n, fp,
+          Dedup.x2DupClustersOf(corpus, preSigned = Some(sig))) }
+        catch { case t: Throwable =>
+          try Await.ready(fIdx, Duration.Inf) catch { case _: Throwable => () }
+          throw t
+        }
       Await.result(fIdx, Duration.Inf)
       require(pub == next, s"LabelStore: build expected gen $next, published $pub")
       writeDigests(dg, next, storeDir, replaceAll = true)
@@ -491,13 +499,38 @@ object LabelStore {
             val dbs = survivors
               .select(pmod(col("doc_id"), lit(SigBuckets)).cast("int").as("__db"))
               .distinct().collect().map(_.getInt(0)).toSeq
+            // __batch <= latest.k: a crashed append attempt's
+            // unpublished sig slice must not masquerade as store state
             val sh = keep(maskDead(
-                s.read.parquet(sigsIdx(storeDir)).filter(col("__db").isin(dbs: _*)), ts)
+                s.read.parquet(sigsIdx(storeDir))
+                  .filter(col("__batch") <= latest.k && col("__db").isin(dbs: _*)), ts)
               .join(survivors, Seq("doc_id"), "left_semi")
               .select(col("doc_id"), col("sh")))
             val sig = sh.withColumn("sig", Dedup.minhashSig)
-            val cand = Dedup.cappedSelfPairs(bandsOf(sig), "doc_id",
-              Dedup.bucketCap(s, n), "doc_a", "doc_b", keep)
+            val survBands = keep(bandsOf(sig))
+            // EXACTNESS GATE (round-10 review): the from-scratch build on
+            // the reduced corpus caps each (band,bh) bucket on the WHOLE
+            // reduced population, while the re-pair below sees only the
+            // touched survivors — a bucket over the cap in the reduced
+            // corpus but not among the survivors would be starred by the
+            // oracle and not here. Measure the reduced population of the
+            // survivors' buckets (bucket-pruned, delete-masked) and fall
+            // back to the full rebuild past the cap; sane geometries
+            // never approach the 256-doc floor.
+            val cap = Dedup.bucketCap(s, n)
+            val survBb = survBands
+              .select(pmod(col("bh"), lit(BandBuckets)).cast("int").as("__bb"))
+              .distinct().collect().map(_.getInt(0)).toSeq
+            val reducedMax =
+              if (survBb.isEmpty) 0L
+              else maskDead(s.read.parquet(bandsIdx(storeDir))
+                  .filter(col("__batch") <= latest.k && col("__bb").isin(survBb: _*)), ts)
+                .join(deleted, Seq("doc_id"), "left_anti")
+                .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("__n"))
+                .agg(coalesce(max(col("__n")), lit(0L))).head.getLong(0)
+            if (reducedMax > cap) { buildDocs(corpus, storeDir); return "full" }
+            val cand = Dedup.cappedSelfPairs(survBands, "doc_id",
+              cap, "doc_a", "doc_b", keep)
             // exact Jaccard verification, identical arithmetic to the
             // full pipeline — the relabeled components must hash-match a
             // from-scratch build on the reduced corpus
@@ -546,14 +579,32 @@ object LabelStore {
       // is localCheckpoint'd (not persisted), so the writes' path
       // refresh cannot trigger a mid-chain recache.
       timed(s, "delta-sign") { sig.count() }
+      // gate the stored-index reads at the PUBLISHED batch range: a
+      // crashed prior attempt can have left an unpublished __batch=next
+      // slice in the index, and without the gate (a) the pinned listing
+      // includes files the concurrent write below deletes and rewrites
+      // — FileNotFoundException mid-chain on the retry that was supposed
+      // to self-heal the crash — and (b) the crashed delta's rows would
+      // be probed as "old" peers. Partition pruning keeps the stale
+      // partition unread even though it is in the pinned listing.
       val (bandsStored, sigsStored) = timed(s, "pin-listings") {
-        (s.read.parquet(bandsIdx(storeDir)), s.read.parquet(sigsIdx(storeDir))) }
+        (s.read.parquet(bandsIdx(storeDir)).filter(col("__batch") <= latest.k),
+          s.read.parquet(sigsIdx(storeDir)).filter(col("__batch") <= latest.k)) }
       val next = latest.k + 1
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
       val fIdx = Future(timed(s, "index-write") {
         writeSigsBands(sig, next, storeDir, replaceAll = false) })
+      // the concurrent write must never outlive this call: on any
+      // failure below, settle it before propagating — a zombie write
+      // racing an in-process retry means two writers on one directory
+      def failSettling[A](body: => A): A =
+        try body catch { case t: Throwable =>
+          try Await.ready(fIdx, Duration.Inf) catch { case _: Throwable => () }
+          throw t
+        }
+      failSettling {
       // new-new candidates through the shared hot-bucket guard
       val nn = Dedup.cappedSelfPairs(newBands, "doc_id", cap, "na", "nb", keep)
       // new-old candidates: bucket-pruned probe of the stored bands
@@ -573,27 +624,35 @@ object LabelStore {
           val probe = maskDead(
               bandsStored.filter(col("__bb").isin(touched: _*)), ts)
             .select(col("band"), col("bh"), col("doc_id").as("old_id"))
-          // adaptive store-side cap, the admitBatch bipartite discipline:
-          // star over-cap buckets to their min peer; under-drops only,
-          // every surviving candidate still exactly verified. (Round-10
-          // probe: composing the stats join unconditionally to save this
-          // blocking scalar job measured NET SLOWER — the guarded plan's
-          // extra shuffles on the no-overflow path cost more than the
-          // gauge — so the adaptive form stays.)
-          val stats = probe.groupBy(col("band"), col("bh"))
-            .agg(count(lit(1)).as("__n"), min(col("old_id")).as("__pmin"))
-          val maxBucket = stats.agg(coalesce(max(col("__n")), lit(0L))).head.getLong(0)
-          val guarded =
-            if (maxBucket <= cap) probe
-            else probe
-              .join(stats.filter(col("__n") <= cap).select(col("band"), col("bh")), Seq("band", "bh"))
-              .unionByName(stats.filter(col("__n") > cap)
-                .select(col("band"), col("bh"), col("__pmin").as("old_id")))
+          // EXACTNESS GATE (round-10 review): the from-scratch pipeline
+          // caps each (band,bh) bucket on its COMBINED population and
+          // stars overflows; the append path sees the delta and the
+          // store separately, so ANY local starring here (or none, when
+          // each side is individually under-cap but the union is not)
+          // can diverge from the oracle's from-scratch clusters. The
+          // combined population is measurable for one blocking scalar —
+          // over the cap, fall back to the full rebuild, whose own guard
+          // then makes the identical starring decision the oracle sees.
+          // Sane geometries never approach the 256-doc bucket floor;
+          // a boilerplate pileup does, and rebuild-by-measurement is
+          // the store's validity discipline everywhere else too.
+          val storedCnt = probe.groupBy(col("band"), col("bh"))
+            .agg(count(lit(1)).as("__ns"))
+          val deltaCnt = newBands.groupBy(col("band"), col("bh"))
+            .agg(count(lit(1)).as("__nd"))
+          val maxCombined = storedCnt.join(deltaCnt, Seq("band", "bh"), "full")
+            .select((coalesce(col("__ns"), lit(0L)) + coalesce(col("__nd"), lit(0L))).as("__n"))
+            .agg(coalesce(max(col("__n")), lit(0L))).head.getLong(0)
+          if (maxCombined > cap) {
+            Await.result(fIdx, Duration.Inf)
+            buildDocs(corpus, storeDir)
+            return "full"
+          }
           // localCheckpoint, NOT persist: the concurrent index writes
           // refresh the bands path on commit, and a refresh RECACHES
           // every persisted plan reading it — mid-chain that would
           // re-evaluate the candidates against a half-written batch
-          guarded
+          probe
             .join(newBands.withColumnRenamed("doc_id", "new_id"), Seq("band", "bh"))
             .select(col("new_id"), col("old_id")).distinct().localCheckpoint()
         }
@@ -644,6 +703,7 @@ object LabelStore {
       writeDigests(dg.join(appended, Seq("doc_id"), "left_semi"), next,
         storeDir, replaceAll = false, deltaRows = nNew)
       "incremental"
+      }
     } finally persisted.foreach(_.unpersist())
   }
 

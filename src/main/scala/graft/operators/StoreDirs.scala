@@ -52,6 +52,20 @@ private[graft] object StoreDirs {
     finally deleteRecursively(root)
   }
 
+  /** True iff `root` holds at least one `__batch=<j>` child. The batch
+    * datasets (tombstones especially) can exist as a DIRECTORY with no
+    * data in two legitimate states — a crash before any partition
+    * committed (only `_temporary` inside) and a publish-time GC that
+    * deleted the last batch (only `_SUCCESS` left) — and a parquet read
+    * of either throws schema-inference errors, bricking every later
+    * maintenance call on a store that is perfectly healthy. Readers
+    * must treat "dir without batches" exactly like "dir absent".
+    */
+  def hasBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
+                   root: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(root) && fs.listStatus(root).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("__batch="))
+
   /** Delete `.gen…retired` debris left by EARLIER publishes. Retirement
     * is a dot-rename (not a delete) so a reader that resolved a
     * generation path just before the publish still scans existing files;

@@ -75,9 +75,15 @@ object DateStore {
   private def globalOf(stats: Seq[DayStat]): (Long, Long) =
     (stats.map(_.n).sum, stats.map(_.fp).foldLeft(0L)(_ ^ _))
 
-  private case class Gen(k: Long, n: Long, fp: Long, path: Path)
+  /** `dead` = accumulated rows still on disk in REFERENCED batches that
+    * no live date serves (removed dates, superseded restates). Carried
+    * in the generation name so the compaction trigger needs no extra
+    * read; conservative (batch GC may reclaim some of it early — the
+    * rebuild then fires a little sooner, the safe direction).
+    */
+  private case class Gen(k: Long, n: Long, fp: Long, dead: Long, path: Path)
 
-  private val GenName = """gen=(\d+)__n=(\d+)__fp=([0-9a-f]+)""".r
+  private val GenName = """gen=(\d+)__n=(\d+)__fp=([0-9a-f]+)(?:__d=(\d+))?""".r
 
   private def fsOf(s: SparkSession, p: Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -88,8 +94,9 @@ object DateStore {
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq.collect {
       case st if st.isDirectory => st.getPath.getName match {
-        case GenName(k, n, fp) =>
-          Some(Gen(k.toLong, n.toLong, java.lang.Long.parseUnsignedLong(fp, 16), st.getPath))
+        case GenName(k, n, fp, dead) =>
+          Some(Gen(k.toLong, n.toLong, java.lang.Long.parseUnsignedLong(fp, 16),
+            Option(dead).map(_.toLong).getOrElse(0L), st.getPath))
         case _ => None
       }
     }.flatten.sortBy(_.k)
@@ -154,7 +161,8 @@ object DateStore {
         .partitionBy("event_date").parquet(batchDir.toString)
     }
 
-    def publish(manifest: Seq[(java.sql.Date, Long, Long, Long)]): Unit = {
+    def publish(manifest: Seq[(java.sql.Date, Long, Long, Long)],
+                dead: Long): Unit = {
       val root = new Path(storeDir)
       val fs = fsOf(s, root)
       fs.mkdirs(root)
@@ -165,7 +173,7 @@ object DateStore {
         .coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/manifest")
       val pub = new Path(root,
-        s"gen=${next}__n=${n}__fp=${java.lang.Long.toHexString(fp)}")
+        s"gen=${next}__n=${n}__fp=${java.lang.Long.toHexString(fp)}__d=${dead}")
       require(fs.rename(staging, pub), s"DateStore: could not publish $pub")
       StoreDirs.sweepRetired(fs, root)
       gens.dropRight(1).foreach { g =>
@@ -192,7 +200,7 @@ object DateStore {
     prior match {
       case None =>
         writeDays(ev, next)
-        publish(stats.map(d => (d.date, d.n, d.fp, next)))
+        publish(stats.map(d => (d.date, d.n, d.fp, next)), dead = 0L)
         "full"
       case Some(g) =>
         val old = readManifest(s, g).map(m => m._1 -> m).toMap
@@ -200,12 +208,22 @@ object DateStore {
         val changed = stats.filter(d =>
           !old.get(d.date).exists(m => m._2 == d.n && m._3 == d.fp))
         val removed = old.keySet.diff(cur.keySet)
-        // compaction by measurement: restating most of the table as a
-        // delta batch would leave the history smeared across batches
-        // for no read benefit — rebuild, which also compacts
-        if (changed.map(_.n).sum > 0.5 * n) {
+        // dead mass this maintenance adds: removed dates' rows stay on
+        // disk while their batch serves other dates, and a restated
+        // date's OLD copy likewise — both invisible to readers (the
+        // manifest routes around them) but disk the store still holds
+        val newlyDead = removed.toSeq.map(old(_)._2).sum +
+          changed.filter(d => old.contains(d.date)).map(d => old(d.date)._2).sum
+        // compaction by measurement, BOTH dimensions (round-10 review:
+        // the changed-mass check alone let repeated date deletes leave
+        // their rows on disk forever): restating most of the table as a
+        // delta batch smears the history for no read benefit, and dead
+        // mass approaching the live table means the store holds ~2x the
+        // data it serves — either way rebuild, which compacts and
+        // resets the dead count
+        if (changed.map(_.n).sum > 0.5 * n || g.dead + newlyDead > 0.5 * n) {
           writeDays(ev, next)
-          publish(stats.map(d => (d.date, d.n, d.fp, next)))
+          publish(stats.map(d => (d.date, d.n, d.fp, next)), dead = 0L)
           return "full"
         }
         if (changed.nonEmpty) {
@@ -216,7 +234,7 @@ object DateStore {
           if (changed.exists(_.date == d.date)) (d.date, d.n, d.fp, next)
           else { val m = old(d.date); (d.date, d.n, d.fp, m._4) }
         }
-        publish(manifest)
+        publish(manifest, dead = g.dead + newlyDead)
         if (changed.isEmpty && removed.nonEmpty) "incremental-delete"
         else "incremental"
     }

@@ -249,18 +249,92 @@ class Round10Spec extends SparkSpec {
     def listNames = new java.io.File(store).list() match {
       case null => Seq.empty[String]; case a => a.toSeq
     }
-    // four publish cycles: build, then three single-day restates
+    // four publish cycles: build, then three single-day restates (the
+    // dead-mass compaction gauge may turn a later restate of this tiny
+    // 4-day table into a compacting "full" — either path PUBLISHES,
+    // which is all the sweep contract is about)
     assert(DateStore.ensureIncrementalEvents(ev0, store) == "full")
     (1 to 3).foreach { i =>
       val extra = ev0.limit(i).withColumn("event_id", col("event_id") + 900000L + i)
-      assert(DateStore.ensureIncrementalEvents(
-        ev0.unionByName(extra).localCheckpoint(), store) == "incremental")
+      assert(Set("incremental", "full").contains(DateStore.ensureIncrementalEvents(
+        ev0.unionByName(extra).localCheckpoint(), store)))
     }
     val retired = listNames.filter(_.endsWith(".retired"))
     val live = listNames.filter(_.startsWith("gen="))
     assert(live.size == 2, s"two live generations expected, found $live")
     assert(retired.size <= 1,
       s"retired debris must be bounded at one publish cycle, found $retired")
+  }
+
+  // ---------------------------------------------------------------
+  // Round-10 review hardening: crash-debris tolerance
+  // ---------------------------------------------------------------
+
+  test("review: an empty tombstones dir (crash before any commit / GC of the last batch) does not brick maintenance") {
+    val dir = tmpDir("r10-emptytombs")
+    val store = tmpDir("r10-emptytombsstore") + "/store"
+    writeDocs(dir, docRows(Set.empty))
+    LabelStore.build(spark, dir, store)
+    // crash simulation: the tombstones dataset dir exists but holds no
+    // batch — only the debris a killed first delete leaves behind
+    val tp = new java.io.File(s"$store/index/tombstones")
+    assert(tp.mkdirs())
+    new java.io.File(tp, "_SUCCESS").createNewFile()
+    assert(LabelStore.ensureCurrentIncremental(spark, dir, store) == "noop")
+    // and a real delete still runs through it
+    writeDocs(dir, docRows(drop = Set(11L)))
+    assert(LabelStore.ensureCurrentIncremental(spark, dir, store) == "incremental-delete")
+  }
+
+  test("review: a crashed append attempt's unpublished index batch is invisible to the retry and overwritten by it") {
+    val dir = tmpDir("r10-crashretry")
+    val store = tmpDir("r10-crashretrystore") + "/store"
+    writeDocs(dir, docRows(Set.empty).filterNot(_._1 == 12L))
+    LabelStore.build(spark, dir, store)
+    // crash simulation: an append died after its sigs/bands landed as
+    // __batch=2 (digests last — never written), leaving garbage rows in
+    // the index. Clone batch 1 as the garbage: worst case, it duplicates
+    // every existing doc under the unpublished batch number.
+    import java.nio.file.{Files, Path => JPath}
+    import scala.jdk.CollectionConverters._
+    def clone1to2(ds: String): Unit = {
+      val src = JPath.of(s"$store/index/$ds/__batch=1")
+      val dst = JPath.of(s"$store/index/$ds/__batch=2")
+      Files.walk(src).iterator().asScala.toSeq.foreach { p =>
+        val t = dst.resolve(src.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t)
+      }
+    }
+    clone1to2("bands"); clone1to2("sigs")
+    // the retry: doc 12 arrives; the maintenance call must neither read
+    // the crashed batch (FNF race with its own concurrent rewrite) nor
+    // pair against its rows, and the merged labels must equal from-scratch
+    writeDocs(dir, docRows(Set.empty))
+    assert(LabelStore.ensureCurrentIncremental(spark, dir, store) == "incremental")
+    assert(LabelStore.ensureCurrentIncremental(spark, dir, store) == "noop")
+    val scratch = tmpDir("r10-crashscratch") + "/store"
+    LabelStore.build(spark, dir, scratch)
+    assert(labelSet(store) == labelSet(scratch))
+  }
+
+  test("review: DateStore compacts once dead mass from deletes/restates passes half the table") {
+    import graft.sources.DateStore
+    val store = tmpDir("r10-datedead") + "/store"
+    val ev0 = graft.engine.Tables.events(spark, sfDir).localCheckpoint()
+    assert(DateStore.ensureIncrementalEvents(ev0, store) == "full")
+    // drop 7 of 30 days (248 of 1,000 rows dead < half the 752 live) —
+    // below the trigger, manifest-only delete
+    val ev1 = ev0.filter(to_date(col("ts")) >= lit("2024-01-08")).localCheckpoint()
+    assert(DateStore.ensureIncrementalEvents(ev1, store) == "incremental-delete")
+    // drop through day 20: cumulative dead mass (698) dwarfs the 302
+    // live rows — the store must compact instead of leaking
+    val ev2 = ev0.filter(to_date(col("ts")) >= lit("2024-01-21")).localCheckpoint()
+    assert(DateStore.ensureIncrementalEvents(ev2, store) == "full",
+      "accumulated dead mass must trigger the compacting rebuild")
+    assert(DateStore.ensureIncrementalEvents(ev2, store) == "noop")
+    assert(DateStore.readEvents(spark, store)
+      .select(col("event_date")).distinct().count() == 10)
   }
 
   // ---------------------------------------------------------------
