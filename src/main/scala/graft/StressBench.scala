@@ -128,6 +128,10 @@ object StressBench {
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft-stress"
+    val loadStart =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(",")
+      catch { case _: Throwable => "" }
     val copies = 10
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -511,7 +515,15 @@ object StressBench {
     }.mkString("{", ",", "}")
     val admJson = admSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
     val boilAdmJson = boilAdmSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
-    println(s"""{"stress":"dedup10x","copies":$copies,""" +
+    // load context, the Bench discipline: three post-review stress runs
+    // disagreed 9 s vs 18 s on the same code purely from box load, and
+    // only an artifact-borne load reading separates contention from
+    // regression without a re-run
+    def loadavg: String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    println(s"""{"stress":"dedup10x","loadavg_start":"$loadStart","loadavg_end":"$loadavg","copies":$copies,""" +
       s""""base_docs":${cnt(baseOut, "documents")},"x10_docs":${cnt(bigOut, "documents")},""" +
       s""""base_vecs":${cnt(baseOut, "embeddings")},"x10_vecs":${cnt(bigOut, "embeddings")},""" +
       s""""admission_batch_secs":$admJson,""" +

@@ -154,40 +154,53 @@ object Dedup {
     // the CONTRACTED graph of a bounded delta is delta-sized, so store
     // maintenance pays array arithmetic, not per-round job latency.
     // The candidate/verify pipeline ABOVE the pairs is materialized
-    // exactly once, before the probe (round-10 review): probing the raw
-    // frame would run that pipeline for the probe and then AGAIN for
-    // the distributed path's checkpoint — precisely on the crawl-scale
-    // graphs where the pipeline dominates. The probe reads the pinned
-    // blocks, so an overflow costs one bounded collect, nothing more.
-    // The result is identical by construction (min reachable doc per
-    // component); crawl-scale graphs (the 22M-edge stress row) stay
-    // distributed, and tests pinning the distributed round count force
-    // it via the conf.
+    // exactly ONCE — the undirected checkpoint below — and the probe
+    // reads its blocks (round-10 review, twice): probing the raw frame
+    // re-ran the whole pipeline on overflow, and a first fix that
+    // checkpointed the DIRECTED pairs separately before doubling left
+    // a second full copy of the graph pinned through every fixpoint
+    // round (the 22M-edge stress row inflated 55 → 91 s from the
+    // memory pressure alone). The probe collects up to 2·bound doubled
+    // edges — the union-find dedupes them — so an overflow costs one
+    // bounded collect of pinned blocks, nothing more. The result is
+    // identical by construction (min reachable doc per component);
+    // crawl-scale graphs stay distributed, and tests pinning the
+    // distributed round count force it via the conf.
     val session = pairs.sparkSession
-    val pinned = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
     val driverMax = session.conf.get(DriverMaxEdgesConf, "1000000").toLong
-    if (driverMax > 0) {
-      import session.implicits._
-      val probe = pinned
-        .limit(math.min(driverMax, Int.MaxValue - 1L).toInt + 1)
-        .as[(Long, Long)].collect()
-      if (probe.length <= driverMax) {
-        val labels = driverComponents(probe)
-        return (labels.toSeq.sortBy(_._1).toDF("doc_id", "cluster_rep"), 0)
-      }
-    }
-    // distributed path: the graph is still orders of magnitude smaller
-    // than the corpus (near-dups are sparse by definition) — the
-    // undirected doubling re-checkpoints FROM the pinned blocks (cheap:
-    // no lineage above them), then the edge partitioning is sized from
-    // the MEASURED edge count, so each round's shuffle is proportional
-    // to the graph: a crawl-scale dup graph of billions of edges gets
-    // the partitions its volume demands instead of serializing through
-    // a constant
-    val edgesRaw = pinned.unionByName(
-        pinned.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // the graph is still orders of magnitude smaller than the corpus
+    // (near-dups are sparse by definition) — materialize it eagerly
+    // with lineage truncated (otherwise every propagation round drags
+    // the whole Jaccard pipeline through its plan)
+    val edgesRaw = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
+    // the distributed path needs the measured edge count anyway, and on
+    // checkpointed blocks a count is near-free — so the size decision
+    // IS the count, and the driver path collects only graphs it will
+    // actually keep (a crawl-scale overflow transfers nothing)
     val nEdges = edgesRaw.count()
+    if (driverMax > 0 && nEdges <= 2L * driverMax && nEdges < Int.MaxValue - 1L) {
+      import session.implicits._
+      val labels = driverComponents(edgesRaw.as[(Long, Long)].collect())
+      // free the checkpoint blocks before returning: a small-graph call
+      // must leave NO block state (maintenance paths call this many
+      // times per session, and orphaned checkpoint blocks accumulated
+      // until later phases paid for them in memory pressure). The
+      // checkpointed RDD sits under the frame's LogicalRDD node —
+      // unpersist exactly it, nothing a concurrent writer may have
+      // materialized in the meantime.
+      edgesRaw.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+      return (labels.toSeq.sortBy(_._1).toDF("doc_id", "cluster_rep"), 0)
+    }
+    // distributed path: size the edge partitioning from the MEASURED
+    // edge count, so each round's shuffle is proportional to the graph:
+    // a crawl-scale dup graph of billions of edges gets the partitions
+    // its volume demands instead of serializing through a constant
     val parts = edgePartitions(nEdges,
       edgesRaw.sparkSession.conf.get(EdgesPerPartitionConf, "1000000").toLong)
     // coalesce (narrow, reads the checkpoint) when shrinking; repartition
