@@ -31,6 +31,9 @@ object SparkEntry {
     "q19_disjunctive" -> (Analytics.q19Disjunctive _),
     "q21_waiting_supplier" -> (Analytics.q21WaitingSupplier _),
     "q22_idle_rich" -> (Analytics.q22IdleRich _),
+    "q12_priority_class" -> (Analytics.q12Priority _),
+    "q13_custdist" -> (Analytics.q13CustDist _),
+    "q17_small_qty" -> (Analytics.q17SmallQty _),
     "r4_range_join_binned" -> (graft.plans.RangeJoin.r4bBinnedRangeJoin _),
     "r8_topk_grouped" -> (graft.plans.TopKPerGroup.r8gTopKGrouped _),
     "a5_funnel" -> (Analytics.a5Funnel _),
@@ -44,6 +47,9 @@ object SparkEntry {
     // day-grain store maintenance under the gate: build on the first 24
     // days, append the rest incrementally, roll up across the seam
     "s11_date_evolve" -> (graft.sources.DateStore.s11DateEvolve _),
+    // runtime partition pruning: the served day set is decided by a
+    // dim aggregate at runtime — DPP must prune the store scan
+    "s11_date_dpp" -> (graft.sources.DateStore.s11DateDpp _),
     "x6_pack_sequences" -> (Sampling.x6PackSequences _),
     "x6_mixture" -> (Sampling.x6Mixture _),
     "x6_export_shards" -> (Sampling.x6ExportShards _),
@@ -199,6 +205,9 @@ object SparkEntry {
     "q19_disjunctive" -> Analytics.q19Sql,
     "q21_waiting_supplier" -> Analytics.q21Sql,
     "q22_idle_rich" -> Analytics.q22Sql,
+    "q12_priority_class" -> Analytics.q12Sql,
+    "q13_custdist" -> Analytics.q13Sql,
+    "q17_small_qty" -> Analytics.q17Sql,
     "r4_range_join_binned" -> graft.plans.RangeJoin.r4bSql,
     "r8_topk_grouped" -> graft.plans.TopKPerGroup.r8gSql,
     "a5_funnel" -> Analytics.a5FunnelSql,
@@ -210,6 +219,7 @@ object SparkEntry {
     // the partitioned write + pruned read round trip is under the gate
     "s11_date_rollup" -> graft.sources.DateStore.s11DateRollupSql,
     "s11_date_evolve" -> graft.sources.DateStore.s11DateEvolveSql,
+    "s11_date_dpp" -> graft.sources.DateStore.s11DateDppSql,
     "x6_pack_sequences" -> Sampling.x6PackSequencesSql,
     "x6_mixture" -> Sampling.x6MixtureSql,
     "x6_export_shards" -> Sampling.x6ExportShardsSql,

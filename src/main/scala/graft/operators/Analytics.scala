@@ -524,6 +524,102 @@ object Analytics {
       |                    AND o_orderdate >= TIMESTAMP '1998-01-01')
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Q12 shape — shipping classes vs order priority: lineitems shipped
+    * in 1996, grouped by a low-cardinality lineitem attribute, counting
+    * critical-priority orders against the rest. The fixture has no
+    * l_shipmode column, so l_returnflag carries the grouping role; the
+    * plan shape is Q12's — the date filter prunes the fact scan, one
+    * shuffle join on the order key, then a tiny conditional-count
+    * aggregate. The CASE branches are evaluated inside the joined
+    * stream (whole-stage codegen), never as separate passes.
+    */
+  def q12Priority(s: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  val q12Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Q13 shape — customer order-count distribution: how many customers
+    * placed exactly k qualifying orders, INCLUDING the zero bucket. The
+    * left-outer join is the load-bearing part (an inner join silently
+    * drops the never-ordered customers); the qualifying filter lives on
+    * the orders side BEFORE the join — the outer-join ON-clause
+    * semantics of the classic form. Two keyed hash aggregates, the
+    * second over at most a few dozen distinct counts.
+    */
+  def q13CustDist(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+    Tables.customer(s, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey
+      |        AND o_orderpriority <> '4-NOT SPECIFIED'
+      |      GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Q17 shape — small-quantity-order revenue: average yearly revenue
+    * lost if orders below 20% of a part's average quantity were not
+    * taken. The correlated AVG subquery becomes one extra hash
+    * aggregate over the already-joined stream re-joined on the part
+    * key — the fact is scanned ONCE (every lineitem of a qualifying
+    * part is in the join, so the per-part average over the join equals
+    * the classic per-part average over all of lineitem). The threshold
+    * average is the exact-decimal-sum / count double quotient, so the
+    * `<` comparison is bit-identical across engines. part's two filters
+    * prune its broadcast side to a handful of rows.
+    */
+  def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand") === "Brand#5" && col("p_type") === "SMALL")
+      .select(col("p_partkey"))
+    val lp = Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val caps = lp.groupBy(col("l_partkey").as("cap_pk"))
+      .agg((Exact.davg(col("l_quantity")) * 0.2).as("qty_cap"))
+    lp.join(broadcast(caps), col("l_partkey") === col("cap_pk"))
+      .filter(col("l_quantity") < col("qty_cap"))
+      .agg((Exact.dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+  }
+
+  val q17Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0
+      |    AS avg_yearly
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand = 'Brand#5' AND p_type = 'SMALL'
+      |  AND l_quantity < (
+      |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+      |                  / COUNT(l2.l_quantity))
+      |    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)""".stripMargin
+
   // --- event-stream analytics (A5–A7 [EXT]) ---------------------------------
   // The reference's events are opaque Kafka payloads counted in aggregate
   // (dags/kafka_to_mongo_pipeline.py:56-62); these are the product-analytics

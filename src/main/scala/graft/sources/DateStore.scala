@@ -325,4 +325,69 @@ object DateStore {
       |FROM events
       |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-22' AND DATE '2024-01-28'
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** The DPP scan [[s11DateDpp]] aggregates — the fact side of a
+    * dim-filtered join where the served dates are NOT known until the
+    * dim executes, so static `PruneFileSourcePartitions` cannot help:
+    * the busier-than-average day set depends on per-day counts. Spark's
+    * `PartitionPruning` rule must instead inject a
+    * `DynamicPruningSubquery` on `event_date`, reusing the dim's
+    * broadcast — the scan then reads ONLY the busy days' partitions at
+    * RUNTIME. The busy threshold is pure integer arithmetic
+    * (`n_day · n_days > n_total` ⟺ day above the mean) so the day set
+    * is bit-identical across engines — no float boundary can flip a
+    * partition in one engine and not the other.
+    *
+    * At 100 TB this is the other half of the partition-pruning story:
+    * [[rollupScan]] proves literal date ranges prune at LISTING time;
+    * real warehouse queries join the fact to a filtered dim ("busy
+    * days", "holiday weeks", "treatment cohort dates") whose dates
+    * only exist at runtime — without DPP every such query is a full
+    * history scan regardless of how selective the dim is.
+    */
+  private[graft] def dppScan(s: SparkSession, dir: String,
+                             storeDir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val perDay = ev.groupBy(to_date(col("ts")).as("dim_date"))
+      .agg(count(lit(1)).as("n_day"))
+    val totals = ev.agg(count(lit(1)).as("n_total"),
+      countDistinct(to_date(col("ts"))).as("n_days"))
+    // the 1-row broadcast gate idiom (q15/q22): the global totals ride a
+    // broadcast single-row cross join into the per-day filter
+    val busy = perDay.crossJoin(broadcast(totals))
+      .filter(col("n_day") * col("n_days") > col("n_total"))
+      .select(col("dim_date"))
+    readEvents(s, storeDir)
+      .join(broadcast(busy), col("event_date") === col("dim_date"))
+  }
+
+  /** S11c [EXT] — runtime partition pruning under the hash gate: the
+    * per-type rollup of the busier-than-average days, read through the
+    * date store with the day set decided by the dim at runtime. Oracle:
+    * the same rollup from the fixture events directly. Round10Spec pins
+    * the plan (`dynamicpruningexpression` on the store scan) and the
+    * runtime partitions-read metric (< the 30-day history).
+    */
+  def s11DateDpp(s: SparkSession, dir: String): DataFrame = {
+    val store = defaultStoreDir(dir)
+    ensureCurrentIncremental(s, dir, store)
+    dppScan(s, dir, store)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val s11DateDppSql: String =
+    """WITH per_day AS (
+      |  SELECT CAST(ts AS DATE) AS dim_date, count(*) AS n_day
+      |  FROM events GROUP BY 1),
+      |totals AS (
+      |  SELECT count(*) AS n_total, count(DISTINCT CAST(ts AS DATE)) AS n_days
+      |  FROM events),
+      |busy AS (
+      |  SELECT dim_date FROM per_day, totals WHERE n_day * n_days > n_total)
+      |SELECT event_type, count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM events JOIN busy ON CAST(ts AS DATE) = busy.dim_date
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 }

@@ -452,4 +452,41 @@ class Round10Spec extends SparkSpec {
     val none = spark.range(0).select(col("id").as("doc_a"), col("id").as("doc_b"))
     assert(Dedup.clusterPairs(none)._1.count() == 0)
   }
+
+  // ---------------------------------------------------------------
+  // S11c — dynamic partition pruning over the date store
+  // ---------------------------------------------------------------
+
+  test("S11c: the dim-driven scan prunes partitions at RUNTIME (DynamicPruningSubquery)") {
+    import graft.sources.DateStore
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val store = tmpDir("r10-datedpp") + "/store"
+    assert(DateStore.ensureCurrent(spark, sfDir, store), "first build must write")
+    val scan = DateStore.dppScan(spark, sfDir, store)
+    val n = scan.collect().length
+    // the injected subquery prints as dynamicpruningexpression inside the
+    // store scan's PartitionFilters — static pruning cannot know the busy
+    // days, so its absence means the full 30-day history was listed
+    val planStr = scan.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruning"),
+      s"no DynamicPruningSubquery on the store scan:\n${planStr.take(2000)}")
+    def deep(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => deep(a.executedPlan)
+      case s: QueryStageExec        => deep(s.plan)
+      case f: FileSourceScanExec    => f +: f.children.flatMap(deep)
+      case o                        => o.children.flatMap(deep)
+    }
+    // the runtime partitions-read metric on the days/ scan must be the
+    // busy-day subset, strictly under the 30-day history
+    val dayScans = deep(scan.queryExecution.executedPlan)
+      .filter(_.metadata.getOrElse("Location", "").contains("/days"))
+    assert(dayScans.nonEmpty, "no days/ file scan found in the executed plan")
+    val scanned = dayScans.head.metrics("numPartitions").value
+    val busyDays = scan.select(col("event_date")).distinct().count()
+    assert(busyDays > 0 && busyDays < 30, s"degenerate busy-day set: $busyDays")
+    assert(scanned == busyDays,
+      s"runtime-pruned scan read $scanned partitions, expected the $busyDays busy days")
+    assert(n > 0, "DPP join returned no rows")
+  }
 }
