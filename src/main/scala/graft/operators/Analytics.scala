@@ -587,25 +587,30 @@ object Analytics {
 
   /** Q17 shape — small-quantity-order revenue: average yearly revenue
     * lost if orders below 20% of a part's average quantity were not
-    * taken. The correlated AVG subquery becomes one extra hash
-    * aggregate over the already-joined stream re-joined on the part
-    * key — the fact is scanned ONCE (every lineitem of a qualifying
+    * taken. The classic plan (and the naive agg-then-rejoin form)
+    * scans the fact TWICE — once for the per-part average, once for
+    * the probe; here the correlated AVG subquery is a keyed WINDOW
+    * over the already-joined stream, so the fact is scanned ONCE and
+    * shuffled once on the part key (every lineitem of a qualifying
     * part is in the join, so the per-part average over the join equals
-    * the classic per-part average over all of lineitem). The threshold
+    * the classic per-part average over all of lineitem — at 100 TB
+    * that one saved scan is the query's dominant cost). The threshold
     * average is the exact-decimal-sum / count double quotient, so the
-    * `<` comparison is bit-identical across engines. part's two filters
-    * prune its broadcast side to a handful of rows.
+    * `<` comparison is bit-identical across engines. part's two
+    * filters prune its broadcast side to a handful of rows.
     */
   def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val p = Tables.part(s, dir)
       .filter(col("p_brand") === "Brand#5" && col("p_type") === "SMALL")
       .select(col("p_partkey"))
-    val lp = Tables.lineitem(s, dir)
+    val w = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(s, dir)
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-    val caps = lp.groupBy(col("l_partkey").as("cap_pk"))
-      .agg((Exact.davg(col("l_quantity")) * 0.2).as("qty_cap"))
-    lp.join(broadcast(caps), col("l_partkey") === col("cap_pk"))
+      .withColumn("qty_cap",
+        lit(0.2) * (sum(col("l_quantity").cast("decimal(28,6)")).over(w)
+          .cast("double") / count(col("l_quantity")).over(w)))
       .filter(col("l_quantity") < col("qty_cap"))
       .agg((Exact.dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
   }

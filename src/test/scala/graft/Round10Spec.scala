@@ -489,4 +489,51 @@ class Round10Spec extends SparkSpec {
       s"runtime-pruned scan read $scanned partitions, expected the $busyDays busy days")
     assert(n > 0, "DPP join returned no rows")
   }
+
+  // ---------------------------------------------------------------
+  // Runtime bloom-filter join (the non-partitioned analogue of DPP)
+  // ---------------------------------------------------------------
+
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("runtime bloom filter: a selective non-broadcastable dim semi-prunes the fact scan") {
+    // DPP needs a partition column; when the selective dim joins the fact
+    // on a DATA column and is too big to broadcast, Spark's
+    // InjectRuntimeFilter is the remaining scan-cost lever: the dim side
+    // builds a bloom filter and the fact side drops non-members BEFORE
+    // the join shuffle. At 100 TB that turns a full-fact shuffle into a
+    // near-output-sized one. The size thresholds are scaled down the same
+    // way the suite's AQE skew thresholds are (the fixture is not 10 GB);
+    // the geometry — selective dim, shuffle join, filter on the fact's
+    // scan — is the production one.
+    val exact = graft.engine.Tables.lineitem(spark, sfDir)
+      .join(graft.engine.Tables.part(spark, sfDir)
+          .filter(col("p_type") === "PROMO" && col("p_size") <= 5),
+        col("l_partkey") === col("p_partkey"))
+      .agg(count(lit(1))).head().getLong(0)
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB") {
+      val df = graft.engine.Tables.lineitem(spark, sfDir)
+        .join(graft.engine.Tables.part(spark, sfDir)
+            .filter(col("p_type") === "PROMO" && col("p_size") <= 5),
+          col("l_partkey") === col("p_partkey"))
+        .agg(count(lit(1)).as("n"))
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        s"no bloom-filter runtime filter injected:\n${opt.take(1500)}")
+      assert(df.head().getLong(0) == exact,
+        "bloom-filtered join changed the result")
+    }
+  }
 }
