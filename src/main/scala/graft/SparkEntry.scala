@@ -50,6 +50,9 @@ object SparkEntry {
     // runtime partition pruning: the served day set is decided by a
     // dim aggregate at runtime — DPP must prune the store scan
     "s11_date_dpp" -> (graft.sources.DateStore.s11DateDpp _),
+    // log-driven ingestion: three micro-batch deltas (incl. a mixed
+    // late-data restate) merged by day; corpus fingerprint must noop
+    "s11_date_ingest" -> (graft.sources.DateStore.s11DateIngest _),
     "x6_pack_sequences" -> (Sampling.x6PackSequences _),
     "x6_mixture" -> (Sampling.x6Mixture _),
     "x6_export_shards" -> (Sampling.x6ExportShards _),
@@ -220,6 +223,7 @@ object SparkEntry {
     "s11_date_rollup" -> graft.sources.DateStore.s11DateRollupSql,
     "s11_date_evolve" -> graft.sources.DateStore.s11DateEvolveSql,
     "s11_date_dpp" -> graft.sources.DateStore.s11DateDppSql,
+    "s11_date_ingest" -> graft.sources.DateStore.s11DateIngestSql,
     "x6_pack_sequences" -> Sampling.x6PackSequencesSql,
     "x6_mixture" -> Sampling.x6MixtureSql,
     "x6_export_shards" -> Sampling.x6ExportShardsSql,

@@ -132,74 +132,103 @@ object DateStore {
                                storeDir: String): String =
     ensureIncrementalEvents(Tables.events(s, dir), storeDir)
 
+  /** A generation without a readable manifest (pre-manifest layout or
+    * mid-crash debris) is not servable — it can neither noop nor seed
+    * the incremental path, however its fingerprint reads.
+    */
+  private def hasManifest(s: SparkSession, g: Gen): Boolean = {
+    val p = new Path(s"${g.path}/manifest")
+    fsOf(s, p).exists(p)
+  }
+
+  private def writeDaysBatch(s: SparkSession, storeDir: String,
+                             rows: DataFrame, batch: Long): Unit = {
+    val batchDir = new Path(daysDir(storeDir), s"__batch=$batch")
+    val fs = fsOf(s, batchDir)
+    if (fs.exists(batchDir)) fs.delete(batchDir, true)
+    rows.withColumn("event_date", to_date(col("ts")))
+      // one file per day at fixture scale; a production deployment
+      // sizes files via maxRecordsPerFile instead
+      .repartition(col("event_date"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("event_date").parquet(batchDir.toString)
+  }
+
+  /** The last streaming micro-batch id this store has absorbed, if any
+    * ingest ever ran — the exactly-once floor for [[appendEvents]].
+    */
+  private def readIngestId(s: SparkSession, gen: Gen): Option[Long] = {
+    val p = new Path(s"${gen.path}/ingest")
+    if (!fsOf(s, p).exists(p)) None
+    else Some(s.read.parquet(p.toString).collect().head.getLong(0))
+  }
+
+  /** Atomic publish: manifest (+ carried ingest id) staged, then one
+    * rename; prior generations retire and unreferenced days/ batches
+    * are deleted (the newest two generations' routing tables — bounded
+    * metadata reads). The ingest id carries FORWARD through corpus-
+    * driven publishes too, so a replayed micro-batch stays a skip even
+    * after later non-streaming maintenance.
+    */
+  private def publishGen(s: SparkSession, storeDir: String, gens: Seq[Gen],
+                         next: Long, n: Long, fp: Long, dead: Long,
+                         manifest: Seq[(java.sql.Date, Long, Long, Long)],
+                         ingestId: Option[Long]): Unit = {
+    val root = new Path(storeDir)
+    val fs = fsOf(s, root)
+    fs.mkdirs(root)
+    val staging = new Path(root, s".staging-$next")
+    import s.implicits._
+    manifest.map { case (d, nr, f, b) => (d, nr, f, b) }
+      .toDF("event_date", "n_rows", "fp", "batch")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/manifest")
+    val carried = (gens.lastOption.filter(hasManifest(s, _))
+      .flatMap(readIngestId(s, _)) ++ ingestId).reduceOption(_ max _)
+    carried.foreach { id =>
+      Seq(id).toDF("last_stream_batch")
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/ingest")
+    }
+    val pub = new Path(root,
+      s"gen=${next}__n=${n}__fp=${java.lang.Long.toHexString(fp)}__d=${dead}")
+    require(fs.rename(staging, pub), s"DateStore: could not publish $pub")
+    StoreDirs.sweepRetired(fs, root)
+    gens.dropRight(1).foreach { g =>
+      fs.rename(g.path, new Path(root, "." + g.path.getName + ".retired"))
+    }
+    val live = (listGens(s, storeDir).takeRight(2).flatMap { g =>
+      // a live generation may predate the manifest layout (migration)
+      if (hasManifest(s, g)) readManifest(s, g).map(_._4) else Seq.empty
+    } :+ next).toSet
+    val dd = new Path(daysDir(storeDir))
+    if (fs.exists(dd)) fs.listStatus(dd).foreach { st =>
+      st.getPath.getName match {
+        case s"__batch=$b" if b.toLongOption.exists(!live.contains(_)) =>
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+  }
+
   private[graft] def ensureIncrementalEvents(ev: DataFrame,
                                              storeDir: String): String = {
     val s = ev.sparkSession
     val stats = dayStats(ev)
     val (n, fp) = globalOf(stats)
     val gens = listGens(s, storeDir)
-    // a generation without a readable manifest (pre-manifest layout or
-    // mid-crash debris) is not servable — it can neither noop nor seed
-    // the incremental path, however its fingerprint reads
-    def hasManifest(g: Gen): Boolean = {
-      val p = new Path(s"${g.path}/manifest")
-      fsOf(s, p).exists(p)
-    }
-    if (gens.lastOption.exists(g => g.n == n && g.fp == fp && hasManifest(g)))
+    if (gens.lastOption.exists(g => g.n == n && g.fp == fp && hasManifest(s, g)))
       return "noop"
     val next = gens.lastOption.map(_.k).getOrElse(0L) + 1
 
-    def writeDays(rows: DataFrame, batch: Long): Unit = {
-      val batchDir = new Path(daysDir(storeDir), s"__batch=$batch")
-      val fs = fsOf(s, batchDir)
-      if (fs.exists(batchDir)) fs.delete(batchDir, true)
-      rows.withColumn("event_date", to_date(col("ts")))
-        // one file per day at fixture scale; a production deployment
-        // sizes files via maxRecordsPerFile instead
-        .repartition(col("event_date"))
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("event_date").parquet(batchDir.toString)
-    }
-
     def publish(manifest: Seq[(java.sql.Date, Long, Long, Long)],
-                dead: Long): Unit = {
-      val root = new Path(storeDir)
-      val fs = fsOf(s, root)
-      fs.mkdirs(root)
-      val staging = new Path(root, s".staging-$next")
-      import s.implicits._
-      manifest.map { case (d, nr, f, b) => (d, nr, f, b) }
-        .toDF("event_date", "n_rows", "fp", "batch")
-        .coalesce(1)
-        .write.mode(SaveMode.Overwrite).parquet(s"$staging/manifest")
-      val pub = new Path(root,
-        s"gen=${next}__n=${n}__fp=${java.lang.Long.toHexString(fp)}__d=${dead}")
-      require(fs.rename(staging, pub), s"DateStore: could not publish $pub")
-      StoreDirs.sweepRetired(fs, root)
-      gens.dropRight(1).foreach { g =>
-        fs.rename(g.path, new Path(root, "." + g.path.getName + ".retired"))
-      }
-      // delete days/ batches no live manifest references (the newest two
-      // generations' routing tables — bounded metadata reads)
-      val live = (listGens(s, storeDir).takeRight(2).flatMap { g =>
-        // a live generation may predate the manifest layout (migration)
-        val mp = new Path(s"${g.path}/manifest")
-        if (fsOf(s, mp).exists(mp)) readManifest(s, g).map(_._4) else Seq.empty
-      } :+ next).toSet
-      val dd = new Path(daysDir(storeDir))
-      if (fs.exists(dd)) fs.listStatus(dd).foreach { st =>
-        st.getPath.getName match {
-          case s"__batch=$b" if b.toLongOption.exists(!live.contains(_)) =>
-            fs.delete(st.getPath, true)
-          case _ => ()
-        }
-      }
-    }
+                dead: Long): Unit =
+      publishGen(s, storeDir, gens, next, n, fp, dead, manifest, None)
 
-    val prior = gens.lastOption.filter(hasManifest)
+    val prior = gens.lastOption.filter(hasManifest(s, _))
     prior match {
       case None =>
-        writeDays(ev, next)
+        writeDaysBatch(s, storeDir, ev, next)
         publish(stats.map(d => (d.date, d.n, d.fp, next)), dead = 0L)
         "full"
       case Some(g) =>
@@ -222,13 +251,14 @@ object DateStore {
         // data it serves — either way rebuild, which compacts and
         // resets the dead count
         if (changed.map(_.n).sum > 0.5 * n || g.dead + newlyDead > 0.5 * n) {
-          writeDays(ev, next)
+          writeDaysBatch(s, storeDir, ev, next)
           publish(stats.map(d => (d.date, d.n, d.fp, next)), dead = 0L)
           return "full"
         }
         if (changed.nonEmpty) {
           val dates = changed.map(_.date)
-          writeDays(ev.filter(to_date(col("ts")).isin(dates: _*)), next)
+          writeDaysBatch(s, storeDir,
+            ev.filter(to_date(col("ts")).isin(dates: _*)), next)
         }
         val manifest = stats.map { d =>
           if (changed.exists(_.date == d.date)) (d.date, d.n, d.fp, next)
@@ -239,6 +269,113 @@ object DateStore {
         else "incremental"
     }
   }
+
+  /** LOG-DRIVEN ingestion — the other maintenance discipline. The
+    * corpus-driven paths above hold the WHOLE table and diff it; a
+    * stream delivers only deltas, so this path merges each micro-batch
+    * into the store by day: new days land directly, a day the batch
+    * touches again (late data) is restated as old-rows ∪ batch-rows in
+    * the new `__batch` dir, and the restated day's fingerprint is
+    * `old_fp ⊕ batch_fp` — XOR associativity means the merged manifest
+    * carries EXACTLY the fingerprint a from-scratch digest of the union
+    * corpus would compute, so a later corpus-driven
+    * [[ensureCurrentIncremental]] over everything ingested is a
+    * provable noop (pinned by the `s11_date_ingest` oracle row). Cost
+    * per micro-batch: one day-stats aggregate over the BATCH plus a
+    * write sized by the batch's days — never a history scan; the one
+    * history-sized action is the dead-mass compaction, by the same
+    * measured threshold as the corpus paths.
+    *
+    * Exactly-once: the publishing rename carries the micro-batch id
+    * (`ingest` file, max-carried across ALL later publishes), and a
+    * batch at or below the stored floor is a skip — so a foreachBatch
+    * retry after a crash-after-publish cannot double-count, the same
+    * guarantee discipline as [[graft.streaming.BandStore]] admission.
+    */
+  def appendEvents(batch: DataFrame, storeDir: String,
+                   streamBatchId: Long): String = {
+    val s = batch.sparkSession
+    val gens = listGens(s, storeDir)
+    val prior = gens.lastOption.filter(hasManifest(s, _))
+    prior.flatMap(readIngestId(s, _)) match {
+      case Some(last) if last >= streamBatchId => return "skip"
+      case _ => ()
+    }
+    val stats = dayStats(batch)
+    if (stats.isEmpty) return "empty"
+    val next = gens.lastOption.map(_.k).getOrElse(0L) + 1
+    prior match {
+      case None =>
+        val (n, fp) = globalOf(stats)
+        writeDaysBatch(s, storeDir, batch, next)
+        publishGen(s, storeDir, gens, next, n, fp, dead = 0L,
+          stats.map(d => (d.date, d.n, d.fp, next)), Some(streamBatchId))
+        "append-initial"
+      case Some(g) =>
+        val old = readManifest(s, g).map(m => m._1 -> m).toMap
+        val overlap = stats.filter(d => old.contains(d.date))
+        val overlapDates = overlap.map(_.date)
+        // the restated days' prior copies become dead disk the moment
+        // the new batch serves them
+        val newlyDead = overlap.map(d => old(d.date)._2).sum
+        val mergedN = g.n + stats.map(_.n).sum
+        val mergedFp = g.fp ^ stats.map(_.fp).foldLeft(0L)(_ ^ _)
+        val mergedDay: DayStat => (java.sql.Date, Long, Long) = d =>
+          old.get(d.date) match {
+            case Some(m) => (d.date, m._2 + d.n, m._3 ^ d.fp)
+            case None    => (d.date, d.n, d.fp)
+          }
+        if (g.dead + newlyDead > 0.5 * mergedN) {
+          // compact: everything live plus the batch, one fresh batch dir
+          val full = readEvents(s, storeDir).drop("event_date")
+            .unionByName(batch)
+          writeDaysBatch(s, storeDir, full, next)
+          val touched = stats.map(_.date).toSet
+          val manifest = stats.map(d => { val (dt, nn, ff) = mergedDay(d); (dt, nn, ff, next) }) ++
+            old.values.toSeq.collect {
+              case (dt, nn, ff, _) if !touched.contains(dt) => (dt, nn, ff, next)
+            }
+          publishGen(s, storeDir, gens, next, mergedN, mergedFp, dead = 0L,
+            manifest, Some(streamBatchId))
+          "append-compact"
+        } else {
+          // restated days re-land whole (their live rows ∪ the batch's);
+          // untouched days keep their serving batch
+          val toWrite =
+            if (overlapDates.isEmpty) batch
+            else readEvents(s, storeDir)
+              .filter(col("event_date").isin(overlapDates: _*))
+              .drop("event_date")
+              .unionByName(batch)
+          writeDaysBatch(s, storeDir, toWrite, next)
+          val touched = stats.map(_.date).toSet
+          val manifest = stats.map(d => { val (dt, nn, ff) = mergedDay(d); (dt, nn, ff, next) }) ++
+            old.values.toSeq.collect {
+              case (dt, nn, ff, b) if !touched.contains(dt) => (dt, nn, ff, b)
+            }
+          publishGen(s, storeDir, gens, next, mergedN, mergedFp,
+            dead = g.dead + newlyDead, manifest, Some(streamBatchId))
+          "append"
+        }
+    }
+  }
+
+  /** The streaming entry: AvailableNow micro-batches land through
+    * [[appendEvents]] under a checkpoint — replays are skips, so the
+    * sink is exactly-once end to end. The batch is pinned before the
+    * merge so the multi-read append cannot re-execute the source.
+    */
+  def ingestSink(stream: DataFrame, storeDir: String,
+                 checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendEvents(batch.localCheckpoint(), storeDir, batchId)
+        ()
+      }
+      .start()
 
   /** The live table: the newest generation's manifest routes each date
     * to its serving batch, and the scan filter is a per-batch date
@@ -376,6 +513,44 @@ object DateStore {
       .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("sum_value"))
       .orderBy("event_type")
   }
+
+  /** S11d [EXT] — log-driven ingestion under the hash gate: three
+    * micro-batch deltas land through [[appendEvents]] — an initial
+    * partial history, a new-days append, then a MIXED batch (late data
+    * restating the oldest two weeks + the final new days). After the
+    * last merge the corpus-driven fingerprint check over the full
+    * events table must be a NOOP — the two maintenance disciplines
+    * agree bit-for-bit (XOR-mergeable day digests) — and the rollup
+    * over a week straddling restated and appended days must equal the
+    * oracle computed from the fixture directly.
+    */
+  def s11DateIngest(s: SparkSession, dir: String): DataFrame =
+    StoreDirs.withTempStore("graft-dateingest") { store =>
+      val ev = Tables.events(s, dir)
+      val oldDays = to_date(col("ts")) < lit("2024-01-15")
+      val midDays = to_date(col("ts")).between(lit("2024-01-15"), lit("2024-01-25"))
+      val m1 = appendEvents(ev.filter(oldDays && col("event_id") % 3 =!= 0), store, 0L)
+      require(m1 == "append-initial", s"expected the initial ingest, ran '$m1'")
+      val m2 = appendEvents(ev.filter(midDays), store, 1L)
+      require(m2 == "append", s"expected the new-days append, ran '$m2'")
+      val m3 = appendEvents(
+        ev.filter((oldDays && col("event_id") % 3 === 0) || (!oldDays && !midDays)),
+        store, 2L)
+      require(m3 == "append", s"expected the mixed late-data append, ran '$m3'")
+      val after = ensureIncrementalEvents(ev, store)
+      require(after == "noop", s"ingested store drifted from the corpus: ran '$after'")
+      rollup(readEvents(s, store)
+        .filter(col("event_date").between(lit("2024-01-12"), lit("2024-01-18"))))
+        .localCheckpoint()
+    }
+
+  val s11DateIngestSql: String =
+    """SELECT CAST(ts AS DATE) AS event_date, event_type,
+      |  count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-12' AND DATE '2024-01-18'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val s11DateDppSql: String =
     """WITH per_day AS (

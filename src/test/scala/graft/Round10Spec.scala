@@ -536,4 +536,72 @@ class Round10Spec extends SparkSpec {
         "bloom-filtered join changed the result")
     }
   }
+
+  // ---------------------------------------------------------------
+  // S11d — log-driven ingestion into the date store
+  // ---------------------------------------------------------------
+
+  private def eventRows(ids: Range, day: Int) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"),
+        i.toLong % 7, "click", 1.5, s"p$i"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("S11d: streaming ingest is exactly-once across checkpoint replays and restarts") {
+    import graft.sources.DateStore
+    val store = tmpDir("r10-ingest") + "/store"
+    val src = tmpDir("r10-ingestsrc")
+    val ckpt = tmpDir("r10-ingestckpt")
+    def land(ids: Range, day: Int): Unit =
+      eventRows(ids, day).coalesce(1).write.mode("append").parquet(src)
+    land(0 until 20, 1); land(20 until 40, 2)
+    val schema = spark.read.parquet(src).schema
+    def runSink(): Unit = {
+      val q = DateStore.ingestSink(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+        store, ckpt)
+      assert(q.awaitTermination(120000), "ingest query did not finish")
+    }
+    runSink()
+    assert(DateStore.readEvents(spark, store).count() == 40)
+    // same checkpoint, no new files: nothing reprocessed, store unchanged
+    runSink()
+    assert(DateStore.readEvents(spark, store).count() == 40)
+    // a restart sees only the new files: late data for day 1 + a new day
+    land(40 until 50, 1); land(50 until 60, 3)
+    runSink()
+    val got = DateStore.readEvents(spark, store)
+    assert(got.count() == 60, s"expected 60 rows, got ${got.count()}")
+    assert(got.filter(col("event_date") === "2024-01-01").count() == 30,
+      "late data did not merge into the restated day")
+    assert(got.select("event_id").distinct().count() == 60, "duplicated rows")
+    // a direct replay of an already-committed micro-batch id is a skip
+    assert(DateStore.appendEvents(eventRows(0 until 5, 1), store, 0L) == "skip")
+  }
+
+  test("S11d: accumulated restate dead mass triggers the compacting rebuild, which resets it") {
+    import graft.sources.DateStore
+    val store = tmpDir("r10-ingestcompact") + "/store"
+    def day1(ids: Range) = eventRows(ids, 1)
+    assert(DateStore.appendEvents(
+      day1(0 until 4).unionByName(eventRows(100 until 120, 9)), store, 0L)
+      == "append-initial")
+    // restates of day 1 against the 24-row store: dead 4 ≤ 14, then
+    // 12 ≤ 16, then 24 > 18 → compact
+    assert(DateStore.appendEvents(day1(4 until 8), store, 1L) == "append")
+    assert(DateStore.appendEvents(day1(8 until 12), store, 2L) == "append")
+    assert(DateStore.appendEvents(day1(12 until 16), store, 3L) == "append-compact")
+    assert(DateStore.readEvents(spark, store).count() == 36)
+    // compaction reset the dead count: the next restate appends again
+    assert(DateStore.appendEvents(day1(16 until 20), store, 4L) == "append")
+    val got = DateStore.readEvents(spark, store)
+    assert(got.count() == 40)
+    assert(got.filter(col("event_date") === "2024-01-01").count() == 20)
+    // and the corpus-driven fingerprint agrees with the merged manifest
+    val all = day1(0 until 20).unionByName(eventRows(100 until 120, 9))
+    assert(DateStore.ensureIncrementalEvents(all, store) == "noop",
+      "log-driven manifest drifted from the corpus digest")
+  }
 }
