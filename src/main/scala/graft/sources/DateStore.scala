@@ -372,8 +372,17 @@ object DateStore {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendEvents(batch.localCheckpoint(), storeDir, batchId)
-        ()
+        val pinned = batch.localCheckpoint()
+        // free the pinned blocks once the merge lands — a long-lived
+        // stream runs thousands of micro-batches, and un-released
+        // checkpoint blocks accumulate until later batches pay for
+        // them in memory pressure (the clusterPairs lesson)
+        try { appendEvents(pinned, storeDir, batchId); () }
+        finally pinned.queryExecution.analyzed.collectLeaves().foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false)
+          case _ => ()
+        }
       }
       .start()
 
