@@ -396,6 +396,48 @@ object StressBench {
     val ivfDelSec = (System.nanoTime() - tIvfDel) / 1e9
     require(ivfDelMode == "incremental-delete", s"expected the delete path, ran '$ivfDelMode'")
 
+    // --- log-driven date-store ingestion (round-10 §15): per-batch
+    // cost must track the BATCH (a new day) or the touched DAY (a late
+    // restate) — never the history. Ten 100k-row day-batches land into
+    // a store growing 100k → 1M rows, then two 10k-row late batches
+    // restate day 1 (cost = re-land that one ~100k-row day) ---
+    spark.catalog.clearCache(); System.gc()
+    val ingStoreRoot = new org.apache.hadoop.fs.Path(s"$work/date-ingest")
+    val ingFs = ingStoreRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (ingFs.exists(ingStoreRoot)) ingFs.delete(ingStoreRoot, true)
+    val ingestStore = s"$work/date-ingest/store"
+    def dayFrame(day: Int, lo: Long, hi: Long) =
+      spark.range(lo, hi).select(
+        col("id").as("event_id"),
+        to_timestamp(lit(f"2024-03-$day%02d 12:00:00")).as("ts"),
+        pmod(col("id"), lit(997)).as("user_id"),
+        concat(lit("t"), pmod(col("id"), lit(5))).as("event_type"),
+        (pmod(col("id"), lit(1000)) / 10.0).as("value"),
+        md5(col("id").cast("string")).as("props"))
+    val dayRows = 100000L
+    var ingBid = 0L
+    val ingestNewSecs = (1 to 10).map { d =>
+      val t0 = System.nanoTime()
+      val m = graft.sources.DateStore.appendEvents(
+        dayFrame(d, (d - 1) * dayRows, d * dayRows), ingestStore, ingBid)
+      ingBid += 1
+      require(m == (if (d == 1) "append-initial" else "append"),
+        s"ingest day $d ran '$m'")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ingestRestateSecs = (1 to 2).map { r =>
+      val lo = 2000000L + r * 10000L
+      val t0 = System.nanoTime()
+      val m = graft.sources.DateStore.appendEvents(
+        dayFrame(1, lo, lo + 10000L), ingestStore, ingBid)
+      ingBid += 1
+      require(m == "append", s"ingest restate $r ran '$m'")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ingestRows = graft.sources.DateStore.readEvents(spark, ingestStore).count()
+    require(ingestRows == 10 * dayRows + 20000L,
+      s"ingested store holds $ingestRows rows")
+
     // --- skew join under AQE (VERDICT r9 item 7): a Zipf-hot fact key
     // against a dim too large to broadcast. 30% of 20M fact rows land on
     // ONE key, so one shuffle partition of the sort-merge join carries
@@ -553,6 +595,10 @@ object StressBench {
       f""""deleted_2":$labelDel2,"sec_2":$labelDelSec2%.3f,"full_build_sec":$storeBuildSec%.3f},""" +
       f""""ivf_del":{"deleted":$ivfDeleted,"sec":$ivfDelSec%.3f,""" +
       f""""full_build_sec":$ivfScaleBuildSec%.3f},""" +
+      s""""date_ingest":{"day_rows":$dayRows,""" +
+      s""""new_day_secs":${ingestNewSecs.map(s => f"$s%.3f").mkString("[", ",", "]")},""" +
+      s""""restate_secs":${ingestRestateSecs.map(s => f"$s%.3f").mkString("[", ",", "]")},""" +
+      s""""rows":$ingestRows},""" +
       f""""skew_join":{"fact":$nFact,"dim":$nDim,"rows":$skewOnRows,"skew_split":$skewSplit,""" +
       f""""split_sec":$skewOnSec%.3f,"no_split_sec":$skewOffSec%.3f},""" +
       f""""cluster11m":{"pairs":${10001376L + 2000L * 496L},"edges":$bigEdgeCount,""" +

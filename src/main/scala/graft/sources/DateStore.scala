@@ -270,7 +270,11 @@ object DateStore {
     }
   }
 
-  /** LOG-DRIVEN ingestion — the other maintenance discipline. The
+  /** LOG-DRIVEN ingestion — the other maintenance discipline (the
+    * reference's consumer loop appends each polled message batch to its
+    * document store, ref: consumer.py:23-25 and
+    * dags/kafka_to_mongo_pipeline.py:70-77 — this is that shape with
+    * day-grain placement, mergeable validity, and exactly-once). The
     * corpus-driven paths above hold the WHOLE table and diff it; a
     * stream delivers only deltas, so this path merges each micro-batch
     * into the store by day: new days land directly, a day the batch
