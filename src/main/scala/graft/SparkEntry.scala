@@ -165,6 +165,9 @@ object SparkEntry {
     // index maintenance under append: split build + incremental append
     // (frozen centroids, delta-only assignment) probed end-to-end
     "x3_ann_ivf_inc" -> (IvfStore.x3AnnIvfIncremental _),
+    // log-driven vector ingestion: cold-start train + frozen-centroid
+    // upsert + replay skip + re-delivery noop, corpus check must noop
+    "x3_ann_ivf_ingest" -> (IvfStore.x3AnnIvfIngest _),
     // index maintenance under delete: full build + tombstone delete must
     // serve the reduced corpus (frozen centroids, touched cells masked)
     "x3_ann_ivf_del" -> (IvfStore.x3AnnIvfDelete _),
@@ -367,6 +370,9 @@ object SparkEntry {
     // the maintained index equals a from-scratch construction with the
     // same frozen centroids — the twin derives them from the base subset
     "x3_ann_ivf_inc" -> Similarity.x3AnnIvfIncSql,
+    // identical final index state to x3_ann_ivf_inc (same base subset
+    // trains the centroids, same full corpus assigned) — same twin
+    "x3_ann_ivf_ingest" -> Similarity.x3AnnIvfIncSql,
     // the tombstone-deleted index equals a from-scratch assignment of the
     // reduced corpus to the same (full-corpus) centroids
     "x3_ann_ivf_del" -> Similarity.x3AnnIvfDelSql,

@@ -132,15 +132,21 @@ object IvfStore {
   }
 
   /** Drop rows a tombstone masks: a row is dead iff some visible
-    * tombstone for its vec_id is at least as new as the row's batch —
+    * tombstone for its vec_id is STRICTLY newer than the row's batch —
     * batch-aware so a vector RE-ADDED after deletion (landing in a later
-    * batch) stays live. Tombstone volume is bounded by the compaction
-    * trigger, so the anti-join's build side stays small.
+    * batch) stays live. Strict `>` rather than `>=`: the pure-delete
+    * path lands no data rows in its tombstone's batch (the two are
+    * equivalent there), and the log-driven RESTATE path
+    * ([[appendVectors]]) lands the replacing row in the SAME batch as
+    * the tombstone that kills its predecessor — one publish, and only
+    * the strict comparison lets the replacement survive it. Tombstone
+    * volume is bounded by the compaction trigger, so the anti-join's
+    * build side stays small.
     */
   private def maskDead(df: DataFrame, ts: Option[DataFrame]): DataFrame =
     ts.fold(df) { t =>
       val k = t.select(col("vec_id").as("__ts_id"), col("__batch").as("__ts_b"))
-      df.join(k, df("vec_id") === k("__ts_id") && k("__ts_b") >= df("__batch"),
+      df.join(k, df("vec_id") === k("__ts_id") && k("__ts_b") > df("__batch"),
         "left_anti")
     }
 
@@ -173,14 +179,36 @@ object IvfStore {
     * dot-rename away, and list/digest batches below the oldest live
     * generation's base are deleted (no live reader can reference them).
     */
+  /** The last streaming micro-batch id this store has absorbed — the
+    * exactly-once floor for [[appendVectors]]; carried forward through
+    * every later publish (corpus-driven ones included) so a replayed
+    * micro-batch stays a skip across mixed maintenance.
+    */
+  private def readIngestId(s: SparkSession, gen: Gen): Option[Long] = {
+    val p = new Path(s"${gen.path}/ingest")
+    if (!fsOf(s, p).exists(p)) None
+    else Some(s.read.parquet(p.toString).collect().head.getLong(0))
+  }
+
   private def publishGen(s: SparkSession, storeDir: String, next: Long, n: Long,
-                         fp: Long, base: Long, centroids: DataFrame): Unit = {
+                         fp: Long, base: Long, centroids: DataFrame,
+                         ingestId: Option[Long] = None): Unit = {
     val root = new Path(storeDir)
     val fs = fsOf(s, root)
     fs.mkdirs(root)
     val gens = listGens(s, storeDir)
     val staging = new Path(root, s".staging-$next")
     centroids.write.mode(SaveMode.Overwrite).parquet(s"$staging/centroids")
+    locally {
+      import s.implicits._
+      val carried = (gens.lastOption.flatMap(readIngestId(s, _)) ++ ingestId)
+        .reduceOption(_ max _)
+      carried.foreach { id =>
+        Seq(id).toDF("last_stream_batch")
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$staging/ingest")
+      }
+    }
     val pub = new Path(root,
       s"gen=${next}__n=${n}__fp=${java.lang.Long.toHexString(fp)}__b=${base}")
     require(fs.rename(staging, pub), s"IvfStore: could not publish $pub")
@@ -211,7 +239,8 @@ object IvfStore {
   /** Frame-based [[build]] — lets a caller scope the store to a corpus
     * SUBSET (the incremental oracle row's split build).
     */
-  private[graft] def buildVecs(emb: DataFrame, storeDir: String): Unit = {
+  private[graft] def buildVecs(emb: DataFrame, storeDir: String,
+                               ingestId: Option[Long] = None): Unit = {
     val s = emb.sparkSession
     val dg = digestsOf(emb)
     val (n, fp) = fingerprintOf(dg)
@@ -221,7 +250,8 @@ object IvfStore {
       val next = listGens(s, storeDir).lastOption.map(_.k).getOrElse(0L) + 1
       writeBatch(lists.repartition(col("c_id")), next, Seq("c_id"), listsDir(storeDir))
       writeBatch(dg, next, Seq.empty, digestsDir(storeDir))
-      publishGen(s, storeDir, next, n, fp, base = next, centroids = cent)
+      publishGen(s, storeDir, next, n, fp, base = next, centroids = cent,
+        ingestId = ingestId)
     } finally { cent.unpersist(); e.unpersist() }
   }
 
@@ -475,6 +505,189 @@ object IvfStore {
         .filter(!(col("vec_id") % 5 === 3 && col("vec_id") >= 10))
       val mode = ensureIncrementalVecs(reduced, store)
       require(mode == "incremental-delete", s"expected the delete path, ran '$mode'")
+      probe(s, dir, store).localCheckpoint()
+    }
+
+  /** LOG-DRIVEN vector ingestion — the [[graft.sources.DateStore]]
+    * `appendEvents` discipline for the ANN index (the reference's
+    * consumer loop appends each polled batch to its store, ref:
+    * consumer.py:23-25): embeddings arrive as micro-batch DELTAS, so
+    * this path upserts without ever holding the corpus. Per batch:
+    * exact re-deliveries (same vec_id, same digest) drop idempotently;
+    * new vectors argmax-assign to the FROZEN generation centroids;
+    * restated vectors (same vec_id, new digest — a re-embedded
+    * document) tombstone their predecessor and land the replacement in
+    * the SAME publish (the strict-`>` mask lets the replacement outrank
+    * the tombstone it ships with). Cold start trains centroids on the
+    * first batch (the FAISS train-on-sample discipline). When the
+    * measured cell imbalance says the frozen quantizer no longer fits,
+    * the index re-trains FROM THE STORE — the lists already hold the
+    * normalized vectors, so no raw corpus is needed, which is what
+    * makes the path genuinely log-driven.
+    *
+    * Validity stays cross-checkable with the corpus-driven paths: the
+    * published fingerprint is updated by XOR arithmetic (arrivals in,
+    * restated predecessors out), so a later [[ensureCurrentIncremental]]
+    * against the materialized corpus is a provable noop — pinned by the
+    * `x3_ann_ivf_ingest` oracle row. Exactly-once as in the date store:
+    * the publish carries the micro-batch id, and a batch at or below
+    * the floor skips.
+    */
+  def appendVectors(batch: DataFrame, storeDir: String,
+                    streamBatchId: Long): String = {
+    val s = batch.sparkSession
+    val gens = listGens(s, storeDir)
+    gens.lastOption.flatMap(readIngestId(s, _)) match {
+      case Some(last) if last >= streamBatchId => return "skip"
+      case _ => ()
+    }
+    val cleaned = batch.select(col("vec_id"), col("embedding")).distinct()
+      .localCheckpoint()
+    // every pinned frame is freed on exit — a long-lived ingest stream
+    // runs thousands of micro-batches (the clusterPairs lesson)
+    val pinned = scala.collection.mutable.ArrayBuffer[DataFrame](cleaned)
+    try {
+      if (cleaned.isEmpty) return "empty"
+      // conflicting versions of one id inside a single micro-batch have
+      // no defined order here — that is the producer's sequencing (the
+      // L5 upsert sink's max-offset discipline); fail loudly, not last-
+      // writer-by-luck
+      val nIds = cleaned.select(col("vec_id")).distinct().count()
+      require(nIds == cleaned.count(),
+        s"IvfStore.appendVectors: a micro-batch carries conflicting embeddings for the same vec_id")
+      val dgPath = new Path(digestsDir(storeDir))
+      val gen0 = gens.lastOption.filter(_ => fsOf(s, dgPath).exists(dgPath))
+      if (gen0.isEmpty) {
+        buildVecs(cleaned, storeDir, ingestId = Some(streamBatchId))
+        return "ingest-initial"
+      }
+      val gen = gen0.get
+      val next = gen.k + 1
+      val ts = tombstonesOf(s, storeDir, gen)
+      val stored = maskDead(readBatches(s, digestsDir(storeDir), gen.base, gen.k), ts)
+        .select(col("vec_id"), col("h").as("h_idx"))
+      val classified = digestsOf(cleaned)
+        .join(stored, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("h"), col("h_idx"),
+          col("h_idx").isNull.as("is_new"),
+          (col("h_idx").isNotNull && col("h") =!= col("h_idx")).as("is_restate"))
+        .filter(col("is_new") || col("is_restate"))
+        .localCheckpoint()
+      pinned += classified
+      val c = classified.agg(count(lit(1)),
+        count(when(col("is_new"), 1)),
+        expr("bit_xor(h)"), expr("bit_xor(h_idx)")).head
+      val (nUp, nNew) = (c.getLong(0), c.getLong(1))
+      if (nUp == 0) return "noop" // pure re-delivery — idempotent drop
+      val xIn = if (c.isNullAt(2)) 0L else c.getLong(2)
+      val xOut = if (c.isNullAt(3)) 0L else c.getLong(3)
+      val nRe = nUp - nNew
+      // arrivals XOR in, restated predecessors XOR out — the published
+      // fingerprint stays bit-identical to a from-scratch digest of the
+      // corpus this store now serves
+      val nAfter = gen.n + nNew
+      val fpAfter = gen.fp ^ xIn ^ xOut
+      val upIds = classified.select(col("vec_id"))
+      val reIds = classified.filter(col("is_restate")).select(col("vec_id"))
+      val newVecs = cleaned.join(upIds, Seq("vec_id"), "left_semi")
+      val cent = s.read.parquet(s"${gen.path}/centroids")
+      val assigned = Similarity.ivfAssign(Similarity.normedOf(newVecs), cent)
+        .localCheckpoint()
+      pinned += assigned
+      // imbalance gauge over what the store will serve AFTER this batch:
+      // surviving old rows (narrow id columns) plus the new assignments
+      val liveIds = maskDead(readBatches(s, listsDir(storeDir), gen.base, gen.k)
+          .select(col("vec_id"), col("c_id"), col("__batch")), ts)
+        .join(reIds, Seq("vec_id"), "left_anti")
+      val maxCell = liveIds.groupBy(col("c_id")).agg(count(lit(1)).as("cnt"))
+        .unionByName(assigned.groupBy(col("c_id")).agg(count(lit(1)).as("cnt")))
+        .groupBy(col("c_id")).agg(sum(col("cnt")).as("cnt"))
+        .agg(coalesce(max(col("cnt")), lit(0L))).head.getLong(0)
+      if (maxCell > ImbalanceFactor * nAfter / Similarity.IvfNList) {
+        // re-train FROM THE STORE: surviving normalized vectors ∪ the
+        // batch's — fresh centroids, fresh single-batch lists/digests
+        // (base = next also compacts away every tombstone)
+        val liveNorm = maskDead(readBatches(s, listsDir(storeDir), gen.base, gen.k)
+            .select(col("vec_id"), col("e"), col("norm"), col("__batch")), ts)
+          .join(reIds, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("e"), col("norm"))
+        val allNorm = liveNorm.unionByName(Similarity.normedOf(newVecs)).persist()
+        val (cent2, lists2) = Similarity.ivfIndex(allNorm)
+        try {
+          val liveDg = maskDead(
+              readBatches(s, digestsDir(storeDir), gen.base, gen.k), ts)
+            .join(reIds, Seq("vec_id"), "left_anti")
+            .select(col("vec_id"), col("h"))
+          writeBatch(lists2.repartition(col("c_id")), next, Seq("c_id"),
+            listsDir(storeDir))
+          writeBatch(liveDg.unionByName(digestsOf(newVecs)), next, Seq.empty,
+            digestsDir(storeDir))
+          publishGen(s, storeDir, next, nAfter, fpAfter, base = next,
+            centroids = cent2, ingestId = Some(streamBatchId))
+        } finally { cent2.unpersist(); allNorm.unpersist() }
+        return "ingest-retrain"
+      }
+      if (nRe > 0) {
+        // the restated predecessors' tombstones ship in the same publish
+        // as their replacements (strict-`>` mask semantics above)
+        val newTombs = maskDead(readBatches(s, listsDir(storeDir), gen.base, gen.k)
+            .select(col("vec_id"), col("c_id"), col("__batch")), ts)
+          .join(reIds, Seq("vec_id"), "left_semi")
+          .select(col("vec_id"), col("c_id"))
+        writeBatch(newTombs.coalesce(8), next, Seq.empty, tombsDir(storeDir))
+      }
+      writeBatch(assigned.repartition(col("c_id")), next, Seq("c_id"),
+        listsDir(storeDir))
+      writeBatch(digestsOf(newVecs), next, Seq.empty, digestsDir(storeDir))
+      publishGen(s, storeDir, next, nAfter, fpAfter, base = gen.base,
+        centroids = cent, ingestId = Some(streamBatchId))
+      "ingest"
+    } finally pinned.foreach(_.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    })
+  }
+
+  /** The streaming entry — AvailableNow micro-batches of embeddings
+    * upsert through [[appendVectors]] under a checkpoint; replays are
+    * skips, so the sink is exactly-once end to end.
+    */
+  def ingestSinkVectors(stream: DataFrame, storeDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendVectors(batch, storeDir, batchId)
+        ()
+      }
+      .start()
+
+  /** X3c''''' [EXT] — log-driven ingestion under the hash gate: the
+    * corpus arrives as two micro-batch deltas (the base subset cold-
+    * starts the centroids, the rest upserts against them frozen), an
+    * exact re-delivery under a replayed id must skip and under a fresh
+    * id must noop, and the corpus-driven fingerprint check over the
+    * full table must then find NOTHING to do — the two disciplines
+    * agree bit-for-bit. Final index state is identical to
+    * [[x3AnnIvfIncremental]]'s, so it shares that row's DuckDB twin
+    * ([[Similarity.x3AnnIvfIncSql]]).
+    */
+  def x3AnnIvfIngest(s: SparkSession, dir: String): DataFrame =
+    StoreDirs.withTempStore("graft-ivfingest") { store =>
+      val emb = Tables.embeddings(s, dir)
+      val m0 = appendVectors(emb.filter(col("vec_id") % 7 =!= 0), store, 0L)
+      require(m0 == "ingest-initial", s"expected the cold start, ran '$m0'")
+      val m1 = appendVectors(emb.filter(col("vec_id") % 7 === 0), store, 1L)
+      require(m1 == "ingest", s"expected the frozen-centroid upsert, ran '$m1'")
+      val m1r = appendVectors(emb.limit(5), store, 1L)
+      require(m1r == "skip", s"replayed micro-batch id ran '$m1r'")
+      val m2 = appendVectors(emb.filter(col("vec_id") % 7 === 0), store, 2L)
+      require(m2 == "noop", s"exact re-delivery ran '$m2'")
+      val cross = ensureCurrentIncremental(s, dir, store)
+      require(cross == "noop", s"log-driven store drifted from the corpus: '$cross'")
       probe(s, dir, store).localCheckpoint()
     }
 }

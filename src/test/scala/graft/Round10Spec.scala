@@ -604,4 +604,107 @@ class Round10Spec extends SparkSpec {
     assert(DateStore.ensureIncrementalEvents(all, store) == "noop",
       "log-driven manifest drifted from the corpus digest")
   }
+
+  // ---------------------------------------------------------------
+  // X3e — log-driven vector ingestion (upsert + retrain-from-store)
+  // ---------------------------------------------------------------
+
+  private def vecFrame(rows: Seq[(Long, Seq[Float], Int)]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  /** 64 spread directions; vec 7 carries `v7` (defaults to v0's exact
+    * direction, making it q0's guaranteed nearest neighbor).
+    */
+  private def vecCorpus(v7: Seq[Float]): Seq[(Long, Seq[Float], Int)] =
+    (0L until 64L).map { i =>
+      val v: Seq[Float] =
+        if (i == 7L) v7
+        else Seq(math.cos(i * 0.07).toFloat, math.sin(i * 0.07).toFloat, 0f, 0f)
+      (i, v, (i % 3).toInt)
+    }
+
+  test("X3e: a log-driven restate replaces the served vector and stays corpus-consistent") {
+    import graft.operators.IvfStore
+    val dir = tmpDir("r10-ivfing")
+    val store = tmpDir("r10-ivfingstore") + "/store"
+    val v7old = Seq(1f, 0f, 0f, 0f)
+    val v7new = Seq(0f, 0f, 1f, 0f)
+    def landCorpus(v7: Seq[Float]): Unit =
+      vecFrame(vecCorpus(v7)).write.mode("overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+    landCorpus(v7old)
+    assert(IvfStore.appendVectors(vecFrame(vecCorpus(v7old)), store, 0L)
+      == "ingest-initial")
+    def q0TopIds(): Seq[Long] = IvfStore.probe(spark, dir, store)
+      .filter(col("q_id") === 0).orderBy(col("rank"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(q0TopIds().head == 7L, "v7 == v0 must be q0's nearest neighbor")
+    // the re-embedded v7 replaces its predecessor in ONE publish
+    assert(IvfStore.appendVectors(
+      vecFrame(vecCorpus(v7new)).filter(col("vec_id") === 7), store, 1L) == "ingest")
+    landCorpus(v7new)
+    assert(IvfStore.ensureCurrentIncremental(spark, dir, store) == "noop",
+      "restated store must fingerprint as the restated corpus")
+    assert(!q0TopIds().contains(7L), "the predecessor embedding still serves")
+    // restate BACK: the doubly-restated vector revives under its old value
+    assert(IvfStore.appendVectors(
+      vecFrame(vecCorpus(v7old)).filter(col("vec_id") === 7), store, 2L) == "ingest")
+    landCorpus(v7old)
+    assert(IvfStore.ensureCurrentIncremental(spark, dir, store) == "noop")
+    assert(q0TopIds().head == 7L, "the re-restated vector must serve again")
+  }
+
+  test("X3e: skewed ingest re-trains from the store — no raw corpus needed") {
+    import graft.operators.IvfStore
+    val dir = tmpDir("r10-ivfretraindir")
+    val store = tmpDir("r10-ivfretrain") + "/store"
+    val spread = (0L until 64L).map(i => (i,
+      Seq(math.cos(i * 0.098).toFloat, math.sin(i * 0.098).toFloat, 0f, 0f): Seq[Float], 0))
+    assert(IvfStore.appendVectors(vecFrame(spread), store, 0L) == "ingest-initial")
+    // 64 near-identical arrivals crowd ONE cell (orthogonal to every
+    // xy-plane centroid → one argmax tie-broken cell): 64 > 8 × (128/32)
+    val crowd = (100L until 164L).map(i => (i,
+      Seq(0f, 0f, 1f, (i % 7) * 1e-4f): Seq[Float], 0))
+    assert(IvfStore.appendVectors(vecFrame(crowd), store, 1L) == "ingest-retrain")
+    // the re-trained store still fingerprints as the materialized corpus
+    vecFrame(spread ++ crowd).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    assert(IvfStore.ensureCurrentIncremental(spark, dir, store) == "noop",
+      "retrained store drifted from the corpus")
+    // and the NEW centroids absorb further appends incrementally
+    val more = Seq((200L, Seq(0.5f, 0.5f, 0.5f, 0f): Seq[Float], 0))
+    assert(IvfStore.appendVectors(vecFrame(more), store, 2L) == "ingest")
+  }
+
+  test("X3e: streaming vector ingest is exactly-once under checkpoint replay") {
+    import graft.operators.IvfStore
+    val dir = tmpDir("r10-ivfstreamdir")
+    val store = tmpDir("r10-ivfstream") + "/store"
+    val src = tmpDir("r10-ivfstreamsrc")
+    val ckpt = tmpDir("r10-ivfstreamckpt")
+    val a = (0L until 64L).map(i => (i,
+      Seq(math.cos(i * 0.098).toFloat, math.sin(i * 0.098).toFloat, 1f, 0f): Seq[Float], 0))
+    val b = (64L until 128L).map(i => (i,
+      Seq(math.cos(i * 0.049).toFloat, 1f, math.sin(i * 0.049).toFloat, 0f): Seq[Float], 0))
+    vecFrame(a).coalesce(1).write.mode("append").parquet(src)
+    vecFrame(b).coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def runSink(): Unit = {
+      val q = IvfStore.ingestSinkVectors(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+        store, ckpt)
+      assert(q.awaitTermination(120000), "vector ingest query did not finish")
+    }
+    runSink()
+    vecFrame(a ++ b).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(IvfStore.ensureCurrentIncremental(spark, dir, store) == "noop",
+      "streamed store drifted from the corpus")
+    // rerun on the same checkpoint: nothing reprocessed, floor holds
+    runSink()
+    assert(IvfStore.ensureCurrentIncremental(spark, dir, store) == "noop")
+    assert(IvfStore.appendVectors(vecFrame(b), store, 1L) == "skip",
+      "a committed micro-batch id must skip")
+  }
 }
