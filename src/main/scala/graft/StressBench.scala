@@ -396,6 +396,31 @@ object StressBench {
     val ivfDelSec = (System.nanoTime() - tIvfDel) / 1e9
     require(ivfDelMode == "incremental-delete", s"expected the delete path, ran '$ivfDelMode'")
 
+    // --- log-driven vector UPSERT at 1M scale (round-10 §16): three
+    // 10k micro-batches of new vectors, then a 1k re-embed restate,
+    // against the 1M store the delete phase just served. Per-batch cost
+    // = one narrow digest classification pass + delta-only assignment —
+    // it must stay a small fraction of the full re-train, and flat
+    // across batches ---
+    val vecIngestSecs = (0 until 3).map { b =>
+      val batch = scaleVecs.filter(col("vec_id") % 100 === b)
+        .withColumn("vec_id", col("vec_id") + 100000000L + b.toLong * 10000000L)
+      val t0 = System.nanoTime()
+      val m = graft.operators.IvfStore.appendVectors(
+        batch, s"$work/ivfstore-scale", 1000L + b)
+      require(m == "ingest", s"vector ingest batch $b ran '$m'")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val reBatch = scaleVecs.filter(col("vec_id") % 100 === 0 && col("vec_id") % 1000 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000000L)
+      .withColumn("embedding", expr("transform(embedding, x -> CAST(x * 2.0 AS FLOAT))"))
+    val vecRestated = reBatch.count()
+    val tVecRe = System.nanoTime()
+    val vecReMode = graft.operators.IvfStore.appendVectors(
+      reBatch, s"$work/ivfstore-scale", 2000L)
+    val vecRestateSec = (System.nanoTime() - tVecRe) / 1e9
+    require(vecReMode == "ingest", s"vector restate ran '$vecReMode'")
+
     // --- log-driven date-store ingestion (round-10 §15): per-batch
     // cost must track the BATCH (a new day) or the touched DAY (a late
     // restate) — never the history. Ten 100k-row day-batches land into
@@ -594,6 +619,10 @@ object StressBench {
       f""""label_del":{"deleted_1":$labelDel1,"sec_1":$labelDelSec1%.3f,""" +
       f""""deleted_2":$labelDel2,"sec_2":$labelDelSec2%.3f,"full_build_sec":$storeBuildSec%.3f},""" +
       f""""ivf_del":{"deleted":$ivfDeleted,"sec":$ivfDelSec%.3f,""" +
+      f""""full_build_sec":$ivfScaleBuildSec%.3f},""" +
+      s""""vec_ingest":{"store_vecs":${scaleVecs.count()},""" +
+      s""""upsert_secs":${vecIngestSecs.map(s => f"$s%.3f").mkString("[", ",", "]")},""" +
+      f""""restated":$vecRestated,"restate_sec":$vecRestateSec%.3f,""" +
       f""""full_build_sec":$ivfScaleBuildSec%.3f},""" +
       s""""date_ingest":{"day_rows":$dayRows,""" +
       s""""new_day_secs":${ingestNewSecs.map(s => f"$s%.3f").mkString("[", ",", "]")},""" +

@@ -532,6 +532,16 @@ object IvfStore {
     * `x3_ann_ivf_ingest` oracle row. Exactly-once as in the date store:
     * the publish carries the micro-batch id, and a batch at or below
     * the floor skips.
+    *
+    * Scale honesty: classification reads the stored DIGESTS (vec_id, h
+    * — 16 bytes/row, ~0.02% of vector data volume) once per
+    * micro-batch. At production scale that join's shuffle self-prunes:
+    * the batch side is far below the runtime bloom-filter creation
+    * threshold and the digest scan far above the application threshold,
+    * so `InjectRuntimeFilter` (pinned in Round10Spec) drops non-batch
+    * ids before the exchange — the residual cost is the narrow columnar
+    * scan, amortized by batch frequency. STRESS_r10 `vec_ingest`
+    * measures the whole path flat at 1M vectors.
     */
   def appendVectors(batch: DataFrame, storeDir: String,
                     streamBatchId: Long): String = {
