@@ -192,6 +192,33 @@ object Streams {
       }
       .start()
 
+  /** T13 [EXT] — streaming LABEL maintenance: the full document→labels
+    * lifecycle as one sink (the log-driven story for the
+    * [[graft.operators.LabelStore]], by composition). Each micro-batch
+    * upserts into the keyed corpus store first (the L5 machinery:
+    * doc_id-keyed, bucketed, staged swap — a foreachBatch re-delivery
+    * merges idempotently instead of double-appending), then the label
+    * store incrementally maintains against the updated corpus
+    * (delta-only signing, bucket-pruned probes — cost scales with the
+    * batch and its candidates). Exactly-once needs no batch-id floor
+    * here, unlike the date/IVF ingest sinks: label validity is
+    * CONTENT-derived — a replayed micro-batch leaves the corpus
+    * fingerprint unchanged, so its maintenance call is a provable noop.
+    */
+  def labelMaintainSink(stream: DataFrame, corpusStore: String,
+                        labelStore: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Sinks.upsertByKey(batch, "doc_id", "doc_id", corpusStore)
+        val corpus = batch.sparkSession.read.parquet(corpusStore).drop("__bucket")
+        graft.operators.LabelStore.ensureIncrementalDocs(corpus, labelStore)
+        ()
+      }
+      .start()
+
   /** T9 [EXT] — stream-static join: enrich each streamed event with a
     * batch dimension table. The static side plans as an ordinary
     * (broadcastable) relation re-bound per micro-batch — the streaming

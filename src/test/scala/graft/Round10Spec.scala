@@ -707,4 +707,54 @@ class Round10Spec extends SparkSpec {
     assert(IvfStore.appendVectors(vecFrame(b), store, 1L) == "skip",
       "a committed micro-batch id must skip")
   }
+
+  // ---------------------------------------------------------------
+  // T13 — streaming label maintenance (document → labels lifecycle)
+  // ---------------------------------------------------------------
+
+  test("T13: streaming label maintenance merges a late near-dup into its stored cluster, replay-safe") {
+    import graft.streaming.Streams
+    val corpusStore = tmpDir("r10-lblcorpus") + "/store"
+    val labelStore = tmpDir("r10-lblstore") + "/store"
+    val src = tmpDir("r10-lblsrc")
+    val ckpt = tmpDir("r10-lblckpt")
+    val all = docRows(Set.empty)
+    def docFrame(rows: Seq[(Long, String)]) = {
+      import spark.implicits._
+      rows.toDF("doc_id", "text")
+        .withColumn("source", lit("s")).withColumn("lang", lit("en"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    // micro-batch 1: everything except doc 12; micro-batch 2: doc 12 (a
+    // near-dup of 11 — it must MERGE into the stored chain cluster via
+    // the band-index probe, never a rebuild) plus a re-delivery of 10
+    val b1 = all.filterNot(_._1 == 12L)
+    val b2 = all.filter(r => r._1 == 12L || r._1 == 10L)
+    docFrame(b1).coalesce(1).write.mode("append").parquet(src)
+    docFrame(b2).coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def runSink(): Unit = {
+      val q = Streams.labelMaintainSink(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+        corpusStore, labelStore, ckpt)
+      assert(q.awaitTermination(120000), "label maintenance query did not finish")
+    }
+    runSink()
+    // the streamed lifecycle must equal a from-scratch build on the
+    // union corpus — including 12 joining the chain cluster rep 10
+    val dir = tmpDir("r10-lblscratchdir")
+    writeDocs(dir, all)
+    val scratch = tmpDir("r10-lblscratch") + "/store"
+    LabelStore.build(spark, dir, scratch)
+    assert(labelSet(labelStore) == labelSet(scratch),
+      "streamed labels diverge from the from-scratch build")
+    assert(labelSet(labelStore).contains((12L, 10L)),
+      "the late near-dup did not merge into the stored cluster")
+    // replay: same checkpoint reprocesses nothing; a manual re-apply of
+    // the corpus is a fingerprint noop
+    runSink()
+    assert(labelSet(labelStore) == labelSet(scratch))
+    assert(LabelStore.ensureCurrentIncremental(spark, dir, labelStore) == "noop",
+      "replay must be a content-derived noop")
+  }
 }
