@@ -128,10 +128,15 @@ object StressBench {
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft-stress"
-    val loadStart =
+    // load context, the Bench discipline: three post-review stress runs
+    // disagreed 9 s vs 18 s on the same code purely from box load, and
+    // only an artifact-borne load reading separates contention from
+    // regression without a re-run
+    def loadavg: String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split("\\s+").take(3).mkString(",")
       catch { case _: Throwable => "" }
+    val loadStart = loadavg
     val copies = 10
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -368,6 +373,16 @@ object StressBench {
     }
     val ivfIncStore = s"$work/ivfstore-inc"
     val scaleVecs = spark.read.parquet(s"$embScale/embeddings.parquet")
+    val scaleVecCount = scaleVecs.count()
+    // self-contained across runs: the ingest phase below records a
+    // micro-batch-id floor that SURVIVES rebuilds by design (replay
+    // safety across mixed maintenance), so a reused work dir would skip
+    // this run's fixed batch ids — start from a clean store
+    locally {
+      val p = new org.apache.hadoop.fs.Path(s"$work/ivfstore-scale")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     val tIvfFull = System.nanoTime()
     graft.operators.IvfStore.build(spark, embScale, s"$work/ivfstore-scale")
     val ivfScaleBuildSec = (System.nanoTime() - tIvfFull) / 1e9
@@ -411,7 +426,9 @@ object StressBench {
       require(m == "ingest", s"vector ingest batch $b ran '$m'")
       (System.nanoTime() - t0) / 1e9
     }
-    val reBatch = scaleVecs.filter(col("vec_id") % 100 === 0 && col("vec_id") % 1000 === 0)
+    // % 1000 alone: divisibility by 1000 implies the % 100 === 0 batch-0
+    // membership, so every remapped id here restates a just-ingested one
+    val reBatch = scaleVecs.filter(col("vec_id") % 1000 === 0)
       .withColumn("vec_id", col("vec_id") + 100000000L)
       .withColumn("embedding", expr("transform(embedding, x -> CAST(x * 2.0 AS FLOAT))"))
     val vecRestated = reBatch.count()
@@ -582,14 +599,6 @@ object StressBench {
     }.mkString("{", ",", "}")
     val admJson = admSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
     val boilAdmJson = boilAdmSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
-    // load context, the Bench discipline: three post-review stress runs
-    // disagreed 9 s vs 18 s on the same code purely from box load, and
-    // only an artifact-borne load reading separates contention from
-    // regression without a re-run
-    def loadavg: String =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
-        .split("\\s+").take(3).mkString(",")
-      catch { case _: Throwable => "" }
     println(s"""{"stress":"dedup10x","loadavg_start":"$loadStart","loadavg_end":"$loadavg","copies":$copies,""" +
       s""""base_docs":${cnt(baseOut, "documents")},"x10_docs":${cnt(bigOut, "documents")},""" +
       s""""base_vecs":${cnt(baseOut, "embeddings")},"x10_vecs":${cnt(bigOut, "embeddings")},""" +
@@ -613,14 +622,14 @@ object StressBench {
       f""""appended_docs":$incAppendedDocs,"full_build_sec":$storeBuildSec%.3f},""" +
       f""""ivf_store":{"direct_sec":$ivfDirectSec%.3f,"build_sec":$ivfBuildSec%.3f,""" +
       f""""probe_sec":$ivfProbeSec%.3f,"rows":$ivfProbeRows},""" +
-      f""""ivf_inc":{"corpus_vecs":${scaleVecs.count()},"base_build_sec":$ivfIncBuildSec%.3f,""" +
+      f""""ivf_inc":{"corpus_vecs":$scaleVecCount,"base_build_sec":$ivfIncBuildSec%.3f,""" +
       f""""append_sec":$ivfIncAppendSec%.3f,"appended_vecs":$ivfIncAppended,""" +
       f""""full_build_sec":$ivfScaleBuildSec%.3f},""" +
       f""""label_del":{"deleted_1":$labelDel1,"sec_1":$labelDelSec1%.3f,""" +
       f""""deleted_2":$labelDel2,"sec_2":$labelDelSec2%.3f,"full_build_sec":$storeBuildSec%.3f},""" +
       f""""ivf_del":{"deleted":$ivfDeleted,"sec":$ivfDelSec%.3f,""" +
       f""""full_build_sec":$ivfScaleBuildSec%.3f},""" +
-      s""""vec_ingest":{"store_vecs":${scaleVecs.count()},""" +
+      s""""vec_ingest":{"base_vecs":$scaleVecCount,""" +
       s""""upsert_secs":${vecIngestSecs.map(s => f"$s%.3f").mkString("[", ",", "]")},""" +
       f""""restated":$vecRestated,"restate_sec":$vecRestateSec%.3f,""" +
       f""""full_build_sec":$ivfScaleBuildSec%.3f},""" +

@@ -186,15 +186,8 @@ object Dedup {
       // free the checkpoint blocks before returning: a small-graph call
       // must leave NO block state (maintenance paths call this many
       // times per session, and orphaned checkpoint blocks accumulated
-      // until later phases paid for them in memory pressure). The
-      // checkpointed RDD sits under the frame's LogicalRDD node —
-      // unpersist exactly it, nothing a concurrent writer may have
-      // materialized in the meantime.
-      edgesRaw.queryExecution.analyzed.collectLeaves().foreach {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
+      // until later phases paid for them in memory pressure)
+      StoreDirs.freePinned(edgesRaw)
       return (labels.toSeq.sortBy(_._1).toDF("doc_id", "cluster_rep"), 0)
     }
     // distributed path: size the edge partitioning from the MEASURED
@@ -237,6 +230,7 @@ object Dedup {
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
+      val prev = labels
       val viaNeighbor = edges
         .join(labels, edges("doc_b") === labels("doc"))
         .select(edges("doc_a").as("doc"), col("label"))
@@ -246,11 +240,19 @@ object Dedup {
       labels = labels.unionByName(viaNeighbor).unionByName(viaDouble)
         .groupBy(col("doc")).agg(min(col("label")).as("label"))
         .localCheckpoint()
+      // the new checkpoint is eager — the superseded round's blocks are
+      // dead weight from here; freeing them bounds the fixpoint's block
+      // footprint at TWO label tables instead of one per round (up to
+      // 50 on a pathological diameter)
+      StoreDirs.freePinned(prev)
       val s = labelSum(labels)
       converged = s == prevSum
       prevSum = s
       rounds += 1
     }
+    // the edge blocks served their last join; only the final label
+    // checkpoint (the caller's result) stays pinned
+    StoreDirs.freePinned(edgesRaw)
     (labels.select(col("doc").as("doc_id"), col("label").as("cluster_rep"))
       .orderBy("doc_id"), rounds)
   }
@@ -262,10 +264,12 @@ object Dedup {
   private[graft] val EdgesPerPartitionConf = "spark.graft.cluster.edgesPerPartition"
 
   /** Directed-edge count at or under which [[clusterPairs]] runs its
-    * fixpoint driver-side (`spark.graft.cluster.driverMaxEdges`,
-    * default 1M ≈ 16 MB of long pairs — the autoBroadcastJoinThreshold
-    * size class). 0 forces the distributed path (the round-count specs
-    * and the diameter stress set it).
+    * fixpoint driver-side (`spark.graft.cluster.driverMaxEdges`). The
+    * driver collects the DOUBLED edge list — up to 2× this bound of
+    * long pairs, ≈ 32 MB at the 1M default — still the
+    * autoBroadcastJoinThreshold size class, but size driver memory for
+    * the doubled figure. 0 forces the distributed path (the
+    * round-count specs and the diameter stress set it).
     */
   private[graft] val DriverMaxEdgesConf = "spark.graft.cluster.driverMaxEdges"
 

@@ -605,10 +605,17 @@ object IvfStore {
         .localCheckpoint()
       pinned += assigned
       // imbalance gauge over what the store will serve AFTER this batch:
-      // surviving old rows (narrow id columns) plus the new assignments
-      val liveIds = maskDead(readBatches(s, listsDir(storeDir), gen.base, gen.k)
+      // surviving old rows (narrow id columns) plus the new assignments.
+      // A restating batch reads this scan twice (gauge + the
+      // predecessors' tombstones below) — pin it once; a pure append
+      // reads it once and pins nothing
+      val liveBase0 = maskDead(readBatches(s, listsDir(storeDir), gen.base, gen.k)
           .select(col("vec_id"), col("c_id"), col("__batch")), ts)
-        .join(reIds, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("c_id"))
+      val liveBase =
+        if (nRe == 0) liveBase0
+        else { val p = liveBase0.localCheckpoint(); pinned += p; p }
+      val liveIds = liveBase.join(reIds, Seq("vec_id"), "left_anti")
       val maxCell = liveIds.groupBy(col("c_id")).agg(count(lit(1)).as("cnt"))
         .unionByName(assigned.groupBy(col("c_id")).agg(count(lit(1)).as("cnt")))
         .groupBy(col("c_id")).agg(sum(col("cnt")).as("cnt"))
@@ -639,11 +646,9 @@ object IvfStore {
       }
       if (nRe > 0) {
         // the restated predecessors' tombstones ship in the same publish
-        // as their replacements (strict-`>` mask semantics above)
-        val newTombs = maskDead(readBatches(s, listsDir(storeDir), gen.base, gen.k)
-            .select(col("vec_id"), col("c_id"), col("__batch")), ts)
-          .join(reIds, Seq("vec_id"), "left_semi")
-          .select(col("vec_id"), col("c_id"))
+        // as their replacements (strict-`>` mask semantics above); reads
+        // the pinned liveBase blocks, not the lists again
+        val newTombs = liveBase.join(reIds, Seq("vec_id"), "left_semi")
         writeBatch(newTombs.coalesce(8), next, Seq.empty, tombsDir(storeDir))
       }
       writeBatch(assigned.repartition(col("c_id")), next, Seq("c_id"),
@@ -652,11 +657,7 @@ object IvfStore {
       publishGen(s, storeDir, next, nAfter, fpAfter, base = gen.base,
         centroids = cent, ingestId = Some(streamBatchId))
       "ingest"
-    } finally pinned.foreach(_.queryExecution.analyzed.collectLeaves().foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    })
+    } finally pinned.foreach(StoreDirs.freePinned)
   }
 
   /** The streaming entry — AvailableNow micro-batches of embeddings

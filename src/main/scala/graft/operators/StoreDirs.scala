@@ -39,6 +39,20 @@ private[graft] object StoreDirs {
       case _: UnsupportedOperationException => Files.createDirectories(p)
     }
 
+  /** Free a `localCheckpoint`'d frame's pinned blocks — the shared
+    * exit discipline of every maintenance/ingest path that pins a
+    * per-call frame (the clusterPairs lesson: orphaned checkpoint
+    * blocks accumulate across calls until later phases pay for them in
+    * memory pressure). Unpersists exactly the frame's own LogicalRDD
+    * leaves, nothing a concurrent writer may have materialized.
+    */
+  def freePinned(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Run `body` against a fresh throwaway store, then DELETE the store
     * once the caller has pinned everything it needs (ADVICE r9: the
     * maintenance-gate rows created a full index copy per invocation and

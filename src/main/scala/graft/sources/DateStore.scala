@@ -382,11 +382,7 @@ object DateStore {
         // checkpoint blocks accumulate until later batches pay for
         // them in memory pressure (the clusterPairs lesson)
         try { appendEvents(pinned, storeDir, batchId); () }
-        finally pinned.queryExecution.analyzed.collectLeaves().foreach {
-          case lr: org.apache.spark.sql.execution.LogicalRDD =>
-            lr.rdd.unpersist(blocking = false)
-          case _ => ()
-        }
+        finally StoreDirs.freePinned(pinned)
       }
       .start()
 

@@ -212,10 +212,23 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.sources.Sinks.upsertByKey(batch, "doc_id", "doc_id", corpusStore)
-        val corpus = batch.sparkSession.read.parquet(corpusStore).drop("__bucket")
-        graft.operators.LabelStore.ensureIncrementalDocs(corpus, labelStore)
-        ()
+        // pin once (the merge reads the batch several times — bucket
+        // probe, anti-join, write) and free on exit; exact re-delivered
+        // rows inside one batch collapse, but CONFLICTING versions of
+        // one doc_id have no defined order here — that is the
+        // producer's sequencing (the L5 offset discipline) — so fail
+        // loudly instead of landing a winner by shuffle luck
+        val b = batch.dropDuplicates().localCheckpoint()
+        try {
+          require(b.select(col("doc_id")).distinct().count() == b.count(),
+            "labelMaintainSink: a micro-batch carries conflicting versions " +
+              "of one doc_id — sequence upstream or route through upsertSink " +
+              "with a real offset column")
+          graft.sources.Sinks.upsertByKey(b, "doc_id", "doc_id", corpusStore)
+          val corpus = b.sparkSession.read.parquet(corpusStore).drop("__bucket")
+          graft.operators.LabelStore.ensureIncrementalDocs(corpus, labelStore)
+          ()
+        } finally graft.operators.StoreDirs.freePinned(b)
       }
       .start()
 
