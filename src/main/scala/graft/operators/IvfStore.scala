@@ -198,6 +198,12 @@ object IvfStore {
     fs.mkdirs(root)
     val gens = listGens(s, storeDir)
     val staging = new Path(root, s".staging-$next")
+    // Stale-dir discipline (same as writeBatch): a crashed prior attempt
+    // at this generation may have left `$staging/ingest` behind; with
+    // carried=None it would never be overwritten and a never-committed
+    // micro-batch id would ride into the new generation, turning the
+    // stream's retry of that batch into a silent skip.
+    if (fs.exists(staging)) fs.delete(staging, true)
     centroids.write.mode(SaveMode.Overwrite).parquet(s"$staging/centroids")
     locally {
       import s.implicits._
@@ -524,6 +530,18 @@ object IvfStore {
     * the index re-trains FROM THE STORE — the lists already hold the
     * normalized vectors, so no raw corpus is needed, which is what
     * makes the path genuinely log-driven.
+    *
+    * Exactly-once floor on quiet batches: `"empty"`/`"noop"` returns do
+    * NOT advance the published floor (a floor bump would mean either a
+    * full generation publish per quiet batch or mutating the live
+    * generation's `ingest` file in place — breaking the
+    * immutable-once-published model the atomic rename provides).
+    * Correctness holds — a replay of a quiet batch re-derives the same
+    * empty/noop — but such a replay pays the digest classification scan
+    * instead of the `skip` fast path. That scan is the narrow
+    * (vec_id, h) columnar read described below, and replays only occur
+    * on crash-recovery of an already-quiet batch, so the cost is rare
+    * and bounded, not per-batch.
     *
     * Validity stays cross-checkable with the corpus-driven paths: the
     * published fingerprint is updated by XOR arithmetic (arrivals in,

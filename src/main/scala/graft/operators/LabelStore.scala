@@ -599,10 +599,20 @@ object LabelStore {
       // the concurrent write must never outlive this call: on any
       // failure below, settle it before propagating — a zombie write
       // racing an in-process retry means two writers on one directory
+      // the by-name block contains `return "full"` exits, which the
+      // compiler lowers to ControlThrowable — that case MUST stay
+      // settle-and-rethrow-untouched or the early return silently breaks;
+      // the explicit split keeps any future handler growth on the
+      // NonFatal arm only. Fatal VM errors pass through unsettled (the
+      // process is dying; no in-process retry can race the zombie write).
       def failSettling[A](body: => A): A =
-        try body catch { case t: Throwable =>
-          try Await.ready(fIdx, Duration.Inf) catch { case _: Throwable => () }
-          throw t
+        try body catch {
+          case t: scala.util.control.ControlThrowable =>
+            try Await.ready(fIdx, Duration.Inf) catch { case _: Throwable => () }
+            throw t
+          case t if scala.util.control.NonFatal(t) =>
+            try Await.ready(fIdx, Duration.Inf) catch { case _: Throwable => () }
+            throw t
         }
       failSettling {
       // new-new candidates through the shared hot-bucket guard

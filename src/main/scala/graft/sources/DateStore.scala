@@ -178,6 +178,12 @@ object DateStore {
     val fs = fsOf(s, root)
     fs.mkdirs(root)
     val staging = new Path(root, s".staging-$next")
+    // Stale-dir discipline (same as writeDaysBatch): a prior crashed
+    // attempt at this generation may have left `$staging/ingest` behind;
+    // a later publish with carried=None would never overwrite it and
+    // rename a never-committed micro-batch id into the new generation,
+    // making the stream's retry of that batch a silent skip.
+    if (fs.exists(staging)) fs.delete(staging, true)
     import s.implicits._
     manifest.map { case (d, nr, f, b) => (d, nr, f, b) }
       .toDF("event_date", "n_rows", "fp", "batch")
