@@ -34,6 +34,10 @@ object SparkEntry {
     "q12_priority_class" -> (Analytics.q12Priority _),
     "q13_custdist" -> (Analytics.q13CustDist _),
     "q17_small_qty" -> (Analytics.q17SmallQty _),
+    "q2_min_cost_supplier" -> (Analytics.q2MinCostSupplier _),
+    "q11_important_stock" -> (Analytics.q11ImportantStock _),
+    "q16_supplier_cnt" -> (Analytics.q16SupplierCnt _),
+    "q20_promo_part_supp" -> (Analytics.q20PromoPartSupp _),
     "r4_range_join_binned" -> (graft.plans.RangeJoin.r4bBinnedRangeJoin _),
     "r8_topk_grouped" -> (graft.plans.TopKPerGroup.r8gTopKGrouped _),
     "a5_funnel" -> (Analytics.a5Funnel _),
@@ -214,6 +218,10 @@ object SparkEntry {
     "q12_priority_class" -> Analytics.q12Sql,
     "q13_custdist" -> Analytics.q13Sql,
     "q17_small_qty" -> Analytics.q17Sql,
+    "q2_min_cost_supplier" -> Analytics.q2Sql,
+    "q11_important_stock" -> Analytics.q11Sql,
+    "q16_supplier_cnt" -> Analytics.q16Sql,
+    "q20_promo_part_supp" -> Analytics.q20Sql,
     "r4_range_join_binned" -> graft.plans.RangeJoin.r4bSql,
     "r8_topk_grouped" -> graft.plans.TopKPerGroup.r8gSql,
     "a5_funnel" -> Analytics.a5FunnelSql,

@@ -625,6 +625,228 @@ object Analytics {
       |                  / COUNT(l2.l_quantity))
       |    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)""".stripMargin
 
+  // --- derived partsupp + the four partsupp-gated TPC-H families -----------
+  // The fixture set ships no partsupp table, so the four classic queries
+  // that need one (Q2/Q11/Q16/Q20) are served over a DETERMINISTIC VIEW
+  // derived from part × supplier-count: each part gets exactly four
+  // suppliers at stride s_cnt/4 (distinct mod s_cnt for any s_cnt ≥ 4),
+  // and availqty/supplycost are hash-like integer arithmetic on the pair
+  // key — engine-portable (BIGINT ops + an exact 1/64 binary fraction for
+  // the cost, the same discipline as x6_mixture), so Spark and the DuckDB
+  // oracle materialize the identical table from the identical inputs.
+  // At 100 TB the view is a generator-projection over part (no join, no
+  // shuffle): 4× part rows, still dimension-sized next to the fact.
+
+  /** The derived partsupp view: (ps_partkey, ps_suppkey) unique, four
+    * suppliers per part. `explode` is a generator — partsupp never
+    * shuffles and never cross-joins; the one auxiliary input is the
+    * 1-row supplier count (broadcast gate idiom).
+    */
+  private[graft] def partsupp(s: SparkSession, dir: String): DataFrame = {
+    val scnt = Tables.supplier(s, dir).agg(count(lit(1)).as("s_cnt"))
+    Tables.part(s, dir).select(col("p_partkey"))
+      .crossJoin(broadcast(scnt))
+      .select(col("p_partkey"), col("s_cnt"),
+        explode(array((0 to 3).map(lit): _*)).as("i"))
+      .withColumn("ps_suppkey",
+        (col("p_partkey") + col("i") * expr("s_cnt div 4")) % col("s_cnt"))
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        col("ps_suppkey"),
+        (((col("p_partkey") * 37 + col("ps_suppkey") * 11) % 9999) + 1)
+          .cast("int").as("ps_availqty"),
+        (((col("p_partkey") * 13 + col("ps_suppkey") * 101) % 6400)
+          .cast("double") / 64.0 + 1.0).as("ps_supplycost"))
+  }
+
+  /** The identical view as a SQL CTE prefix for the DuckDB twins.
+    * DuckDB's `/` on integers is double division, so the stride uses
+    * `//`; Spark's side uses `div`. Both are floor division on
+    * non-negative operands.
+    */
+  private val psSql: String =
+    """WITH scnt AS (SELECT count(*) AS s_cnt FROM supplier),
+      |partsupp AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |    (p_partkey + v.i * (s_cnt // 4)) % s_cnt AS ps_suppkey,
+      |    CAST(((p_partkey * 37 + ((p_partkey + v.i * (s_cnt // 4)) % s_cnt) * 11) % 9999) + 1
+      |      AS INTEGER) AS ps_availqty,
+      |    CAST((p_partkey * 13 + ((p_partkey + v.i * (s_cnt // 4)) % s_cnt) * 101) % 6400
+      |      AS DOUBLE) / 64.0 + 1.0 AS ps_supplycost
+      |  FROM part CROSS JOIN scnt CROSS JOIN (VALUES (0),(1),(2),(3)) v(i))""".stripMargin
+
+  /** Q2 shape — min-cost supplier: for LARGE mid-size parts, the
+    * EUROPE supplier(s) offering each part at the region-minimum
+    * supply cost. The classic form scans partsupp TWICE (outer + the
+    * correlated min); here the correlated min is a keyed WINDOW over
+    * the single region-qualified join (the Q17 single-scan discipline
+    * — the window partition is the correlation key, and the window
+    * frame IS the subquery's domain because the eligibility filters
+    * are per-part, never per-supplier). supplycost is an exact binary
+    * fraction, so the min and the equality are bit-identical across
+    * engines.
+    */
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.part(s, dir)
+      .filter(col("p_type") === "LARGE" && col("p_size").between(10, 20))
+      .select(col("p_partkey"), col("p_name"))
+    val eur = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val w = Window.partitionBy(col("ps_partkey"))
+    partsupp(s, dir)
+      .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+      .join(Tables.supplier(s, dir), col("ps_suppkey") === col("s_suppkey"))
+      .join(broadcast(eur), col("s_nationkey") === col("n_nationkey"))
+      .withColumn("min_cost", min(col("ps_supplycost")).over(w))
+      .filter(col("ps_supplycost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("ps_supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  val q2Sql: String = psSql +
+    """
+      |, eligible AS (
+      |  SELECT p_partkey, p_name, ps_supplycost, s_name, s_acctbal, n_name
+      |  FROM partsupp
+      |  JOIN part ON p_partkey = ps_partkey
+      |  JOIN supplier ON s_suppkey = ps_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE' AND p_type = 'LARGE' AND p_size BETWEEN 10 AND 20)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+      |FROM eligible e
+      |WHERE ps_supplycost = (SELECT min(ps_supplycost) FROM eligible e2
+      |                       WHERE e2.p_partkey = e.p_partkey)
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+
+  /** Q11 shape — important stock: parts whose EUROPE-held inventory
+    * value exceeds 1.5× the average per-part value. One keyed hash
+    * aggregate builds the per-part values; the threshold is a 1-row
+    * broadcast gate over THAT grouped frame (never a second partsupp
+    * scan). Value sums are exact decimal; the threshold divides in
+    * double on both engines.
+    */
+  def q11ImportantStock(s: SparkSession, dir: String): DataFrame = {
+    val eur = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val vals = partsupp(s, dir)
+      .join(Tables.supplier(s, dir), col("ps_suppkey") === col("s_suppkey"))
+      .join(broadcast(eur), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("ps_partkey"))
+      .agg(Exact.dsum(col("ps_supplycost") * col("ps_availqty")).as("value"))
+    val thr = vals.agg((lit(1.5) * Exact.dsum(col("value")) / count(lit(1))).as("thr"))
+    vals.crossJoin(broadcast(thr))
+      .filter(col("value") > col("thr"))
+      .select(col("ps_partkey"), col("value"))
+      .orderBy(col("value").desc, col("ps_partkey"))
+  }
+
+  val q11Sql: String = psSql +
+    """
+      |, vals AS (
+      |  SELECT ps_partkey,
+      |    CAST(SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(28,6))) AS DOUBLE) AS value
+      |  FROM partsupp
+      |  JOIN supplier ON ps_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'
+      |  GROUP BY ps_partkey)
+      |SELECT ps_partkey, value FROM vals
+      |WHERE value > (SELECT 1.5 * CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+      |               FROM vals)
+      |ORDER BY value DESC, ps_partkey""".stripMargin
+
+  /** Q16 shape — supplier diversity per part attribute: how many
+    * distinct non-distressed suppliers stock each surviving
+    * (brand, type, size) combination. The classic NOT IN over a
+    * supplier predicate is a broadcast anti join (s_suppkey is
+    * non-null, so NOT IN ≡ anti); part's three filters prune its
+    * broadcast side before the join; one countDistinct aggregate.
+    */
+  def q16SupplierCnt(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val distressed = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+    partsupp(s, dir)
+      .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(distressed), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  val q16Sql: String = psSql +
+    """
+      |SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+      |FROM partsupp JOIN part ON p_partkey = ps_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40)
+      |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** Q20 shape — suppliers with surplus stock of red parts: EUROPE
+    * suppliers holding more than half a year's shipments (1996) of any
+    * red part they stock. The classic nested form correlates a
+    * lineitem SUM per (partkey, suppkey) inside an IN inside an IN;
+    * here the fact is aggregated ONCE keyed by the pair and joined —
+    * no per-row rescans (the Q17 discipline at a composite key). The
+    * inner join reproduces the classic NULL semantics exactly: a pair
+    * with no 1996 shipments has a NULL correlated sum, and
+    * `availqty > NULL` excludes the row. Quantity sums are exact
+    * decimal on both engines, so the strict `>` agrees bitwise.
+    */
+  def q20PromoPartSupp(s: SparkSession, dir: String): DataFrame = {
+    val redParts = Tables.part(s, dir)
+      .filter(col("p_name").like("red%")).select(col("p_partkey"))
+    val shipped = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(Exact.dsum(col("l_quantity")).as("qty"))
+    val eur = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val qualified = partsupp(s, dir)
+      .join(broadcast(redParts), col("ps_partkey") === col("p_partkey"), "left_semi")
+      .join(shipped, col("ps_partkey") === col("l_partkey") &&
+        col("ps_suppkey") === col("l_suppkey"))
+      .filter(col("ps_availqty") > lit(0.5) * col("qty"))
+      .select(col("ps_suppkey")).distinct()
+    Tables.supplier(s, dir)
+      .join(broadcast(qualified), col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .join(broadcast(eur), col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
+  val q20Sql: String = psSql +
+    """
+      |SELECT s_name, s_acctbal FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'EUROPE' AND s_suppkey IN (
+      |  SELECT ps_suppkey FROM partsupp
+      |  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |    AND ps_availqty > 0.5 * (
+      |      SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) FROM lineitem
+      |      WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      |        AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |        AND l_shipdate < TIMESTAMP '1997-01-01'))
+      |ORDER BY s_name""".stripMargin
+
   // --- event-stream analytics (A5–A7 [EXT]) ---------------------------------
   // The reference's events are opaque Kafka payloads counted in aggregate
   // (dags/kafka_to_mongo_pipeline.py:56-62); these are the product-analytics
