@@ -197,6 +197,13 @@ object IvfStore {
     val fs = fsOf(s, root)
     fs.mkdirs(root)
     val gens = listGens(s, storeDir)
+    // CAS half of the concurrent-writer guard (the caller holds the
+    // generation fence): refuse to rename if the store advanced since
+    // the maintenance read — a competitor's work must never be buried
+    val curK = gens.lastOption.map(_.k).getOrElse(0L)
+    require(curK == next - 1,
+      s"IvfStore: store advanced to gen $curK while this writer maintained " +
+        s"gen $next — concurrent writer; retry from the advanced state")
     val staging = new Path(root, s".staging-$next")
     // Stale-dir discipline (same as writeBatch): a crashed prior attempt
     // at this generation may have left `$staging/ingest` behind; with
@@ -218,6 +225,7 @@ object IvfStore {
     val pub = new Path(root,
       s"gen=${next}__n=${n}__fp=${java.lang.Long.toHexString(fp)}__b=${base}")
     require(fs.rename(staging, pub), s"IvfStore: could not publish $pub")
+    StoreDirs.sweepFences(fs, root, next)
     StoreDirs.sweepRetired(fs, root)
     gens.dropRight(1).foreach { g =>
       fs.rename(g.path, new Path(root, "." + g.path.getName + ".retired"))
@@ -254,10 +262,17 @@ object IvfStore {
     val (cent, lists) = Similarity.ivfIndex(e)
     try {
       val next = listGens(s, storeDir).lastOption.map(_.k).getOrElse(0L) + 1
-      writeBatch(lists.repartition(col("c_id")), next, Seq("c_id"), listsDir(storeDir))
-      writeBatch(dg, next, Seq.empty, digestsDir(storeDir))
-      publishGen(s, storeDir, next, n, fp, base = next, centroids = cent,
-        ingestId = ingestId)
+      val root = new Path(storeDir)
+      val fs = fsOf(s, root)
+      StoreDirs.acquireGen(fs, root, next)
+      try {
+        writeBatch(lists.repartition(col("c_id")), next, Seq("c_id"), listsDir(storeDir))
+        writeBatch(dg, next, Seq.empty, digestsDir(storeDir))
+        publishGen(s, storeDir, next, n, fp, base = next, centroids = cent,
+          ingestId = ingestId)
+      } catch { case t: Throwable =>
+        StoreDirs.releaseGen(fs, root, next); throw t
+      }
     } finally { cent.unpersist(); e.unpersist() }
   }
 
@@ -356,8 +371,17 @@ object IvfStore {
         // published range until the rename, so a crash in between leaves
         // the old generation serving unmasked and the retry (which still
         // sees the deletes in the stored digests) overwrites the batch
-        writeBatch(newTombs.coalesce(8), next, Seq.empty, tombsDir(storeDir))
-        publishGen(s, storeDir, next, n, fp, base = gen.base, centroids = cent)
+        locally {
+          val root = new Path(storeDir)
+          val fs = fsOf(s, root)
+          StoreDirs.acquireGen(fs, root, next)
+          try {
+            writeBatch(newTombs.coalesce(8), next, Seq.empty, tombsDir(storeDir))
+            publishGen(s, storeDir, next, n, fp, base = gen.base, centroids = cent)
+          } catch { case t: Throwable =>
+            StoreDirs.releaseGen(fs, root, next); throw t
+          }
+        }
         return "incremental-delete"
       }
 
@@ -382,10 +406,19 @@ object IvfStore {
       if (maxCell > ImbalanceFactor * n / Similarity.IvfNList) {
         buildVecs(emb, storeDir); return "full"
       }
-      writeBatch(assigned.repartition(col("c_id")), next, Seq("c_id"), listsDir(storeDir))
-      writeBatch(dg.join(appended, Seq("vec_id"), "left_semi"), next,
-        Seq.empty, digestsDir(storeDir))
-      publishGen(s, storeDir, next, n, fp, base = gen.base, centroids = cent)
+      locally {
+        val root = new Path(storeDir)
+        val fs = fsOf(s, root)
+        StoreDirs.acquireGen(fs, root, next)
+        try {
+          writeBatch(assigned.repartition(col("c_id")), next, Seq("c_id"), listsDir(storeDir))
+          writeBatch(dg.join(appended, Seq("vec_id"), "left_semi"), next,
+            Seq.empty, digestsDir(storeDir))
+          publishGen(s, storeDir, next, n, fp, base = gen.base, centroids = cent)
+        } catch { case t: Throwable =>
+          StoreDirs.releaseGen(fs, root, next); throw t
+        }
+      }
       "incremental"
     } finally dg.unpersist()
   }
@@ -615,6 +648,12 @@ object IvfStore {
       // corpus this store now serves
       val nAfter = gen.n + nNew
       val fpAfter = gen.fp ^ xIn ^ xOut
+      // both lanes below (retrain-from-store and frozen-centroid append)
+      // write batch `next` — claim it once, before either's first write
+      val fenceRoot = new Path(storeDir)
+      val fenceFs = fsOf(s, fenceRoot)
+      StoreDirs.acquireGen(fenceFs, fenceRoot, next)
+      try {
       val upIds = classified.select(col("vec_id"))
       val reIds = classified.filter(col("is_restate")).select(col("vec_id"))
       val newVecs = cleaned.join(upIds, Seq("vec_id"), "left_semi")
@@ -675,6 +714,9 @@ object IvfStore {
       publishGen(s, storeDir, next, nAfter, fpAfter, base = gen.base,
         centroids = cent, ingestId = Some(streamBatchId))
       "ingest"
+      } catch { case t: Throwable =>
+        StoreDirs.releaseGen(fenceFs, fenceRoot, next); throw t
+      }
     } finally pinned.foreach(StoreDirs.freePinned)
   }
 

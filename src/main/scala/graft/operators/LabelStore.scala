@@ -284,22 +284,30 @@ object LabelStore {
         gen, Seq.empty, digestsIdx(storeDir), replaceAll) }
   }
 
-  /** Publish `labels` as the next generation named by (n, fp); returns
+  /** Publish `labels` as generation `next`, named by (n, fp); returns
     * the generation number. One atomic rename exposes data + validity
-    * together; all but the newest two generations retire after.
+    * together; all but the newest two generations retire after. The
+    * caller must hold the generation fence ([[StoreDirs.acquireGen]])
+    * for `next`; the CAS re-check here refuses to rename if the store
+    * advanced since the caller's maintenance read — the publish-time
+    * half of the concurrent-writer guard.
     */
   private def publishGen(s: SparkSession, storeDir: String, n: Long,
-                         fp: Long, labels: DataFrame): Long = {
+                         fp: Long, labels: DataFrame, next: Long): Long = {
     val root = new Path(storeDir)
     val fs = fsOf(s, root)
     fs.mkdirs(root)
     val gens = listGens(s, storeDir)
-    val next = gens.lastOption.map(_.k).getOrElse(0L) + 1
+    val curK = gens.lastOption.map(_.k).getOrElse(0L)
+    require(curK == next - 1,
+      s"LabelStore: store advanced to gen $curK while this writer maintained " +
+        s"gen $next — concurrent writer; retry from the advanced state")
     val staging = new Path(root, s".staging-$next")
     labels.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     val pub = new Path(root,
       s"gen=${next}__n=${n}__fp=${java.lang.Long.toHexString(fp)}")
     require(fs.rename(staging, pub), s"LabelStore: could not publish $pub")
+    StoreDirs.sweepFences(fs, root, next)
     // retire everything older than the previous latest — keep two live
     // generations so a reader that resolved just before this publish
     // still scans existing files; debris retired by EARLIER publishes is
@@ -351,6 +359,12 @@ object LabelStore {
       // the writeDigests contract unchanged.
       timed(s, "sign") { sig.count() }
       val next = listGens(s, storeDir).lastOption.map(_.k).getOrElse(0L) + 1
+      val storeRoot = new Path(storeDir)
+      val storeFs = fsOf(s, storeRoot)
+      // claim the generation BEFORE the first shared-path write (the
+      // concurrent index future below): a competing maintainer at the
+      // same parent fails loudly here instead of interleaving batch dirs
+      StoreDirs.acquireGen(storeFs, storeRoot, next)
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
@@ -359,16 +373,20 @@ object LabelStore {
       // settle the concurrent static overwrite before any failure
       // propagates: a zombie index write racing an in-process retry is
       // two writers statically overwriting the same directories
-      val pub =
-        try timed(s, "cluster+publish") { publishGen(s, storeDir, n, fp,
-          Dedup.x2DupClustersOf(corpus, preSigned = Some(sig))) }
-        catch { case t: Throwable =>
-          try Await.ready(fIdx, Duration.Inf) catch { case _: Throwable => () }
-          throw t
-        }
-      Await.result(fIdx, Duration.Inf)
-      require(pub == next, s"LabelStore: build expected gen $next, published $pub")
-      writeDigests(dg, next, storeDir, replaceAll = true)
+      try {
+        val pub =
+          try timed(s, "cluster+publish") { publishGen(s, storeDir, n, fp,
+            Dedup.x2DupClustersOf(corpus, preSigned = Some(sig)), next) }
+          catch { case t: Throwable =>
+            try Await.ready(fIdx, Duration.Inf) catch { case _: Throwable => () }
+            throw t
+          }
+        Await.result(fIdx, Duration.Inf)
+        require(pub == next, s"LabelStore: build expected gen $next, published $pub")
+        writeDigests(dg, next, storeDir, replaceAll = true)
+      } catch { case t: Throwable =>
+        StoreDirs.releaseGen(storeFs, storeRoot, next); throw t
+      }
     } finally { sig.unpersist(); corpus.unpersist() }
   }
 
@@ -558,9 +576,18 @@ object LabelStore {
         // unpublished tombstone batch, and the retry re-detects the
         // deletes and overwrites that same batch
         val next = latest.k + 1
-        writeTombstones(deleted, next, storeDir)
-        val pub = publishGen(s, storeDir, n, fp, labels.orderBy("doc_id"))
-        require(pub == next, s"LabelStore: delete expected gen $next, published $pub")
+        val storeRoot = new Path(storeDir)
+        val storeFs = fsOf(s, storeRoot)
+        // first shared-path write of this lane is the tombstone batch —
+        // claim the generation before it
+        StoreDirs.acquireGen(storeFs, storeRoot, next)
+        try {
+          writeTombstones(deleted, next, storeDir)
+          val pub = publishGen(s, storeDir, n, fp, labels.orderBy("doc_id"), next)
+          require(pub == next, s"LabelStore: delete expected gen $next, published $pub")
+        } catch { case t: Throwable =>
+          StoreDirs.releaseGen(storeFs, storeRoot, next); throw t
+        }
         return "incremental-delete"
       }
 
@@ -591,6 +618,12 @@ object LabelStore {
         (s.read.parquet(bandsIdx(storeDir)).filter(col("__batch") <= latest.k),
           s.read.parquet(sigsIdx(storeDir)).filter(col("__batch") <= latest.k)) }
       val next = latest.k + 1
+      val storeRoot = new Path(storeDir)
+      val storeFs = fsOf(s, storeRoot)
+      // claim the generation BEFORE the concurrent index future's first
+      // batch write — the loser of a race fails loudly here, with the
+      // store untouched by it
+      StoreDirs.acquireGen(storeFs, storeRoot, next)
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
@@ -608,10 +641,14 @@ object LabelStore {
       def failSettling[A](body: => A): A =
         try body catch {
           case t: scala.util.control.ControlThrowable =>
+            // the `return "full"` exit releases the fence itself before
+            // rebuilding — this settle-only arm must not double-release
+            // a fence the rebuild has since consumed
             try Await.ready(fIdx, Duration.Inf) catch { case _: Throwable => () }
             throw t
           case t if scala.util.control.NonFatal(t) =>
             try Await.ready(fIdx, Duration.Inf) catch { case _: Throwable => () }
+            StoreDirs.releaseGen(storeFs, storeRoot, next)
             throw t
         }
       failSettling {
@@ -655,6 +692,9 @@ object LabelStore {
             .agg(coalesce(max(col("__n")), lit(0L))).head.getLong(0)
           if (maxCombined > cap) {
             Await.result(fIdx, Duration.Inf)
+            // release this lane's claim before the rebuild re-claims the
+            // same generation number for itself
+            StoreDirs.releaseGen(storeFs, storeRoot, next)
             buildDocs(corpus, storeDir)
             return "full"
           }
@@ -707,7 +747,7 @@ object LabelStore {
       // above), then settle both, then digests last — the writeDigests
       // crash contract
       val pub = timed(s, "labels-publish") {
-        publishGen(s, storeDir, n, fp, labels) }
+        publishGen(s, storeDir, n, fp, labels, next) }
       Await.result(fIdx, Duration.Inf)
       require(pub == next, s"LabelStore: append expected gen $next, published $pub")
       writeDigests(dg.join(appended, Seq("doc_id"), "left_semi"), next,

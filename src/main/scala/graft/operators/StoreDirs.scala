@@ -98,6 +98,123 @@ private[graft] object StoreDirs {
         fs.delete(st.getPath, true)
     }
 
+  /** How long an unpublished fence is presumed to have a LIVE writer
+    * behind it. A maintenance call that holds a generation longer than
+    * this can be reclaimed by a competitor — size it to the slowest
+    * expected maintenance run (fixture-scale calls are seconds; a
+    * production deployment sizes it to its maintenance cadence via
+    * `graft.store.fence.staleMs`).
+    */
+  def staleFenceMs: Long =
+    sys.props.get("graft.store.fence.staleMs").flatMap(_.toLongOption)
+      .getOrElse(15L * 60L * 1000L)
+
+  private def fencePath(root: org.apache.hadoop.fs.Path, k: Long) =
+    new org.apache.hadoop.fs.Path(root, s".fence-$k")
+
+  private def genDirExists(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path, k: Long): Boolean =
+    fs.exists(root) && fs.listStatus(root).exists { st =>
+      val nm = st.getPath.getName
+      st.isDirectory && (nm == s"__batch=$k" ||
+        (nm.startsWith(s"gen=${k}__")))
+    }
+
+  /** Concurrent-writer fence: claim the right to produce generation `k`
+    * of the store at `root`, or throw `IllegalStateException` loudly.
+    *
+    * The generational stores' atomic-rename publish is single-writer by
+    * construction: two maintainers that both read parent k−1 would both
+    * write `__batch=k`/`.staging-k` (interleaving under SaveMode
+    * .Overwrite) and both rename a `gen=k…` dir — differing name
+    * suffixes let BOTH renames land, leaving two k-generations and one
+    * writer's work silently half-applied. The fence serializes at the
+    * DECISION point instead: a writer claims `k` via an atomic
+    * create-exclusive of `.fence-k` BEFORE its first write, so the
+    * loser fails before touching shared paths, with the store exactly
+    * the winner's — retrying from the advanced state is always valid
+    * (the maintenance entries re-read the store on entry).
+    *
+    * Crash debris vs live competitor: a fence whose generation never
+    * published is EITHER a crashed writer's leftover (its process is
+    * gone; every failure path releases the fence, so only a hard crash
+    * leaves one) OR a live writer mid-maintenance. A plain filesystem
+    * cannot distinguish a dead holder from a stalled one — the
+    * standard lease caveat, solvable only with conditional writes at
+    * the storage layer — so the fence carries a LEASE: younger than
+    * [[staleFenceMs]] ⇒ presumed live, the claim fails loudly; older ⇒
+    * reclaimed (the zombie's staging dir is deleted first, so a
+    * holder stalled past its lease can never land its rename). A
+    * writer stalled past the lease that WAKES during a competitor's
+    * overwrite remains the documented residual hazard, as in any
+    * lease-based design.
+    */
+  def acquireGen(fs: org.apache.hadoop.fs.FileSystem,
+                 root: org.apache.hadoop.fs.Path, k: Long): Unit = {
+    fs.mkdirs(root)
+    val fence = fencePath(root, k)
+    def tryCreate(): Boolean =
+      try { fs.create(fence, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    def conflict(detail: String): Nothing = throw new IllegalStateException(
+      s"concurrent writer on $root: generation $k $detail — this maintainer " +
+        "must re-read the store and retry from the advanced state")
+    // a published k means the claimer's read of the store is stale — it
+    // must fail BEFORE its first write, whether or not the fence file
+    // still exists (fences sweep; generation dirs are the authority)
+    if (genDirExists(fs, root, k)) conflict("was already published by a competitor")
+    if (tryCreate()) return
+    if (genDirExists(fs, root, k)) conflict("was already published by a competitor")
+    val age = try System.currentTimeMillis() - fs.getFileStatus(fence).getModificationTime
+              catch { case _: java.io.IOException => Long.MaxValue } // vanished: racer released
+    if (age < staleFenceMs)
+      conflict(s"is held by a live writer (fence age ${age / 1000}s < lease ${staleFenceMs / 1000}s)")
+    // stale: reclaim — kill the zombie's rename source FIRST, then race
+    // for the fence (exactly one reclaimer wins the create-exclusive)
+    fs.delete(new org.apache.hadoop.fs.Path(root, s".staging-$k"), true)
+    fs.delete(fence, false)
+    if (!tryCreate()) conflict("was reclaimed by a competing writer")
+    if (genDirExists(fs, root, k)) conflict("was published during the reclaim")
+  }
+
+  /** Release an ACQUIRED-but-unpublished fence — every failure exit of a
+    * maintenance path must call this (directly or via [[withGen]]) so a
+    * clean in-process retry is not locked out for a whole lease.
+    * Published generations keep their fence until [[sweepFences]].
+    */
+  def releaseGen(fs: org.apache.hadoop.fs.FileSystem,
+                 root: org.apache.hadoop.fs.Path, k: Long): Unit =
+    try fs.delete(fencePath(root, k), false) catch { case _: java.io.IOException => () }
+
+  /** Run one generation-producing body under the fence: acquire, run,
+    * and release the fence iff the body FAILED (a published generation
+    * keeps its fence as the marker that `k` is consumed; publish-time
+    * sweeps delete fences once their generation retires).
+    */
+  def withGen[A](fs: org.apache.hadoop.fs.FileSystem,
+                 root: org.apache.hadoop.fs.Path, k: Long)(body: => A): A = {
+    acquireGen(fs, root, k)
+    try body catch {
+      case t: scala.util.control.ControlThrowable => releaseGen(fs, root, k); throw t
+      case t: Throwable => releaseGen(fs, root, k); throw t
+    }
+  }
+
+  /** Delete fences of generations old enough that no writer can target
+    * them again (anything below the newest live generation — a future
+    * claim is always `latest + 1` or higher). Call alongside
+    * [[sweepRetired]] at publish time so a long-lived store holds O(1)
+    * fence files.
+    */
+  def sweepFences(fs: org.apache.hadoop.fs.FileSystem,
+                  root: org.apache.hadoop.fs.Path, below: Long): Unit =
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val nm = st.getPath.getName
+      if (!st.isDirectory && nm.startsWith(".fence-"))
+        nm.stripPrefix(".fence-").toLongOption
+          .filter(_ < below).foreach(_ => fs.delete(st.getPath, false))
+    }
+
   private def deleteRecursively(root: Path): Unit =
     if (Files.exists(root)) {
       import scala.jdk.CollectionConverters._

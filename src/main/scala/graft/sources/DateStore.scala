@@ -177,6 +177,14 @@ object DateStore {
     val root = new Path(storeDir)
     val fs = fsOf(s, root)
     fs.mkdirs(root)
+    // CAS half of the concurrent-writer guard (the caller holds the
+    // generation fence): refuse to rename if the store advanced since
+    // the maintenance read — a competitor's work must never be buried.
+    // `gens` is the caller's read; the re-list here is fresh.
+    val curK = listGens(s, storeDir).lastOption.map(_.k).getOrElse(0L)
+    require(curK == next - 1,
+      s"DateStore: store advanced to gen $curK while this writer maintained " +
+        s"gen $next — concurrent writer; retry from the advanced state")
     val staging = new Path(root, s".staging-$next")
     // Stale-dir discipline (same as writeDaysBatch): a prior crashed
     // attempt at this generation may have left `$staging/ingest` behind;
@@ -199,6 +207,7 @@ object DateStore {
     val pub = new Path(root,
       s"gen=${next}__n=${n}__fp=${java.lang.Long.toHexString(fp)}__d=${dead}")
     require(fs.rename(staging, pub), s"DateStore: could not publish $pub")
+    StoreDirs.sweepFences(fs, root, next)
     StoreDirs.sweepRetired(fs, root)
     gens.dropRight(1).foreach { g =>
       fs.rename(g.path, new Path(root, "." + g.path.getName + ".retired"))
@@ -226,13 +235,20 @@ object DateStore {
     if (gens.lastOption.exists(g => g.n == n && g.fp == fp && hasManifest(s, g)))
       return "noop"
     val next = gens.lastOption.map(_.k).getOrElse(0L) + 1
+    // claim the generation before this call's first write (every lane
+    // below writes days/__batch=<next> or publishes) — a competing
+    // maintainer at the same parent fails loudly here instead of
+    // interleaving the shared batch dir
+    val fenceRoot = new Path(storeDir)
+    val fenceFs = fsOf(s, fenceRoot)
+    StoreDirs.acquireGen(fenceFs, fenceRoot, next)
 
     def publish(manifest: Seq[(java.sql.Date, Long, Long, Long)],
                 dead: Long): Unit =
       publishGen(s, storeDir, gens, next, n, fp, dead, manifest, None)
 
     val prior = gens.lastOption.filter(hasManifest(s, _))
-    prior match {
+    try prior match {
       case None =>
         writeDaysBatch(s, storeDir, ev, next)
         publish(stats.map(d => (d.date, d.n, d.fp, next)), dead = 0L)
@@ -273,6 +289,8 @@ object DateStore {
         publish(manifest, dead = g.dead + newlyDead)
         if (changed.isEmpty && removed.nonEmpty) "incremental-delete"
         else "incremental"
+    } catch { case t: Throwable =>
+      StoreDirs.releaseGen(fenceFs, fenceRoot, next); throw t
     }
   }
 
@@ -314,7 +332,13 @@ object DateStore {
     val stats = dayStats(batch)
     if (stats.isEmpty) return "empty"
     val next = gens.lastOption.map(_.k).getOrElse(0L) + 1
-    prior match {
+    // the ingest fence: micro-batches of ONE stream serialize through
+    // the checkpoint, but a corpus-driven maintainer racing the stream
+    // (or a second stream on one store) is the same interleave hazard
+    val fenceRoot = new Path(storeDir)
+    val fenceFs = fsOf(s, fenceRoot)
+    StoreDirs.acquireGen(fenceFs, fenceRoot, next)
+    try prior match {
       case None =>
         val (n, fp) = globalOf(stats)
         writeDaysBatch(s, storeDir, batch, next)
@@ -367,6 +391,8 @@ object DateStore {
             dead = g.dead + newlyDead, manifest, Some(streamBatchId))
           "append"
         }
+    } catch { case t: Throwable =>
+      StoreDirs.releaseGen(fenceFs, fenceRoot, next); throw t
     }
   }
 

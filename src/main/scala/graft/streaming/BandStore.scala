@@ -171,17 +171,39 @@ object BandStore {
       val path = new org.apache.hadoop.fs.Path(dir)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(path)) return
-      // purge trash a crashed predecessor left between retire and delete
-      fs.listStatus(path).filter(_.getPath.getName.startsWith(".trash-"))
-        .foreach(st => fs.delete(st.getPath, true))
-      val ids = fs.listStatus(path)
+      def listIds() = fs.listStatus(path)
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("__batch="))
         .map(_.getPath.getName.stripPrefix("__batch=").toLong)
-      val oldIds = ids.filter(_ < minLiveBatch)
+      val ids0 = listIds()
+      val oldIds0 = ids0.filter(_ < minLiveBatch)
       // nothing to merge: no eligible batches, or a lone already-compacted
       // base generation (idempotent no-op, no generation churn)
-      if (oldIds.isEmpty || (oldIds.length == 1 && oldIds.head < 0)) return
-      val newBase = math.min(ids.min, 0L) - 1L
+      if (oldIds0.isEmpty || (oldIds0.length == 1 && oldIds0.head < 0)) return
+      val newBase = math.min(ids0.min, 0L) - 1L
+      // concurrent-compaction fence on the base generation about to be
+      // produced: two compactors racing the same store would both merge
+      // the same sources and both rename onto `__batch=<newBase>` — the
+      // second rename NESTS under Hadoop rename-into-existing-dir
+      // semantics, corrupting the published tree. One wins the
+      // create-exclusive; the loser fails loudly before reading anything.
+      graft.operators.StoreDirs.acquireGen(fs, path, newBase)
+      try {
+      // purge debris crashed predecessors left behind: trash from a
+      // retire-then-delete crash, and `.compact-` staging from a crash
+      // before publish. Safe ONLY under the fence: any live compactor
+      // would have held it (a holder stalled past the fence lease loses
+      // its staging here and its rename fails loudly — the documented
+      // lease residual, never a silent nest).
+      fs.listStatus(path).filter { st =>
+        val nm = st.getPath.getName
+        nm.startsWith(".trash-") || nm.startsWith(".compact-")
+      }.foreach(st => fs.delete(st.getPath, true))
+      // re-list under the fence: a competitor that completed between the
+      // unfenced listing and the fence acquisition changed the id set
+      val ids = listIds()
+      val oldIds = ids.filter(_ < minLiveBatch)
+      require(math.min(ids.min, 0L) - 1L == newBase && oldIds.nonEmpty,
+        s"compactStore: store advanced between listing and fence — retry")
       // distinct() reaps duplicate ROWS (a batch alive in both its source
       // partition and a prior base after an interrupted run) — benign for
       // decisions (see above) but worth merging away here
@@ -207,6 +229,12 @@ object BandStore {
         val dst = new org.apache.hadoop.fs.Path(path, s".trash-${java.util.UUID.randomUUID}")
         require(fs.rename(src, dst), s"compactStore: could not retire $src")
         fs.delete(dst, true)
+      }
+      } finally {
+        // base ids strictly decrease, so `newBase` is never claimed again
+        // — release on success AND failure (the published `__batch` dir,
+        // not the fence, is what blocks a stale claimer)
+        graft.operators.StoreDirs.releaseGen(fs, path, newBase)
       }
     }
     rewrite(bandsDir(storeDir), "__bb", pmod(col("bh"), lit(BandBuckets)).cast("int"))

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.FormattedMode
+import graft.operators.StoreDirs
 
 /** Round-11 additions: the derived partsupp view closing the last
   * TPC-H capability hole (VERDICT r10 item 1), plan pins for the
@@ -118,5 +119,149 @@ class Round11Spec extends SparkSpec {
       (80L to 83L).map(i => (i, Seq(0f, 0f, 1f, i.toFloat / 100f), 0))
         .toDF("vec_id", "embedding", "label"), store, 99L) != "skip",
       "batch 99 was never committed — a skip is silent data loss")
+  }
+
+  // ---------------------------------------------------------------
+  // Concurrent-writer fence — two racing maintainers: one wins, one
+  // fails loudly, the store equals the winner plus a retry
+  // ---------------------------------------------------------------
+
+  private def plantFence(storeRoot: String, k: Long): Unit = {
+    val f = new java.io.File(storeRoot, s".fence-$k")
+    f.getParentFile.mkdirs()
+    assert(f.createNewFile(), s"could not plant $f")
+  }
+
+  private def ageFence(storeRoot: String, k: Long, ageMs: Long): Unit =
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(storeRoot, s".fence-$k"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ageMs))
+
+  test("DateStore fence: a held generation makes the second writer fail loudly; a stale fence is reclaimed; retry converges") {
+    import graft.sources.DateStore
+    val store = tmpDir("r11-datefence") + "/store"
+    val ev = graft.engine.Tables.events(spark, sfDir).localCheckpoint()
+    def upTo(d: String) = ev.filter(to_date(col("ts")) < lit(d))
+    assert(DateStore.ensureIncrementalEvents(upTo("2024-01-05"), store) == "full")
+    // writer A holds generation 2 (fresh fence, mid-maintenance): writer
+    // B must fail LOUDLY, not bury A's work
+    plantFence(store, 2L)
+    val e = intercept[IllegalStateException] {
+      DateStore.ensureIncrementalEvents(upTo("2024-01-10"), store)
+    }
+    assert(e.getMessage.contains("concurrent writer"), e.getMessage)
+    // ... and B's failure wrote NOTHING: no __batch=2 data dir appeared
+    assert(!new java.io.File(s"$store/days/__batch=2").exists(),
+      "the losing writer must fail before its first shared-path write")
+    // A crashed instead: its fence goes stale past the lease — the next
+    // writer reclaims and proceeds
+    ageFence(store, 2L, ageMs = StoreDirs.staleFenceMs + 60000L)
+    assert(DateStore.ensureIncrementalEvents(upTo("2024-01-10"), store) == "incremental")
+    // B's original intent retries cleanly from the advanced state
+    assert(DateStore.ensureIncrementalEvents(upTo("2024-01-12"), store) == "incremental")
+    val got = DateStore.readEvents(spark, store).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    val want = upTo("2024-01-12").select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == want, "store must equal the winner plus the retry")
+  }
+
+  test("fence race: two simultaneous DateStore maintainers never interleave — at most one gen per number, loser loud, retry converges") {
+    import graft.sources.DateStore
+    val store = tmpDir("r11-daterace") + "/store"
+    val ev = graft.engine.Tables.events(spark, sfDir).localCheckpoint()
+    def upTo(d: String) = ev.filter(to_date(col("ts")) < lit(d))
+    assert(DateStore.ensureIncrementalEvents(upTo("2024-01-05"), store) == "full")
+    val evA = upTo("2024-01-15").localCheckpoint()
+    val evB = upTo("2024-01-20").localCheckpoint()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def run(evX: org.apache.spark.sql.DataFrame) = Future {
+      barrier.await()
+      try Right(DateStore.ensureIncrementalEvents(evX, store))
+      catch { case e: IllegalStateException => Left(e) }
+    }
+    // launch BOTH futures before awaiting either — the barrier needs
+    // two live parties
+    val (fa, fb) = (run(evA), run(evB))
+    val (ra, rb) = (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+    // invariant 1: any loss is LOUD (IllegalStateException), never silent
+    Seq(ra, rb).foreach {
+      case Left(e) => assert(e.getMessage.contains("concurrent writer") ||
+        e.getMessage.contains("store advanced"), e.getMessage)
+      case Right(m) => assert(Set("incremental", "full", "noop").contains(m))
+    }
+    // invariant 2: at least one writer succeeded
+    assert(Seq(ra, rb).exists(_.isRight), s"both failed: $ra / $rb")
+    // invariant 3: generation numbers are unique — no buried publish
+    val ks = Option(new java.io.File(store).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith("gen=")).toSeq
+      .map(_.stripPrefix("gen=").takeWhile(_ != '_').toLong)
+    assert(ks.distinct.size == ks.size, s"duplicate generation numbers: $ks")
+    // invariant 4: a retry from the settled state converges exactly
+    val m = DateStore.ensureIncrementalEvents(evB, store)
+    assert(m == "incremental" || m == "noop" || m == "full", m)
+    val got = DateStore.readEvents(spark, store).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == evB.select("event_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("LabelStore and IvfStore fences: a held generation refuses the second maintainer before any index write") {
+    import graft.operators.{IvfStore, LabelStore}
+    // label store
+    val ldir = tmpDir("r11-labelfence")
+    def docs(n: Int) = (0L until n.toLong)
+      .map(i => (i, (0 until 30).map(j => s"d${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("source", lit("s")).withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val lstore = s"$ldir/store"
+    LabelStore.buildDocs(docs(20).localCheckpoint(), lstore)
+    plantFence(lstore, 2L)
+    val le = intercept[IllegalStateException] {
+      LabelStore.ensureIncrementalDocs(docs(25).localCheckpoint(), lstore)
+    }
+    assert(le.getMessage.contains("concurrent writer"), le.getMessage)
+    ageFence(lstore, 2L, StoreDirs.staleFenceMs + 60000L)
+    assert(LabelStore.ensureIncrementalDocs(docs(25).localCheckpoint(), lstore)
+      == "incremental")
+    // ivf store
+    val vstore = tmpDir("r11-ivffence") + "/store"
+    def vecs(n: Int) = (0L until n.toLong).map { i =>
+      (i, Seq(math.cos(i * 0.07).toFloat, math.sin(i * 0.07).toFloat, 0f, 0f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    IvfStore.buildVecs(vecs(64), vstore)
+    plantFence(vstore, 2L)
+    val ve = intercept[IllegalStateException] {
+      IvfStore.ensureIncrementalVecs(vecs(80).localCheckpoint(), vstore)
+    }
+    assert(ve.getMessage.contains("concurrent writer"), ve.getMessage)
+    ageFence(vstore, 2L, StoreDirs.staleFenceMs + 60000L)
+    assert(IvfStore.ensureIncrementalVecs(vecs(80).localCheckpoint(), vstore)
+      == "incremental")
+  }
+
+  test("BandStore fence: a concurrent compaction fails loudly instead of nesting the published base") {
+    import graft.streaming.BandStore
+    val root = tmpDir("r11-bandfence")
+    val store = s"$root/store"
+    val admitted = s"$root/admitted"
+    def batch(ids: Range) = ids.map(i =>
+        (i.toLong, (0 until 20).map(j => s"b${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    BandStore.admitBatch(batch(0 until 30), 0L, store, admitted)
+    BandStore.admitBatch(batch(30 until 60), 1L, store, admitted)
+    // a competitor holds the first base generation (-1) of bands/
+    plantFence(BandStore.bandsDir(store), -1L)
+    val e = intercept[IllegalStateException] { BandStore.compactStore(spark, store) }
+    assert(e.getMessage.contains("concurrent writer"), e.getMessage)
+    // stale competitor: reclaimed, compaction proceeds, store intact
+    ageFence(BandStore.bandsDir(store), -1L, StoreDirs.staleFenceMs + 60000L)
+    BandStore.compactStore(spark, store)
+    val bands = spark.read.parquet(BandStore.bandsDir(store))
+    assert(bands.select("__batch").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(-1L), "one compacted base generation")
+    assert(bands.select("doc_id").distinct().count() == 60)
   }
 }
