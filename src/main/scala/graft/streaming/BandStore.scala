@@ -38,6 +38,19 @@ import graft.operators.Dedup
   */
 object BandStore {
 
+  /** Stage timer for admission profiling, off unless
+    * `spark.graft.debug.timing=true` (the [[graft.Probe11]] admit mode
+    * sets it) — the same hook [[graft.operators.LabelStore]] exposes for
+    * its maintenance paths.
+    */
+  private def timed[A](s: SparkSession, name: String)(f: => A): A =
+    if (s.conf.get("spark.graft.debug.timing", "false") != "true") f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[admit-timing] $name%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
+    }
+
   /** Band-hash bucket count of `bands/`. 64 at fixture scale. */
   val BandBuckets = 64
 
@@ -322,9 +335,9 @@ object BandStore {
     val candVsStore =
       if (!storeExists) emptyPairs("batch_id", "peer_id")
       else {
-        val touched = batchBands
+        val touched = timed(spark, "sign+touched") { batchBands
           .select(pmod(col("bh"), lit(BandBuckets)).cast("int").as("__bb"))
-          .distinct().collect().map(_.getInt(0)).toSeq // ≤ BandBuckets values
+          .distinct().collect().map(_.getInt(0)).toSeq } // ≤ BandBuckets values
         if (touched.isEmpty) emptyPairs("batch_id", "peer_id")
         else {
           val probe = probeScan(spark, storeDir, touched, batchId)
@@ -346,7 +359,8 @@ object BandStore {
           // healthy-store case (admitted docs are mutually non-near-dup,
           // buckets sparse) skips the stats join-back and its extra
           // probe scans entirely
-          val maxBucket = stats.agg(coalesce(max(col("__n")), lit(0L))).head.getLong(0)
+          val maxBucket = timed(spark, "probe-maxbucket") {
+            stats.agg(coalesce(max(col("__n")), lit(0L))).head.getLong(0) }
           val guarded =
             if (maxBucket <= cap) probe
             else probe
@@ -394,9 +408,9 @@ object BandStore {
         // candidate peers' shingles: read only the sigs/ buckets holding
         // them — ≤ SigBuckets driver-side values, the Sinks.mergeIntoStore
         // touched-bucket discipline
-        val peerBuckets = candVsStore
+        val peerBuckets = timed(spark, "cand-vs-store") { candVsStore
           .select(pmod(col("peer_id"), lit(SigBuckets)).cast("int").as("__db"))
-          .distinct().collect().map(_.getInt(0)).toSeq
+          .distinct().collect().map(_.getInt(0)).toSeq }
         if (peerBuckets.isEmpty) emptyPairs("doc_id", "ignore").select(col("doc_id"))
         else {
           val peerSh = spark.read.parquet(sigsDir(storeDir))
@@ -422,17 +436,18 @@ object BandStore {
     //     deterministically.
     // the verified pair graph is tiny (near-dups are sparse): one
     // partition keeps every fixpoint round at a handful of tasks
-    val pairsLive = verified(candInBatch, sig.select(col("doc_id"), col("sh").as("sh_p")))
-      .join(storeDropped.withColumnRenamed("doc_id", "peer_id"), Seq("peer_id"), "left_anti")
-      .coalesce(1)
-      .localCheckpoint()
+    val pairsLive = timed(spark, "verify+pairs") {
+      verified(candInBatch, sig.select(col("doc_id"), col("sh").as("sh_p")))
+        .join(storeDropped.withColumnRenamed("doc_id", "peer_id"), Seq("peer_id"), "left_anti")
+        .coalesce(1)
+        .localCheckpoint() }
     var batchDropped = pairsLive.select(col("batch_id").as("doc_id")).distinct()
       .localCheckpoint()
     // fast path: most production batches carry no within-batch
     // near-dups — skip the fixpoint machinery entirely
     var converged = batchDropped.isEmpty
     var rounds = 0
-    while (!converged && rounds < 32) {
+    timed(spark, "fixpoint") { while (!converged && rounds < 32) {
       val next = pairsLive
         .join(batchDropped.withColumnRenamed("doc_id", "peer_id"), Seq("peer_id"), "left_anti")
         .select(col("batch_id").as("doc_id")).distinct()
@@ -440,7 +455,7 @@ object BandStore {
       converged = next.exceptAll(batchDropped).isEmpty && batchDropped.exceptAll(next).isEmpty
       batchDropped = next
       rounds += 1
-    }
+    } }
 
     val dropped = storeDropped.unionByName(batchDropped)
       .unionByName(exactDropped).distinct()
@@ -448,11 +463,12 @@ object BandStore {
 
     // (5) idempotent writes: dynamic overwrite of this batch's partitions
     val admittedSig = sig.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
-    overwriteBatchPartitions(admittedSig, batchId,
-      Some(("__db", pmod(col("doc_id"), lit(SigBuckets)).cast("int"))), sigsDir(storeDir))
-    overwriteBatchPartitions(
+    timed(spark, "write-sigs") { overwriteBatchPartitions(admittedSig, batchId,
+      Some(("__db", pmod(col("doc_id"), lit(SigBuckets)).cast("int"))), sigsDir(storeDir)) }
+    timed(spark, "write-bands") { overwriteBatchPartitions(
       explodeBands(admittedSig, "doc_id"), batchId,
-      Some(("__bb", pmod(col("bh"), lit(BandBuckets)).cast("int"))), bandsDir(storeDir))
-    overwriteBatchPartitions(admitted, batchId, None, admittedDir)
+      Some(("__bb", pmod(col("bh"), lit(BandBuckets)).cast("int"))), bandsDir(storeDir)) }
+    timed(spark, "write-admitted") {
+      overwriteBatchPartitions(admitted, batchId, None, admittedDir) }
   }
 }

@@ -142,12 +142,14 @@ class Round11Spec extends SparkSpec {
     val store = tmpDir("r11-datefence") + "/store"
     val ev = graft.engine.Tables.events(spark, sfDir).localCheckpoint()
     def upTo(d: String) = ev.filter(to_date(col("ts")) < lit(d))
-    assert(DateStore.ensureIncrementalEvents(upTo("2024-01-05"), store) == "full")
+    // the initial history must dominate, or the later appends trip the
+    // >50%-changed-mass compaction threshold and legitimately rebuild
+    assert(DateStore.ensureIncrementalEvents(upTo("2024-01-15"), store) == "full")
     // writer A holds generation 2 (fresh fence, mid-maintenance): writer
     // B must fail LOUDLY, not bury A's work
     plantFence(store, 2L)
     val e = intercept[IllegalStateException] {
-      DateStore.ensureIncrementalEvents(upTo("2024-01-10"), store)
+      DateStore.ensureIncrementalEvents(upTo("2024-01-18"), store)
     }
     assert(e.getMessage.contains("concurrent writer"), e.getMessage)
     // ... and B's failure wrote NOTHING: no __batch=2 data dir appeared
@@ -156,12 +158,12 @@ class Round11Spec extends SparkSpec {
     // A crashed instead: its fence goes stale past the lease — the next
     // writer reclaims and proceeds
     ageFence(store, 2L, ageMs = StoreDirs.staleFenceMs + 60000L)
-    assert(DateStore.ensureIncrementalEvents(upTo("2024-01-10"), store) == "incremental")
+    assert(DateStore.ensureIncrementalEvents(upTo("2024-01-18"), store) == "incremental")
     // B's original intent retries cleanly from the advanced state
-    assert(DateStore.ensureIncrementalEvents(upTo("2024-01-12"), store) == "incremental")
+    assert(DateStore.ensureIncrementalEvents(upTo("2024-01-20"), store) == "incremental")
     val got = DateStore.readEvents(spark, store).select("event_id")
       .collect().map(_.getLong(0)).toSet
-    val want = upTo("2024-01-12").select("event_id").collect().map(_.getLong(0)).toSet
+    val want = upTo("2024-01-20").select("event_id").collect().map(_.getLong(0)).toSet
     assert(got == want, "store must equal the winner plus the retry")
   }
 
@@ -260,7 +262,8 @@ class Round11Spec extends SparkSpec {
     ageFence(BandStore.bandsDir(store), -1L, StoreDirs.staleFenceMs + 60000L)
     BandStore.compactStore(spark, store)
     val bands = spark.read.parquet(BandStore.bandsDir(store))
-    assert(bands.select("__batch").distinct().collect()
+    // the partition column reads back int-typed when its values fit
+    assert(bands.select(col("__batch").cast("long")).distinct().collect()
       .map(_.getLong(0)).toSet == Set(-1L), "one compacted base generation")
     assert(bands.select("doc_id").distinct().count() == 60)
   }
