@@ -292,11 +292,15 @@ object BandStore {
     val cap = Dedup.bucketCap(spark)
     // every persist in this method is released on ALL exits (a probe that
     // races a concurrent compaction's retirement step can fail and be
-    // replayed by the engine — the failed attempt must not leak cache)
+    // replayed by the engine — the failed attempt must not leak cache).
+    // keep() is called from the overlapped in-batch verify thread too —
+    // synchronize the registry.
     val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def keep(df: DataFrame): DataFrame = { persisted += df; df.persist() }
+    def keep(df: DataFrame): DataFrame = {
+      persisted.synchronized { persisted += df }; df.persist()
+    }
     try admitBatchImpl(batch, batchId, storeDir, admittedDir, cap, keep)
-    finally persisted.foreach(_.unpersist())
+    finally persisted.synchronized(persisted.toList).foreach(_.unpersist())
   }
 
   private def admitBatchImpl(batch: DataFrame, batchId: Long, storeDir: String,
@@ -331,6 +335,49 @@ object BandStore {
     def emptyPairs(aCol: String, bCol: String): DataFrame =
       spark.range(0).select(col("id").as(aCol), col("id").as(bCol))
 
+    // (3) exact verification at Jaccard ≥ 0.8
+    def verified(cand: DataFrame, peerSh: DataFrame): DataFrame =
+      cand
+        .join(sig.select(col("doc_id"), col("sh").as("sh_b")),
+          col("batch_id") === col("doc_id")).drop("doc_id")
+        .join(peerSh, col("peer_id") === col("doc_id")).drop("doc_id")
+        .withColumn("c", size(array_intersect(col("sh_b"), col("sh_p"))).cast("double"))
+        .filter(round(col("c") / (size(col("sh_b")) + size(col("sh_p")) - col("c")), 6) >= 0.8)
+        .select(col("batch_id"), col("peer_id"))
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // (2b) within-batch collisions, verified — launched CONCURRENTLY with
+    // the store probe chain below: the self-join and its exact
+    // verification depend only on the batch's own bands/sigs, never the
+    // store, so the two pipelines overlap (the label-append lesson again;
+    // measured ~0.8 s of the steady-state batch). Only a smaller doc_id
+    // can veto; the self-join runs through the shared hot-bucket guard
+    // (population cap + star-on-overflow, Dedup.cappedSelfPairs) — outA
+    // is the bucket-ordered smaller id, i.e. the prospective vetoer.
+    // Block-manager locking dedupes any concurrent first materialization
+    // of the shared cached frames.
+    val fInBatch = Future(timed(spark, "inbatch-verify") {
+      val candInBatch =
+        Dedup.cappedSelfPairs(batchBands, "batch_id", cap, "peer_id", "batch_id", keep)
+      verified(candInBatch, sig.select(col("doc_id"), col("sh").as("sh_p")))
+        // the verified pair graph is tiny (near-dups are sparse): one
+        // partition keeps every fixpoint round at a handful of tasks
+        .coalesce(1)
+        .localCheckpoint()
+    })
+    // concurrent work must never outlive this call: settle every launched
+    // future before any failure below propagates (a zombie job racing the
+    // engine's batch retry). Main-thread appends only.
+    val settleables = scala.collection.mutable.ArrayBuffer[Future[Any]](fInBatch)
+    def failSettling[A](body: => A): A =
+      try body catch { case t: Throwable =>
+        settleables.foreach(f =>
+          try Await.ready(f, Duration.Inf) catch { case _: Throwable => () })
+        throw t
+      }
+    failSettling {
     // (2a) store candidates through the bucket-pruned probe
     val candVsStore =
       if (!storeExists) emptyPairs("batch_id", "peer_id")
@@ -340,7 +387,13 @@ object BandStore {
           .distinct().collect().map(_.getInt(0)).toSeq } // ≤ BandBuckets values
         if (touched.isEmpty) emptyPairs("batch_id", "peer_id")
         else {
-          val probe = probeScan(spark, storeDir, touched, batchId)
+          // the probe feeds TWO jobs (the bucket-population stats and the
+          // candidate join) — persist so the touched partitions are read
+          // once per batch, not twice. Transient and batch-scoped: the
+          // cached volume IS the touched-bucket occupancy the admission
+          // cost model already charges for scanning, and MEMORY_AND_DISK
+          // spills rather than evicting the executors at scale.
+          val probe = keep(probeScan(spark, storeDir, touched, batchId))
           // hot-bucket guard, bipartite form: cap the STORE side of each
           // (band, bh) bucket — an over-cap bucket contributes only its
           // min peer (star-probe), bounding the candidate join at
@@ -385,23 +438,6 @@ object BandStore {
             .transform(keep)
         }
       }
-    // (2b) within-batch collisions: only a smaller doc_id can veto; the
-    // self-join runs through the shared hot-bucket guard (population cap
-    // + star-on-overflow, Dedup.cappedSelfPairs) — outA is the bucket-
-    // ordered smaller id, i.e. the prospective vetoer
-    val candInBatch =
-      Dedup.cappedSelfPairs(batchBands, "batch_id", cap, "peer_id", "batch_id", keep)
-
-    // (3) exact verification at Jaccard ≥ 0.8
-    def verified(cand: DataFrame, peerSh: DataFrame): DataFrame =
-      cand
-        .join(sig.select(col("doc_id"), col("sh").as("sh_b")),
-          col("batch_id") === col("doc_id")).drop("doc_id")
-        .join(peerSh, col("peer_id") === col("doc_id")).drop("doc_id")
-        .withColumn("c", size(array_intersect(col("sh_b"), col("sh_p"))).cast("double"))
-        .filter(round(col("c") / (size(col("sh_b")) + size(col("sh_p")) - col("c")), 6) >= 0.8)
-        .select(col("batch_id"), col("peer_id"))
-
     val storeDropped =
       if (!storeExists) emptyPairs("doc_id", "ignore").select(col("doc_id"))
       else {
@@ -423,6 +459,11 @@ object BandStore {
             .distinct().transform(keep)
         }
       }
+    // warm the store-veto cache concurrently with the in-batch verify's
+    // tail — its sigs-bucket read + exact verification otherwise runs
+    // serially at the first downstream action
+    val fStoreWarm = Future(timed(spark, "store-verify") { storeDropped.count() })
+    settleables += fStoreWarm
 
     // (4) greedy min-id admission within the batch: iterate
     //     dropped ← {d | ∃ verified pair (p, d), p < d, p not dropped,
@@ -434,18 +475,22 @@ object BandStore {
     //     difference. The cap is a backstop for pathological chain depth;
     //     hitting it keeps the conservative (over-dropping) last iterate,
     //     deterministically.
-    // the verified pair graph is tiny (near-dups are sparse): one
-    // partition keeps every fixpoint round at a handful of tasks
-    val pairsLive = timed(spark, "verify+pairs") {
-      verified(candInBatch, sig.select(col("doc_id"), col("sh").as("sh_p")))
-        .join(storeDropped.withColumnRenamed("doc_id", "peer_id"), Seq("peer_id"), "left_anti")
-        .coalesce(1)
-        .localCheckpoint() }
-    var batchDropped = pairsLive.select(col("batch_id").as("doc_id")).distinct()
-      .localCheckpoint()
+    // join the settled in-batch pairs against the store vetoes; the
+    // anti-join sits atop a 1-partition checkpoint and a cached frame,
+    // so re-evaluating it per fixpoint round costs nothing
+    val pairsLive = timed(spark, "pairs-assemble") {
+      Await.result(fStoreWarm, Duration.Inf)
+      Await.result(fInBatch, Duration.Inf)
+        .join(storeDropped.withColumnRenamed("doc_id", "peer_id"), Seq("peer_id"), "left_anti") }
     // fast path: most production batches carry no within-batch
-    // near-dups — skip the fixpoint machinery entirely
-    var converged = batchDropped.isEmpty
+    // near-dups — one head(1) on the single-partition checkpoint decides,
+    // skipping the seed distinct/checkpoint jobs AND the fixpoint
+    val anyPairs = pairsLive.head(1).nonEmpty
+    var batchDropped =
+      if (!anyPairs) emptyPairs("doc_id", "ignore").select(col("doc_id"))
+      else pairsLive.select(col("batch_id").as("doc_id")).distinct()
+        .localCheckpoint()
+    var converged = !anyPairs
     var rounds = 0
     timed(spark, "fixpoint") { while (!converged && rounds < 32) {
       val next = pairsLive
@@ -461,14 +506,27 @@ object BandStore {
       .unionByName(exactDropped).distinct()
     val admitted = keep(batch.join(dropped, Seq("doc_id"), "left_anti"))
 
-    // (5) idempotent writes: dynamic overwrite of this batch's partitions
-    val admittedSig = sig.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
-    timed(spark, "write-sigs") { overwriteBatchPartitions(admittedSig, batchId,
-      Some(("__db", pmod(col("doc_id"), lit(SigBuckets)).cast("int"))), sigsDir(storeDir)) }
-    timed(spark, "write-bands") { overwriteBatchPartitions(
-      explodeBands(admittedSig, "doc_id"), batchId,
-      Some(("__bb", pmod(col("bh"), lit(BandBuckets)).cast("int"))), bandsDir(storeDir)) }
-    timed(spark, "write-admitted") {
-      overwriteBatchPartitions(admitted, batchId, None, admittedDir) }
+    // (5) idempotent writes: dynamic overwrite of this batch's partitions.
+    // The three trees are independent (distinct directories, shared cached
+    // inputs), so they run CONCURRENTLY — the label-append lesson: the
+    // sequential form spent half the steady-state batch on write latency
+    // (3×~1.3 s of small-file commit overhead that doesn't contend).
+    // Replay safety is unchanged: a crash leaves any SUBSET of the three
+    // committed, and the engine's batch retry overwrites all three with
+    // identical bytes.
+    val admittedSig = keep(sig.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+    val writes = Seq(
+      Future(timed(spark, "write-sigs") { overwriteBatchPartitions(admittedSig, batchId,
+        Some(("__db", pmod(col("doc_id"), lit(SigBuckets)).cast("int"))), sigsDir(storeDir)) }),
+      Future(timed(spark, "write-bands") { overwriteBatchPartitions(
+        explodeBands(admittedSig, "doc_id"), batchId,
+        Some(("__bb", pmod(col("bh"), lit(BandBuckets)).cast("int"))), bandsDir(storeDir)) }),
+      Future(timed(spark, "write-admitted") {
+        overwriteBatchPartitions(admitted, batchId, None, admittedDir) }))
+    // settle ALL three before propagating any failure — a zombie write
+    // racing the engine's batch retry is two writers on one partition tree
+    val settled = writes.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    settled.foreach(_.get)
+    }
   }
 }
