@@ -466,6 +466,20 @@ object IvfStore {
     (qCells, lists)
   }
 
+  /** Every live vector the store serves — the tombstone-masked union of
+    * the live batch range, `(vec_id, e, norm, c_id)`. The stress-scale
+    * recall measurement's exact side reads THIS (the corpus exactly as
+    * the store serves it, deletes and ingests applied), so recall@k is
+    * measured against what a probe could possibly return — not against
+    * a corpus file the store has since diverged from.
+    */
+  private[graft] def liveVectors(s: SparkSession, storeDir: String): DataFrame = {
+    val gen = latest(s, storeDir)
+    maskDead(readBatches(s, listsDir(storeDir), gen.base, gen.k),
+      tombstonesOf(s, storeDir, gen))
+      .select(col("vec_id"), col("e"), col("norm"), col("c_id"))
+  }
+
   /** Canonical store location for the corpus at `dir` — stable across
     * processes so one build serves every later probe (the LabelStore
     * idiom); outside the repo tree. Keyed by the sanitized path PLUS an

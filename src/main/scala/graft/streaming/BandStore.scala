@@ -23,6 +23,10 @@ import graft.operators.Dedup
   *     (`__batch`, `__db` = pmod(doc_id, [[SigBuckets]])). Exact-verify
   *     reads only the buckets holding candidate peers (≤ [[SigBuckets]]
   *     driver-side values).
+  *   - `evicted/` — batch-numbered retention tombstones ([[evictDocs]]):
+  *     (doc_id) per `__batch=<id>`, masked batch-aware at every read and
+  *     physically absorbed by [[compactStore]] (see the retention
+  *     contract at [[evictDocs]]).
   *
   * Idempotence: every write is a dynamic-partition OVERWRITE of the
   * batch's own `__batch=<id>` partitions, and every read EXCLUDES
@@ -59,6 +63,65 @@ object BandStore {
 
   def bandsDir(storeDir: String): String = s"$storeDir/bands"
   def sigsDir(storeDir: String): String = s"$storeDir/sigs"
+  def evictedDir(storeDir: String): String = s"$storeDir/evicted"
+
+  /** RETENTION CONTRACT (what bounds this store at 100 TB): the
+    * steady-state footprint is ~1 KB of signature state per LIVE
+    * admitted document plus any not-yet-compacted eviction tombstones —
+    * never the raw text, and never documents that have left the corpus.
+    * Three mechanisms bound growth:
+    *   1. admission itself stores only admitted docs (dropped docs
+    *      leave nothing);
+    *   2. [[evictDocs]] retires documents removed from the corpus
+    *      (takedowns, TTL'd crawls, retention windows): a batch-numbered
+    *      tombstone masks their rows at every later read, so they stop
+    *      vetoing immediately, and the next [[compactStore]] physically
+    *      drops the rows AND absorbs the tombstone — disk is reclaimed,
+    *      pinned in Round11Spec;
+    *   3. [[compactStore]] bounds FILE counts (the small-files tax) at
+    *      O(buckets), independent of batch count.
+    * A time-based retention policy is the composition: feed the ids
+    * aging past the window to [[evictDocs]] on whatever cadence the
+    * deployment's compliance story needs.
+    */
+
+  /** Retire documents from the dedup memory — the batch's ids land as
+    * one tombstone partition (`evicted/__batch=<id>`, idempotent dynamic
+    * overwrite, same replay discipline as admission). Reads mask
+    * BATCH-AWARE: a store row is hidden iff its batch is OLDER than the
+    * newest tombstone covering its doc — so a document re-admitted
+    * after an eviction vetoes again (its new rows outrank the old
+    * tombstone), exactly the LabelStore/IvfStore revive semantics.
+    *
+    * The caller owes the same single-log contract the other maintenance
+    * paths state: eviction and admission batch ids come from ONE
+    * monotonic sequence (one driving log/checkpoint), so the batch-gate
+    * comparison is meaningful, and — as with compaction — an eviction id
+    * must not exceed a batch the stream could still replay.
+    */
+  def evictDocs(evictIds: DataFrame, batchId: Long, storeDir: String): Unit =
+    overwriteBatchPartitions(
+      // one file per eviction batch: every later admission batch reads
+      // this dir, so file count matters more than write parallelism
+      // (production-size eviction feeds re-partition upstream)
+      evictIds.select(col("doc_id")).distinct().coalesce(1),
+      batchId, None, evictedDir(storeDir))
+
+  /** Per-doc newest eviction batch (`doc_id`, `__tb`), or None when the
+    * store has no tombstones — the read-side mask input.
+    */
+  private def evictions(spark: SparkSession, storeDir: String): Option[DataFrame] =
+    if (!hasBatches(spark, evictedDir(storeDir))) None
+    else Some(spark.read.parquet(evictedDir(storeDir))
+      .groupBy(col("doc_id")).agg(max(col("__batch")).as("__tb")))
+
+  /** Hide rows whose batch predates their doc's newest tombstone. */
+  private def maskEvicted(rows: DataFrame, ev: Option[DataFrame]): DataFrame =
+    ev.fold(rows) { e =>
+      rows.join(e, Seq("doc_id"), "left")
+        .filter(col("__tb").isNull || col("__batch") >= col("__tb"))
+        .drop("__tb")
+    }
 
   /** 32 bands × 4 rows over the 128-perm signature — identical banding to
     * [[Dedup.x2MinHashLsh]] / [[Dedup.x2IncrementalLsh]] (one shared
@@ -179,6 +242,19 @@ object BandStore {
     */
   def compactStore(spark: SparkSession, storeDir: String,
                    minLiveBatch: Long): Unit = {
+    // tombstones old enough to ABSORB this cycle (final by the same
+    // watermark contract as the merge itself): their masked rows are
+    // physically dropped from the merged base, then the tombstone
+    // partitions are deleted — the disk-reclaim half of the retention
+    // contract. Newer tombstones stay and keep masking at read.
+    val absorb: Option[DataFrame] =
+      if (!hasBatches(spark, evictedDir(storeDir))) None
+      else {
+        val e = spark.read.parquet(evictedDir(storeDir))
+          .filter(col("__batch") < minLiveBatch)
+          .groupBy(col("doc_id")).agg(max(col("__batch")).as("__tb"))
+        if (e.isEmpty) None else Some(e.persist())
+      }
     def rewrite(dir: String, bucketCol: String,
                 bucketOf: org.apache.spark.sql.Column): Unit = {
       val path = new org.apache.hadoop.fs.Path(dir)
@@ -190,8 +266,11 @@ object BandStore {
       val ids0 = listIds()
       val oldIds0 = ids0.filter(_ < minLiveBatch)
       // nothing to merge: no eligible batches, or a lone already-compacted
-      // base generation (idempotent no-op, no generation churn)
-      if (oldIds0.isEmpty || (oldIds0.length == 1 && oldIds0.head < 0)) return
+      // base generation (idempotent no-op, no generation churn) — UNLESS
+      // absorbable tombstones exist, whose rows live in that base and
+      // must be physically dropped
+      if (oldIds0.isEmpty ||
+          (oldIds0.length == 1 && oldIds0.head < 0 && absorb.isEmpty)) return
       val newBase = math.min(ids0.min, 0L) - 1L
       // concurrent-compaction fence on the base generation about to be
       // produced: two compactors racing the same store would both merge
@@ -219,9 +298,14 @@ object BandStore {
         s"compactStore: store advanced between listing and fence — retry")
       // distinct() reaps duplicate ROWS (a batch alive in both its source
       // partition and a prior base after an interrupted run) — benign for
-      // decisions (see above) but worth merging away here
-      val rows = spark.read.parquet(dir)
-        .filter(col("__batch").isin(oldIds: _*))
+      // decisions (see above) but worth merging away here. The eviction
+      // mask applies BEFORE the batch column drops: the batch-gate needs
+      // each row's true source batch, so a doc re-admitted after an old
+      // eviction carries its rows into the new base while the pre-
+      // eviction copies fall out
+      val rows = maskEvicted(
+          spark.read.parquet(dir).filter(col("__batch").isin(oldIds: _*)),
+          absorb)
         .drop("__batch", bucketCol)
         .distinct()
       val staging = new org.apache.hadoop.fs.Path(
@@ -252,6 +336,22 @@ object BandStore {
     }
     rewrite(bandsDir(storeDir), "__bb", pmod(col("bh"), lit(BandBuckets)).cast("int"))
     rewrite(sigsDir(storeDir), "__db", pmod(col("doc_id"), lit(SigBuckets)).cast("int"))
+    // absorb: both trees have dropped the masked rows — the old
+    // tombstone partitions are dead weight now. A crash before this
+    // delete leaves them masking already-absent rows (a no-op), and the
+    // next compaction's tombstone-only path re-absorbs them.
+    absorb.foreach { e =>
+      val ep = new org.apache.hadoop.fs.Path(evictedDir(storeDir))
+      val efs = ep.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (efs.exists(ep)) efs.listStatus(ep).foreach { st =>
+        st.getPath.getName match {
+          case s"__batch=$b" if b.toLongOption.exists(_ < minLiveBatch) =>
+            efs.delete(st.getPath, true)
+          case _ => ()
+        }
+      }
+      e.unpersist()
+    }
   }
 
   /** The pruned probe scan of `bands/` for one batch: only partitions in
@@ -261,8 +361,10 @@ object BandStore {
     */
   private[graft] def probeScan(spark: SparkSession, storeDir: String,
                                touchedBb: Seq[Int], batchId: Long): DataFrame =
-    spark.read.parquet(bandsDir(storeDir))
-      .filter(col("__bb").isin(touchedBb: _*) && col("__batch") =!= batchId)
+    maskEvicted(
+      spark.read.parquet(bandsDir(storeDir))
+        .filter(col("__bb").isin(touchedBb: _*) && col("__batch") =!= batchId),
+      evictions(spark, storeDir))
       .select(col("band"), col("bh"), col("doc_id").as("peer_id"))
 
   /** One admission step — the foreachBatch body of
@@ -449,8 +551,12 @@ object BandStore {
           .distinct().collect().map(_.getInt(0)).toSeq }
         if (peerBuckets.isEmpty) emptyPairs("doc_id", "ignore").select(col("doc_id"))
         else {
-          val peerSh = spark.read.parquet(sigsDir(storeDir))
-            .filter(col("__db").isin(peerBuckets: _*) && col("__batch") =!= batchId)
+          // same eviction mask as the band probe — a candidate surfaced
+          // by a stale band row must not re-materialize via its sig
+          val peerSh = maskEvicted(
+              spark.read.parquet(sigsDir(storeDir))
+                .filter(col("__db").isin(peerBuckets: _*) && col("__batch") =!= batchId),
+              evictions(spark, storeDir))
             .select(col("doc_id"), col("sh").as("sh_p"))
           // two consumers (the fixpoint seed's anti-join and the final
           // dropped union) — persist so the sigs scan + verification run

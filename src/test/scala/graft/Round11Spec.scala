@@ -244,6 +244,150 @@ class Round11Spec extends SparkSpec {
       == "incremental")
   }
 
+  // ---------------------------------------------------------------
+  // Spill-to-disk (VERDICT r10 item 2, the unit half): a forced-spill
+  // execution must equal its in-memory twin bit-for-bit, with disk
+  // bytes ACTUALLY spilled — not designed-for. The heap-constrained
+  // full-surface run lives in SpillStress/STRESS_r11; this pin forces
+  // the spill deterministically via the runtime-settable buffer
+  // thresholds (the sorters under them are the same
+  // UnsafeExternalSorter the memory-pressure path uses).
+  // ---------------------------------------------------------------
+
+  test("forced spill: SMJ buffered side and window buffer spill to disk; results equal the in-memory run") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import java.util.concurrent.atomic.AtomicLong
+    val disk = new AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) disk.addAndGet(e.taskMetrics.diskBytesSpilled)
+    }
+    // ~3k buffered rows per join key and per window partition — far
+    // past the forced thresholds below. The streamed join side carries
+    // ONE row per key so the buffered side still buffers whole per-key
+    // groups while the join OUTPUT stays batch-sized (a many×many key
+    // would fan out quadratically and genuinely OOM the fixture JVM).
+    val df = spark.range(200000L)
+      .select((col("id") % 64).as("k"), col("id").as("v")).localCheckpoint()
+    def smjChecksum(): Double = {
+      val a = df.select(col("k")).distinct().withColumn("va", col("k") * 7 + 1)
+      val b = df.select(col("k"), (col("v") * 3).as("vb"))
+      a.join(b, Seq("k"))
+        .agg(sum((col("va") % 97) * (col("vb") % 89)).as("s"))
+        .head.getLong(0).toDouble
+    }
+    def windowChecksum(): Double = {
+      import org.apache.spark.sql.expressions.Window
+      df.withColumn("rn",
+          row_number().over(Window.partitionBy(col("k")).orderBy(col("v"))))
+        .agg(sum(col("rn") * (col("v") % 101))).head.getLong(0).toDouble
+    }
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // SMJ, not broadcast
+      // ~6 forced spill segments per 3k-row group: real disk spill
+      // without hundreds of tiny segments (each spill reader buffers
+      // ~1 MB — threshold 64 OOM'd the fixture JVM on reader buffers)
+      "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold" -> "256",
+      "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "512",
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> "256",
+      "spark.sql.windowExec.buffer.spill.threshold" -> "512")
+    val (smjBase, winBase) = (smjChecksum(), windowChecksum())
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val smjSpilled = smjChecksum()
+      val winSpilled = windowChecksum()
+      Thread.sleep(1500) // drain the async listener bus
+      assert(smjSpilled == smjBase, "forced-spill SMJ result diverged")
+      assert(winSpilled == winBase, "forced-spill window result diverged")
+      assert(disk.get() > 0L,
+        "the thresholds must have forced actual disk spill (diskBytesSpilled == 0)")
+    } finally {
+      confs.foreach { case (k, _) => spark.conf.unset(k) }
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
+  test("forced hash-agg fallback to sort-based aggregation equals the hash-path result") {
+    val df = spark.range(100000L).select(
+      (col("id") % 9973).as("g"), col("id").as("v")).localCheckpoint()
+    def aggChecksum(): Long = {
+      val g = df.groupBy(col("g")).agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      g.agg(sum(col("s") % 1000003 + col("n"))).head.getLong(0)
+    }
+    val base = aggChecksum()
+    // the internal test hook HashAggregateExec honors: switch the hash
+    // map to the sort-based fallback (UnsafeKVExternalSorter) after N
+    // rows — the exact path real memory pressure takes
+    spark.conf.set("spark.sql.TungstenAggregate.testFallbackStartsAt", "100,200")
+    try assert(aggChecksum() == base, "sort-fallback aggregation diverged")
+    finally spark.conf.unset("spark.sql.TungstenAggregate.testFallbackStartsAt")
+  }
+
+  // ---------------------------------------------------------------
+  // Retention: eviction tombstones bound the dedup memory — vetoes stop
+  // immediately, re-admission revives, compaction reclaims the bytes
+  // ---------------------------------------------------------------
+
+  private def duBytes(dir: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+      else f.length()
+    walk(new java.io.File(dir))
+  }
+
+  test("BandStore retention: evictDocs stops the veto, re-admission outranks the tombstone, compaction physically reclaims") {
+    import graft.streaming.BandStore
+    val root = tmpDir("r11-evict")
+    val store = s"$root/store"
+    val admitted = s"$root/admitted"
+    def text(tag: String, i: Int) =
+      (0 until 25).map(j => s"${tag}_w${i}_$j").mkString(" ")
+    def frame(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    def admittedIds(): Set[Long] = spark.read.parquet(admitted)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // batch 0: the base corpus
+    BandStore.admitBatch(frame((0 until 30).map(i => (i.toLong, text("a", i)))),
+      0L, store, admitted)
+    // batch 1: an exact copy of doc 3 under a new id — the store vetoes
+    BandStore.admitBatch(frame(Seq((100L, text("a", 3)))), 1L, store, admitted)
+    assert(!admittedIds().contains(100L), "store veto must drop the copy of a live doc")
+    // batch 2: doc 3 leaves the corpus (takedown)
+    BandStore.evictDocs(Seq(3L).toDF("doc_id"), 2L, store)
+    // batch 3: the SAME text is now admissible — its only peer is
+    // evicted — while a copy of retained doc 7 still drops
+    BandStore.admitBatch(frame(Seq((101L, text("a", 3)), (102L, text("a", 7)))),
+      3L, store, admitted)
+    assert(admittedIds().contains(101L), "eviction must free the dedup memory")
+    assert(!admittedIds().contains(102L), "retained docs must keep vetoing")
+    // batch 4: doc 101's rows (batch 3) OUTRANK the batch-2 tombstone —
+    // the revived text vetoes again
+    BandStore.admitBatch(frame(Seq((103L, text("a", 3)))), 4L, store, admitted)
+    assert(!admittedIds().contains(103L),
+      "re-admission must revive the veto (batch-gated mask)")
+
+    // compaction absorbs the tombstone and physically drops the rows
+    val before = duBytes(store)
+    BandStore.compactStore(spark, store, minLiveBatch = 5L)
+    assert(!new java.io.File(BandStore.evictedDir(store)).exists() ||
+      Option(new java.io.File(BandStore.evictedDir(store)).listFiles()).getOrElse(Array.empty)
+        .forall(f => !f.getName.startsWith("__batch=")),
+      "absorbed tombstone partitions must be deleted")
+    val sigs = spark.read.parquet(BandStore.sigsDir(store))
+    assert(sigs.filter(col("doc_id") === 3L).count() == 0,
+      "the evicted doc's rows must be physically gone")
+    assert(sigs.filter(col("doc_id") === 101L).count() == 1,
+      "the re-admitted doc must survive compaction")
+    assert(duBytes(store) < before,
+      "compaction after eviction must reclaim disk bytes")
+    // post-compaction behavior unchanged: dup of a live doc drops, a
+    // fresh doc lands
+    BandStore.admitBatch(frame(Seq((104L, text("a", 12)), (105L, text("z", 1)))),
+      5L, store, admitted)
+    assert(!admittedIds().contains(104L) && admittedIds().contains(105L))
+  }
+
   test("BandStore fence: a concurrent compaction fails loudly instead of nesting the published base") {
     import graft.streaming.BandStore
     val root = tmpDir("r11-bandfence")
