@@ -11,11 +11,19 @@ import org.apache.spark.sql.functions._
   * `spark.graft.debug.timing` on for the final batches so the stage
   * split of the steady state is visible.
   *
-  * Usage: runMain graft.Probe11 <sfDir> admit
+  * The `signing` mode backs the COVERAGE.md §2.8 claim that the
+  * CodegenFallback boundary on the signing expressions is immaterial:
+  * it times a pure-codegen scan+hash of the same column (an upper bound
+  * on everything the fallback boundary could cost — the whole row
+  * pipeline outside the loop body) against the native MinHashSig /
+  * SimHashSig evaluations, best-of-3 each.
+  *
+  * Usage: runMain graft.Probe11 <sfDir> admit|signing
   */
 object Probe11 {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val mode = if (args.length > 1) args(1) else "admit"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,6 +34,8 @@ object Probe11 {
       .withExtensions(e => new graft.functions.GraftExtensions()(e))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (mode == "signing") { signingSplit(spark, sfDir); spark.stop(); return }
 
     val work = java.nio.file.Files.createTempDirectory("probe11").toString
     // ×10 corpus with disjoint ids, the StressBench replicate discipline
@@ -54,5 +64,34 @@ object Probe11 {
     println(f"[probe11] steady state (batches 7-9): ${secs.drop(7).sum / 3}%.2f s")
     all.unpersist()
     spark.stop()
+  }
+
+  private def signingSplit(spark: SparkSession, sfDir: String): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val n = docs.count()
+    def best3(name: String)(body: => Unit): Double = {
+      val t = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"[probe11] $name%-28s $t%6.3f s  (${t * 1e6 / n}%.1f us/doc, n=$n)")
+      t
+    }
+    // pure-codegen scan + hash of the same column: an UPPER bound on the
+    // whole row pipeline outside the signing loop body — i.e. on
+    // everything the CodegenFallback boundary could possibly cost
+    // aggregates CONSUME the computed column — count(lit(1)) would let
+    // column pruning delete the very expression under measurement
+    val base = best3("codegen scan+xxhash64") {
+      docs.select(xxhash64(col("text")).as("h")).agg(expr("bit_xor(h)")).head }
+    val mh = best3("MinHashSig (fallback)") {
+      docs.select(graft.functions.MinHashSig(
+          graft.operators.Dedup.shingles(col("text"))).as("sig"))
+        .agg(sum(size(col("sig")))).head }
+    val sh = best3("SimHashSig (fallback)") {
+      docs.select(graft.operators.Dedup.simhashSig.as("sig"))
+        .agg(expr("bit_xor(sig)")).head }
+    println(f"[probe11] boundary bound: ${100.0 * base / mh}%.1f%% of minhash, " +
+      f"${100.0 * base / sh}%.1f%% of simhash signing time")
   }
 }
