@@ -663,10 +663,15 @@ object IvfStore {
       val nAfter = gen.n + nNew
       val fpAfter = gen.fp ^ xIn ^ xOut
       // both lanes below (retrain-from-store and frozen-centroid append)
-      // write batch `next` — claim it once, before either's first write
+      // write batch `next` — claim it once, before either's first write.
+      // The owner token lets a crash-replay of THIS micro-batch reclaim
+      // its own fence debris immediately instead of crash-looping for a
+      // lease (micro-batches of one stream serialize through the
+      // checkpoint, so no live competitor can share the token).
       val fenceRoot = new Path(storeDir)
       val fenceFs = fsOf(s, fenceRoot)
-      StoreDirs.acquireGen(fenceFs, fenceRoot, next)
+      StoreDirs.acquireGen(fenceFs, fenceRoot, next,
+        owner = Some(s"ingest-$streamBatchId"))
       try {
       val upIds = classified.select(col("vec_id"))
       val reIds = classified.filter(col("is_restate")).select(col("vec_id"))

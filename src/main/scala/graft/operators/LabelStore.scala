@@ -634,19 +634,22 @@ object LabelStore {
       // racing an in-process retry means two writers on one directory
       // the by-name block contains `return "full"` exits, which the
       // compiler lowers to ControlThrowable — that case MUST stay
-      // settle-and-rethrow-untouched or the early return silently breaks;
-      // the explicit split keeps any future handler growth on the
-      // NonFatal arm only. Fatal VM errors pass through unsettled (the
-      // process is dying; no in-process retry can race the zombie write).
+      // settle-and-rethrow-untouched or the early return silently breaks.
+      // ONLY VirtualMachineError passes unsettled (the process is dying;
+      // no in-process retry can race the zombie write) — a blanket
+      // NonFatal arm would leak the running write AND hold the fence
+      // for a whole lease on e.g. InterruptedException from a stream
+      // stop or job cancellation, where the process lives on.
       def failSettling[A](body: => A): A =
         try body catch {
+          case t: VirtualMachineError => throw t
           case t: scala.util.control.ControlThrowable =>
             // the `return "full"` exit releases the fence itself before
             // rebuilding — this settle-only arm must not double-release
             // a fence the rebuild has since consumed
             try Await.ready(fIdx, Duration.Inf) catch { case _: Throwable => () }
             throw t
-          case t if scala.util.control.NonFatal(t) =>
+          case t: Throwable =>
             try Await.ready(fIdx, Duration.Inf) catch { case _: Throwable => () }
             StoreDirs.releaseGen(storeFs, storeRoot, next)
             throw t

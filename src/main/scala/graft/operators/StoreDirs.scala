@@ -133,7 +133,10 @@ private[graft] object StoreDirs {
     * create-exclusive of `.fence-k` BEFORE its first write, so the
     * loser fails before touching shared paths, with the store exactly
     * the winner's — retrying from the advanced state is always valid
-    * (the maintenance entries re-read the store on entry).
+    * (the maintenance entries re-read the store on entry). On `file:`
+    * filesystems the create goes through NIO's O_EXCL `createFile` —
+    * Hadoop's `RawLocalFileSystem.create(overwrite=false)` is
+    * check-then-create and two racers could both pass the check.
     *
     * Crash debris vs live competitor: a fence whose generation never
     * published is EITHER a crashed writer's leftover (its process is
@@ -143,19 +146,51 @@ private[graft] object StoreDirs {
     * standard lease caveat, solvable only with conditional writes at
     * the storage layer — so the fence carries a LEASE: younger than
     * [[staleFenceMs]] ⇒ presumed live, the claim fails loudly; older ⇒
-    * reclaimed (the zombie's staging dir is deleted first, so a
-    * holder stalled past its lease can never land its rename). A
+    * reclaimed. Reclaim is an atomic RENAME of the stale fence to a
+    * reclaimer-unique name — exactly one of several concurrent
+    * reclaimers wins the rename (a delete-then-create reclaim would let
+    * a slow loser delete the winner's fresh fence and both proceed).
+    * The winner deletes the zombie's staging dir before re-fencing, so
+    * a holder stalled past its lease can never land its rename. A
     * writer stalled past the lease that WAKES during a competitor's
     * overwrite remains the documented residual hazard, as in any
     * lease-based design.
+    *
+    * `owner`: an optional identity token stamped INTO the fence file.
+    * A claimer whose `owner` matches the existing fence's content may
+    * reclaim IMMEDIATELY, lease notwithstanding — it is this writer's
+    * own crash debris. The streaming ingest lanes pass their micro-batch
+    * id (`ingest-<batchId>`): micro-batches of one stream serialize
+    * through the checkpoint, so no live competitor can share the token,
+    * and without this a hard crash between fence and publish would
+    * lock the stream's own replay out for a whole lease (a
+    * lease-long crash-loop on restart).
     */
   def acquireGen(fs: org.apache.hadoop.fs.FileSystem,
-                 root: org.apache.hadoop.fs.Path, k: Long): Unit = {
+                 root: org.apache.hadoop.fs.Path, k: Long,
+                 owner: Option[String] = None): Unit = {
     fs.mkdirs(root)
     val fence = fencePath(root, k)
     def tryCreate(): Boolean =
-      try { fs.create(fence, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      if (fs.getScheme == "file")
+        try { Files.createFile(Paths.get(fence.toUri.getPath)); true }
+        catch { case _: java.io.IOException => false }
+      else
+        try { fs.create(fence, false).close(); true }
+        catch { case _: java.io.IOException => false }
+    // stamped AFTER the atomic create — we own the fence, the overwrite
+    // is safe; a reader seeing the brief empty window treats the fence
+    // as foreign, the conservative direction
+    def stampOwner(): Unit = owner.foreach { o =>
+      val out = fs.create(fence, true)
+      try out.write(o.getBytes("UTF-8")) finally out.close()
+    }
+    def fenceOwner(): Option[String] =
+      try {
+        val in = fs.open(fence)
+        try Some(new String(in.readAllBytes(), "UTF-8")).filter(_.nonEmpty)
+        finally in.close()
+      } catch { case _: java.io.IOException => None }
     def conflict(detail: String): Nothing = throw new IllegalStateException(
       s"concurrent writer on $root: generation $k $detail — this maintainer " +
         "must re-read the store and retry from the advanced state")
@@ -163,18 +198,25 @@ private[graft] object StoreDirs {
     // must fail BEFORE its first write, whether or not the fence file
     // still exists (fences sweep; generation dirs are the authority)
     if (genDirExists(fs, root, k)) conflict("was already published by a competitor")
-    if (tryCreate()) return
+    if (tryCreate()) { stampOwner(); return }
     if (genDirExists(fs, root, k)) conflict("was already published by a competitor")
-    val age = try System.currentTimeMillis() - fs.getFileStatus(fence).getModificationTime
-              catch { case _: java.io.IOException => Long.MaxValue } // vanished: racer released
-    if (age < staleFenceMs)
-      conflict(s"is held by a live writer (fence age ${age / 1000}s < lease ${staleFenceMs / 1000}s)")
-    // stale: reclaim — kill the zombie's rename source FIRST, then race
-    // for the fence (exactly one reclaimer wins the create-exclusive)
+    val mine = owner.nonEmpty && fenceOwner() == owner
+    if (!mine) {
+      val age = try System.currentTimeMillis() - fs.getFileStatus(fence).getModificationTime
+                catch { case _: java.io.IOException => Long.MaxValue } // vanished: racer released
+      if (age < staleFenceMs)
+        conflict(s"is held by a live writer (fence age ${age / 1000}s < lease ${staleFenceMs / 1000}s)")
+    }
+    // stale (or our own debris): atomic-rename reclaim — one winner
+    val claimed = new org.apache.hadoop.fs.Path(root,
+      s".fence-$k.reclaim-${java.util.UUID.randomUUID}")
+    val won = try fs.rename(fence, claimed) catch { case _: java.io.IOException => false }
+    if (!won) conflict("was reclaimed by a competing writer")
     fs.delete(new org.apache.hadoop.fs.Path(root, s".staging-$k"), true)
-    fs.delete(fence, false)
-    if (!tryCreate()) conflict("was reclaimed by a competing writer")
+    fs.delete(claimed, false)
     if (genDirExists(fs, root, k)) conflict("was published during the reclaim")
+    if (!tryCreate()) conflict("was reclaimed by a competing writer")
+    stampOwner()
   }
 
   /** Release an ACQUIRED-but-unpublished fence — every failure exit of a
@@ -186,32 +228,20 @@ private[graft] object StoreDirs {
                  root: org.apache.hadoop.fs.Path, k: Long): Unit =
     try fs.delete(fencePath(root, k), false) catch { case _: java.io.IOException => () }
 
-  /** Run one generation-producing body under the fence: acquire, run,
-    * and release the fence iff the body FAILED (a published generation
-    * keeps its fence as the marker that `k` is consumed; publish-time
-    * sweeps delete fences once their generation retires).
-    */
-  def withGen[A](fs: org.apache.hadoop.fs.FileSystem,
-                 root: org.apache.hadoop.fs.Path, k: Long)(body: => A): A = {
-    acquireGen(fs, root, k)
-    try body catch {
-      case t: scala.util.control.ControlThrowable => releaseGen(fs, root, k); throw t
-      case t: Throwable => releaseGen(fs, root, k); throw t
-    }
-  }
-
   /** Delete fences of generations old enough that no writer can target
     * them again (anything below the newest live generation — a future
-    * claim is always `latest + 1` or higher). Call alongside
-    * [[sweepRetired]] at publish time so a long-lived store holds O(1)
-    * fence files.
+    * claim is always `latest + 1` or higher), including `.reclaim-`
+    * debris a reclaimer crashed between rename and delete. Call
+    * alongside [[sweepRetired]] at publish time so a long-lived store
+    * holds O(1) fence files.
     */
   def sweepFences(fs: org.apache.hadoop.fs.FileSystem,
                   root: org.apache.hadoop.fs.Path, below: Long): Unit =
     if (fs.exists(root)) fs.listStatus(root).foreach { st =>
       val nm = st.getPath.getName
       if (!st.isDirectory && nm.startsWith(".fence-"))
-        nm.stripPrefix(".fence-").toLongOption
+        nm.stripPrefix(".fence-").takeWhile(c => c.isDigit || c == '-')
+          .toLongOption
           .filter(_ < below).foreach(_ => fs.delete(st.getPath, false))
     }
 

@@ -334,10 +334,13 @@ object DateStore {
     val next = gens.lastOption.map(_.k).getOrElse(0L) + 1
     // the ingest fence: micro-batches of ONE stream serialize through
     // the checkpoint, but a corpus-driven maintainer racing the stream
-    // (or a second stream on one store) is the same interleave hazard
+    // (or a second stream on one store) is the same interleave hazard.
+    // The owner token lets a crash-replay of THIS batch reclaim its own
+    // fence debris immediately instead of crash-looping for a lease.
     val fenceRoot = new Path(storeDir)
     val fenceFs = fsOf(s, fenceRoot)
-    StoreDirs.acquireGen(fenceFs, fenceRoot, next)
+    StoreDirs.acquireGen(fenceFs, fenceRoot, next,
+      owner = Some(s"ingest-$streamBatchId"))
     try prior match {
       case None =>
         val (n, fp) = globalOf(stats)

@@ -334,24 +334,28 @@ object BandStore {
         graft.operators.StoreDirs.releaseGen(fs, path, newBase)
       }
     }
-    rewrite(bandsDir(storeDir), "__bb", pmod(col("bh"), lit(BandBuckets)).cast("int"))
-    rewrite(sigsDir(storeDir), "__db", pmod(col("doc_id"), lit(SigBuckets)).cast("int"))
-    // absorb: both trees have dropped the masked rows — the old
-    // tombstone partitions are dead weight now. A crash before this
-    // delete leaves them masking already-absent rows (a no-op), and the
-    // next compaction's tombstone-only path re-absorbs them.
-    absorb.foreach { e =>
-      val ep = new org.apache.hadoop.fs.Path(evictedDir(storeDir))
-      val efs = ep.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (efs.exists(ep)) efs.listStatus(ep).foreach { st =>
-        st.getPath.getName match {
-          case s"__batch=$b" if b.toLongOption.exists(_ < minLiveBatch) =>
-            efs.delete(st.getPath, true)
-          case _ => ()
+    // unpersist on EVERY exit — a failed rewrite (fence conflict, the
+    // advanced-store require, a publish rename) must not pin the
+    // tombstone aggregate for the life of the session
+    try {
+      rewrite(bandsDir(storeDir), "__bb", pmod(col("bh"), lit(BandBuckets)).cast("int"))
+      rewrite(sigsDir(storeDir), "__db", pmod(col("doc_id"), lit(SigBuckets)).cast("int"))
+      // absorb: both trees have dropped the masked rows — the old
+      // tombstone partitions are dead weight now. A crash before this
+      // delete leaves them masking already-absent rows (a no-op), and the
+      // next compaction's tombstone-only path re-absorbs them.
+      absorb.foreach { _ =>
+        val ep = new org.apache.hadoop.fs.Path(evictedDir(storeDir))
+        val efs = ep.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (efs.exists(ep)) efs.listStatus(ep).foreach { st =>
+          st.getPath.getName match {
+            case s"__batch=$b" if b.toLongOption.exists(_ < minLiveBatch) =>
+              efs.delete(st.getPath, true)
+            case _ => ()
+          }
         }
       }
-      e.unpersist()
-    }
+    } finally absorb.foreach(_.unpersist())
   }
 
   /** The pruned probe scan of `bands/` for one batch: only partitions in
@@ -359,12 +363,18 @@ object BandStore {
     * to let the plan pin assert partition pruning on the exact scan the
     * admission step runs.
     */
+  /** `evOpt`: outer None = compute the eviction mask from the store
+    * (the plan-pin entry); Some(ev) = the caller's already-computed
+    * (possibly cached) mask — admitBatch computes it ONCE per batch and
+    * shares it with the sig read.
+    */
   private[graft] def probeScan(spark: SparkSession, storeDir: String,
-                               touchedBb: Seq[Int], batchId: Long): DataFrame =
+                               touchedBb: Seq[Int], batchId: Long,
+                               evOpt: Option[Option[DataFrame]] = None): DataFrame =
     maskEvicted(
       spark.read.parquet(bandsDir(storeDir))
         .filter(col("__bb").isin(touchedBb: _*) && col("__batch") =!= batchId),
-      evictions(spark, storeDir))
+      evOpt.getOrElse(evictions(spark, storeDir)))
       .select(col("band"), col("bh"), col("doc_id").as("peer_id"))
 
   /** One admission step — the foreachBatch body of
@@ -433,6 +443,9 @@ object BandStore {
     val sig = keep(signDocs(batch.join(repIds, Seq("doc_id"), "left_semi")))
     val batchBands = keep(explodeBands(sig, "batch_id"))
     val storeExists = hasBatches(spark, bandsDir(storeDir))
+    // the eviction mask is computed ONCE per batch and cached — both the
+    // band probe and the candidate-sig read mask with it
+    val ev = evictions(spark, storeDir).map(keep)
 
     def emptyPairs(aCol: String, bCol: String): DataFrame =
       spark.range(0).select(col("id").as(aCol), col("id").as(bCol))
@@ -495,7 +508,7 @@ object BandStore {
           // cached volume IS the touched-bucket occupancy the admission
           // cost model already charges for scanning, and MEMORY_AND_DISK
           // spills rather than evicting the executors at scale.
-          val probe = keep(probeScan(spark, storeDir, touched, batchId))
+          val probe = keep(probeScan(spark, storeDir, touched, batchId, Some(ev)))
           // hot-bucket guard, bipartite form: cap the STORE side of each
           // (band, bh) bucket — an over-cap bucket contributes only its
           // min peer (star-probe), bounding the candidate join at
@@ -556,7 +569,7 @@ object BandStore {
           val peerSh = maskEvicted(
               spark.read.parquet(sigsDir(storeDir))
                 .filter(col("__db").isin(peerBuckets: _*) && col("__batch") =!= batchId),
-              evictions(spark, storeDir))
+              ev)
             .select(col("doc_id"), col("sh").as("sh_p"))
           // two consumers (the fixpoint seed's anti-join and the final
           // dropped union) — persist so the sigs scan + verification run

@@ -209,6 +209,31 @@ class Round11Spec extends SparkSpec {
     assert(got == evB.select("event_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("ingest fence owner: a crash-replay reclaims its own young fence immediately; foreign writers still wait the lease") {
+    import graft.sources.DateStore
+    val store = tmpDir("r11-owner") + "/store"
+    val ev = graft.engine.Tables.events(spark, sfDir).localCheckpoint()
+    def upTo(d: String) = ev.filter(to_date(col("ts")) < lit(d))
+    assert(DateStore.appendEvents(upTo("2024-01-10"), store, 0L) == "append-initial")
+    // simulate appendEvents(batch 1) crashing after its acquireGen: the
+    // fence for generation 2 is young AND carries the batch's owner token
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(store, ".fence-2"), "ingest-1".getBytes("UTF-8"))
+    // a FOREIGN writer (corpus-driven maintenance) is still locked out
+    val e = intercept[IllegalStateException] {
+      DateStore.ensureIncrementalEvents(upTo("2024-01-12"), store)
+    }
+    assert(e.getMessage.contains("held by a live writer"), e.getMessage)
+    // ... but the stream's own replay of batch 1 reclaims immediately —
+    // no lease-long crash-loop on restart
+    val batch = ev.filter(to_date(col("ts")) === lit("2024-01-10")).localCheckpoint()
+    assert(DateStore.appendEvents(batch, store, 1L) == "append")
+    val got = DateStore.readEvents(spark, store).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    val want = upTo("2024-01-11").select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == want, "the replayed batch must have landed exactly once")
+  }
+
   test("LabelStore and IvfStore fences: a held generation refuses the second maintainer before any index write") {
     import graft.operators.{IvfStore, LabelStore}
     // label store
