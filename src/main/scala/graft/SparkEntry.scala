@@ -151,6 +151,7 @@ object SparkEntry {
     "x2_labels_delete" -> (LabelStore.x2LabelsDelete _),
     "x2_dedup_keep" -> (Dedup.x2DedupKeep _),
     "x2_incremental" -> (Dedup.x2IncrementalLsh _),
+    "x2_evict_readmit" -> (Dedup.x2EvictReadmit _),
     "x7_decontaminate" -> (Dedup.x7Decontaminate _),
     "x7_decontam_keep" -> (Dedup.x7DecontamKeep _),
     "x2_embedding_lsh" -> (Dedup.x2EmbeddingLsh _),
@@ -342,6 +343,7 @@ object SparkEntry {
     "x2_labels_delete" -> LabelStore.x2LabelsDeleteSql,
     "x2_dedup_keep" -> Dedup.x2DedupKeepSql,
     "x2_incremental" -> Dedup.x2IncrementalSql,
+    "x2_evict_readmit" -> Dedup.x2EvictReadmitSql,
     "x7_decontaminate" -> Dedup.x7DecontaminateSql,
     "x7_decontam_keep" -> Dedup.x7DecontamKeepSql,
     // x2_embedding_lsh: at fixture corpus sizes the cost-based crossover

@@ -1210,6 +1210,62 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** X2h [EXT] — the RETENTION lifecycle of the admission store under
+    * the hash gate: seed the band store from the non-batch corpus
+    * verbatim ([[graft.streaming.BandStore.importCorpus]] — the
+    * adopt-in-place bootstrap), EVICT every 7th corpus doc
+    * ([[graft.streaming.BandStore.evictDocs]] — a takedown/TTL batch),
+    * then admit the batch split through the REAL
+    * [[graft.streaming.BandStore.admitBatch]] machinery. An evicted
+    * doc must stop vetoing (its near-dups in the batch are admitted);
+    * every retained doc must keep vetoing. Oracle: exact all-pairs
+    * batch × LIVE-corpus Jaccard — `x2_incremental`'s quadratic twin
+    * with the evicted ids removed from the peer set.
+    *
+    * The batch is pre-filtered to be in-batch-dup-free (BOTH sides of
+    * every within-batch J ≥ 0.8 pair drop, via the same LSH+verify
+    * machinery — equals exact by the banding bound): with no within-
+    * batch pairs the greedy min-id admission fixpoint is the identity,
+    * so the DuckDB twin stays non-recursive. The same symmetric filter
+    * is expressed in the twin SQL.
+    */
+  def x2EvictReadmit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.StoreDirs.withTempStore("graft-evict") { store =>
+      import graft.streaming.BandStore
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      BandStore.importCorpus(corpus, 0L, store)
+      BandStore.evictDocs(
+        corpus.filter(col("doc_id") % 7 === 0).select(col("doc_id")), 1L, store)
+      val batch0 = docs.filter(col("doc_id") % 5 === 0)
+      val sig = batch0.filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .withColumn("sig", minhashSig)
+        .persist()
+      val bands = sig.select(col("doc_id"),
+        posexplode(expr(bandSql)).as(Seq("band", "bh")))
+      val cand = bands
+        .join(bands.select(col("doc_id").as("peer_id"), col("band"), col("bh")),
+          Seq("band", "bh"))
+        .filter(col("doc_id") < col("peer_id"))
+        .select(col("doc_id"), col("peer_id")).distinct()
+      val dupPairs = cand
+        .join(sig.select(col("doc_id"), col("sh").as("sh_a")), Seq("doc_id"))
+        .join(sig.select(col("doc_id").as("peer_id"), col("sh").as("sh_b")), Seq("peer_id"))
+        .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+        .filter(round(col("c") / (size(col("sh_a")) + size(col("sh_b")) - col("c")), 6) >= 0.8)
+      val inBatchDropped = dupPairs.select(col("doc_id"))
+        .unionByName(dupPairs.select(col("peer_id").as("doc_id"))).distinct()
+      val batch = batch0.join(inBatchDropped, Seq("doc_id"), "left_anti").localCheckpoint()
+      sig.unpersist()
+      val admitted = s"$store-admitted"
+      BandStore.admitBatch(batch, 2L, store, admitted)
+      s.read.parquet(admitted)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+    }
+
   /** X7 [EXT] — benchmark DECONTAMINATION: flag training-split documents
     * that share any 8-token shingle with an evaluation-split document
     * (the n-gram-overlap rule used to scrub eval leakage from training
@@ -1322,5 +1378,51 @@ object Dedup {
       |  WHERE j >= 0.8)
       |SELECT doc_id, source, n_chars FROM documents
       |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT batch_id FROM dropped)
+      |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of [[x2EvictReadmit]]: the incremental twin with (a)
+    * the evicted ids (`% 7 = 0`) removed from the corpus peer set and
+    * (b) the symmetric within-batch near-dup filter — both sides of
+    * every batch-internal J ≥ 0.8 pair leave the batch, exactly the
+    * pre-filter the Spark side applies before admission.
+    */
+  val x2EvictReadmitSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                                for i in range(1, len(toks) - 1)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |  WHERE len(toks) >= 3
+      |), ex AS (SELECT doc_id, unnest(s) AS s FROM sh),
+      |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      |binter AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      |  FROM ex a JOIN ex b ON a.s = b.s
+      |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0 AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |bpairs AS (
+      |  SELECT a_id, b_id FROM (
+      |    SELECT a_id, b_id, round(c * 1.0 / (sa.n + sb.n - c), 6) AS j
+      |    FROM binter JOIN sizes sa ON a_id = sa.doc_id
+      |                JOIN sizes sb ON b_id = sb.doc_id)
+      |  WHERE j >= 0.8),
+      |bdrop AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT a_id AS doc_id FROM bpairs
+      |    UNION ALL SELECT b_id AS doc_id FROM bpairs)),
+      |inter AS (
+      |  SELECT b.doc_id AS batch_id, a.doc_id AS corpus_id, count(*) AS c
+      |  FROM ex a JOIN ex b ON a.s = b.s
+      |  WHERE a.doc_id % 5 != 0 AND a.doc_id % 7 != 0 AND b.doc_id % 5 = 0
+      |  GROUP BY 1, 2),
+      |sdrop AS (
+      |  SELECT DISTINCT batch_id FROM (
+      |    SELECT batch_id, round(c * 1.0 / (sc.n + sb.n - c), 6) AS j
+      |    FROM inter JOIN sizes sc ON corpus_id = sc.doc_id
+      |               JOIN sizes sb ON batch_id = sb.doc_id)
+      |  WHERE j >= 0.8)
+      |SELECT doc_id, source, n_chars FROM documents
+      |WHERE doc_id % 5 = 0
+      |  AND doc_id NOT IN (SELECT doc_id FROM bdrop)
+      |  AND doc_id NOT IN (SELECT batch_id FROM sdrop)
       |ORDER BY doc_id""".stripMargin
 }

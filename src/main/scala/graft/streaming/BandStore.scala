@@ -107,6 +107,25 @@ object BandStore {
       evictIds.select(col("doc_id")).distinct().coalesce(1),
       batchId, None, evictedDir(storeDir))
 
+  /** Bootstrap: seed the store from an EXISTING corpus as one batch,
+    * with NO admission decisions — the adopt-in-place path for a
+    * deployment turning on streaming admission over an already-curated
+    * corpus (re-playing terabytes through admitBatch to build signature
+    * state would re-adjudicate documents the corpus owner already
+    * accepted; this lands them verbatim). Signatures are computed once
+    * and both trees written from the cached frame; the write is the
+    * same idempotent dynamic overwrite as every batch.
+    */
+  def importCorpus(corpus: DataFrame, batchId: Long, storeDir: String): Unit = {
+    val sig = signDocs(corpus).persist()
+    try {
+      overwriteBatchPartitions(sig, batchId,
+        Some(("__db", pmod(col("doc_id"), lit(SigBuckets)).cast("int"))), sigsDir(storeDir))
+      overwriteBatchPartitions(explodeBands(sig, "doc_id"), batchId,
+        Some(("__bb", pmod(col("bh"), lit(BandBuckets)).cast("int"))), bandsDir(storeDir))
+    } finally sig.unpersist()
+  }
+
   /** Per-doc newest eviction batch (`doc_id`, `__tb`), or None when the
     * store has no tombstones — the read-side mask input.
     */
