@@ -338,7 +338,8 @@ object LabelStore {
   /** Frame-based [[build]] — lets a caller scope the store to a corpus
     * SUBSET (the incremental unit tests' split build).
     */
-  private[graft] def buildDocs(corpus0: DataFrame, storeDir: String): Unit = {
+  private[graft] def buildDocs(corpus0: DataFrame, storeDir: String,
+                               owner: Option[String] = None): Unit = {
     val corpus = corpus0.persist()
     // the full-corpus signed frame feeds THREE consumers — the cluster
     // pipeline (via preSigned: its reps subset is a semi-join instead of
@@ -364,7 +365,7 @@ object LabelStore {
       // claim the generation BEFORE the first shared-path write (the
       // concurrent index future below): a competing maintainer at the
       // same parent fails loudly here instead of interleaving batch dirs
-      StoreDirs.acquireGen(storeFs, storeRoot, next)
+      StoreDirs.acquireGen(storeFs, storeRoot, next, owner)
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
@@ -433,7 +434,8 @@ object LabelStore {
     * corpus to a subset (the delete oracle row's reduced corpus).
     */
   private[graft] def ensureIncrementalDocs(corpus0: DataFrame,
-                                           storeDir: String): String = {
+                                           storeDir: String,
+                                           owner: Option[String] = None): String = {
     val s = corpus0.sparkSession
     val corpus = corpus0.persist()
     val persisted = scala.collection.mutable.ArrayBuffer[DataFrame](corpus)
@@ -445,7 +447,7 @@ object LabelStore {
       if (gens.lastOption.exists(g => g.n == n && g.fp == fp)) return "noop"
       val idxPath = new Path(digestsIdx(storeDir))
       if (gens.isEmpty || !fsOf(s, idxPath).exists(idxPath)) {
-        buildDocs(corpus, storeDir); return "full"
+        buildDocs(corpus, storeDir, owner); return "full"
       }
       val latest = gens.last
       val ts = tombstones(s, storeDir, upTo = latest.k)
@@ -478,7 +480,7 @@ object LabelStore {
       // at 100 TB (appends and takedowns arrive as separate maintenance
       // calls; mutation means the corpus was edited in place)
       if (nDelta == 0 || nDelta != nNew + nDel || (nNew > 0 && nDel > 0)) {
-        buildDocs(corpus, storeDir); return "full"
+        buildDocs(corpus, storeDir, owner); return "full"
       }
 
       if (nDel > 0) {
@@ -495,7 +497,7 @@ object LabelStore {
         // approaches the live corpus, probes pay more masking than a
         // rebuild costs — rebuild, which also clears the tombstones
         val priorDead = ts.map(_.count()).getOrElse(0L)
-        if (priorDead + nDel > 0.5 * n) { buildDocs(corpus, storeDir); return "full" }
+        if (priorDead + nDel > 0.5 * n) { buildDocs(corpus, storeDir, owner); return "full" }
         val oldLabels = keep(read(s, storeDir))
         val touchedReps = oldLabels.join(deleted, Seq("doc_id"), "left_semi")
           .select(col("cluster_rep")).distinct().localCheckpoint()
@@ -504,7 +506,7 @@ object LabelStore {
         // recompute cost ∝ touched members (re-sign + re-band + re-pair
         // just those); past half the corpus the full rebuild is cheaper
         // and compacts the index
-        if (touchedMass > 0.5 * n) { buildDocs(corpus, storeDir); return "full" }
+        if (touchedMass > 0.5 * n) { buildDocs(corpus, storeDir, owner); return "full" }
         val labels =
           if (touchedMass == 0) oldLabels // deletes outside every cluster
           else {
@@ -546,7 +548,7 @@ object LabelStore {
                 .join(deleted, Seq("doc_id"), "left_anti")
                 .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("__n"))
                 .agg(coalesce(max(col("__n")), lit(0L))).head.getLong(0)
-            if (reducedMax > cap) { buildDocs(corpus, storeDir); return "full" }
+            if (reducedMax > cap) { buildDocs(corpus, storeDir, owner); return "full" }
             val cand = Dedup.cappedSelfPairs(survBands, "doc_id",
               cap, "doc_a", "doc_b", keep)
             // exact Jaccard verification, identical arithmetic to the
@@ -580,7 +582,7 @@ object LabelStore {
         val storeFs = fsOf(s, storeRoot)
         // first shared-path write of this lane is the tombstone batch —
         // claim the generation before it
-        StoreDirs.acquireGen(storeFs, storeRoot, next)
+        StoreDirs.acquireGen(storeFs, storeRoot, next, owner)
         try {
           writeTombstones(deleted, next, storeDir)
           val pub = publishGen(s, storeDir, n, fp, labels.orderBy("doc_id"), next)
@@ -623,7 +625,7 @@ object LabelStore {
       // claim the generation BEFORE the concurrent index future's first
       // batch write — the loser of a race fails loudly here, with the
       // store untouched by it
-      StoreDirs.acquireGen(storeFs, storeRoot, next)
+      StoreDirs.acquireGen(storeFs, storeRoot, next, owner)
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
@@ -698,7 +700,7 @@ object LabelStore {
             // release this lane's claim before the rebuild re-claims the
             // same generation number for itself
             StoreDirs.releaseGen(storeFs, storeRoot, next)
-            buildDocs(corpus, storeDir)
+            buildDocs(corpus, storeDir, owner)
             return "full"
           }
           // localCheckpoint, NOT persist: the concurrent index writes

@@ -226,7 +226,12 @@ object Streams {
               "with a real offset column")
           graft.sources.Sinks.upsertByKey(b, "doc_id", "doc_id", corpusStore)
           val corpus = b.sparkSession.read.parquet(corpusStore).drop("__bucket")
-          graft.operators.LabelStore.ensureIncrementalDocs(corpus, labelStore)
+          // lane-scoped fence owner: a hard crash between this lane's
+          // fence claim and its publish must not lock the lane's own
+          // replay out for a whole lease — micro-batches of one
+          // checkpoint serialize, so no live competitor shares the token
+          graft.operators.LabelStore.ensureIncrementalDocs(corpus, labelStore,
+            owner = Some(s"label-sink:$checkpoint"))
           ()
         } finally graft.operators.StoreDirs.freePinned(b)
       }
