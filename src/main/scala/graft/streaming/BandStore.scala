@@ -421,22 +421,34 @@ object BandStore {
                  admittedDir: String): Unit = {
     val spark = batch.sparkSession
     val cap = Dedup.bucketCap(spark)
-    // every persist in this method is released on ALL exits (a probe that
-    // races a concurrent compaction's retirement step can fail and be
-    // replayed by the engine — the failed attempt must not leak cache).
-    // keep() is called from the overlapped in-batch verify thread too —
-    // synchronize the registry.
+    // every persist AND localCheckpoint in this method is released on
+    // ALL exits (a probe that races a concurrent compaction's retirement
+    // step can fail and be replayed by the engine — the failed attempt
+    // must not leak cache; and a long-lived stream runs thousands of
+    // batches, so checkpoint blocks left to the ContextCleaner's GC
+    // cadence accumulate into memory pressure — the clusterPairs
+    // lesson). keep()/pin() are called from the overlapped in-batch
+    // verify thread too — synchronize the registries.
     val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def keep(df: DataFrame): DataFrame = {
       persisted.synchronized { persisted += df }; df.persist()
     }
-    try admitBatchImpl(batch, batchId, storeDir, admittedDir, cap, keep)
-    finally persisted.synchronized(persisted.toList).foreach(_.unpersist())
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      val cp = df.localCheckpoint()
+      pinned.synchronized { pinned += cp }; cp
+    }
+    try admitBatchImpl(batch, batchId, storeDir, admittedDir, cap, keep, pin)
+    finally {
+      persisted.synchronized(persisted.toList).foreach(_.unpersist())
+      pinned.synchronized(pinned.toList).foreach(graft.operators.StoreDirs.freePinned)
+    }
   }
 
   private def admitBatchImpl(batch: DataFrame, batchId: Long, storeDir: String,
                              admittedDir: String, cap: Int,
-                             keep: DataFrame => DataFrame): Unit = {
+                             keep: DataFrame => DataFrame,
+                             pin: DataFrame => DataFrame): Unit = {
     val spark = batch.sparkSession
     // (0) X1 exact pre-collapse — the `dag_training_prep` ordering (exact
     // dedup BEFORE near-dedup) made a contract of the admission path:
@@ -495,11 +507,10 @@ object BandStore {
     val fInBatch = Future(timed(spark, "inbatch-verify") {
       val candInBatch =
         Dedup.cappedSelfPairs(batchBands, "batch_id", cap, "peer_id", "batch_id", keep)
-      verified(candInBatch, sig.select(col("doc_id"), col("sh").as("sh_p")))
+      pin(verified(candInBatch, sig.select(col("doc_id"), col("sh").as("sh_p")))
         // the verified pair graph is tiny (near-dups are sparse): one
         // partition keeps every fixpoint round at a handful of tasks
-        .coalesce(1)
-        .localCheckpoint()
+        .coalesce(1))
     })
     // concurrent work must never outlive this call: settle every launched
     // future before any failure below propagates (a zombie job racing the
@@ -626,15 +637,13 @@ object BandStore {
     val anyPairs = pairsLive.head(1).nonEmpty
     var batchDropped =
       if (!anyPairs) emptyPairs("doc_id", "ignore").select(col("doc_id"))
-      else pairsLive.select(col("batch_id").as("doc_id")).distinct()
-        .localCheckpoint()
+      else pin(pairsLive.select(col("batch_id").as("doc_id")).distinct())
     var converged = !anyPairs
     var rounds = 0
     timed(spark, "fixpoint") { while (!converged && rounds < 32) {
-      val next = pairsLive
+      val next = pin(pairsLive
         .join(batchDropped.withColumnRenamed("doc_id", "peer_id"), Seq("peer_id"), "left_anti")
-        .select(col("batch_id").as("doc_id")).distinct()
-        .localCheckpoint()
+        .select(col("batch_id").as("doc_id")).distinct())
       converged = next.exceptAll(batchDropped).isEmpty && batchDropped.exceptAll(next).isEmpty
       batchDropped = next
       rounds += 1
