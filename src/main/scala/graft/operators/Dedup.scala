@@ -1223,47 +1223,70 @@ object Dedup {
     * with the evicted ids removed from the peer set.
     *
     * The batch is pre-filtered to be in-batch-dup-free (BOTH sides of
-    * every within-batch J ≥ 0.8 pair drop, via the same LSH+verify
-    * machinery — equals exact by the banding bound): with no within-
-    * batch pairs the greedy min-id admission fixpoint is the identity,
-    * so the DuckDB twin stays non-recursive. The same symmetric filter
-    * is expressed in the twin SQL.
+    * every within-batch J ≥ 0.8 pair drop): with no within-batch pairs
+    * the greedy min-id admission fixpoint is the identity, so the
+    * DuckDB twin stays non-recursive. The same symmetric filter is
+    * expressed in the twin SQL. The filter is built from the store's
+    * own canonical signing ([[graft.streaming.BandStore.signDocs]] /
+    * `explodeBands` — a hand-inlined copy could silently diverge from
+    * the pipeline under test) and runs under the family-wide skew
+    * discipline: adaptive exact pre-collapse to min-id representatives
+    * (a multi-member exact group is pairwise J=1, so the WHOLE group
+    * drops and only its rep joins the pair scan) plus the capped
+    * self-join. Both-sides-drop commutes with the collapse: a singleton
+    * near-dup of a group's text pairs with the group's rep.
     */
   def x2EvictReadmit(s: SparkSession, dir: String): DataFrame =
     graft.operators.StoreDirs.withTempStore("graft-evict") { store =>
       import graft.streaming.BandStore
-      val docs = Tables.documents(s, dir)
-      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
-      BandStore.importCorpus(corpus, 0L, store)
-      BandStore.evictDocs(
-        corpus.filter(col("doc_id") % 7 === 0).select(col("doc_id")), 1L, store)
-      val batch0 = docs.filter(col("doc_id") % 5 === 0)
-      val sig = batch0.filter(size(split(col("text"), " ")) >= 3)
-        .select(col("doc_id"), shingles(col("text")).as("sh"))
-        .withColumn("sig", minhashSig)
-        .persist()
-      val bands = sig.select(col("doc_id"),
-        posexplode(expr(bandSql)).as(Seq("band", "bh")))
-      val cand = bands
-        .join(bands.select(col("doc_id").as("peer_id"), col("band"), col("bh")),
-          Seq("band", "bh"))
-        .filter(col("doc_id") < col("peer_id"))
-        .select(col("doc_id"), col("peer_id")).distinct()
-      val dupPairs = cand
-        .join(sig.select(col("doc_id"), col("sh").as("sh_a")), Seq("doc_id"))
-        .join(sig.select(col("doc_id").as("peer_id"), col("sh").as("sh_b")), Seq("peer_id"))
-        .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-        .filter(round(col("c") / (size(col("sh_a")) + size(col("sh_b")) - col("c")), 6) >= 0.8)
-      val inBatchDropped = dupPairs.select(col("doc_id"))
-        .unionByName(dupPairs.select(col("peer_id").as("doc_id"))).distinct()
-      val batch = batch0.join(inBatchDropped, Seq("doc_id"), "left_anti").localCheckpoint()
-      sig.unpersist()
-      val admitted = s"$store-admitted"
-      BandStore.admitBatch(batch, 2L, store, admitted)
-      s.read.parquet(admitted)
-        .select(col("doc_id"), col("source"), col("n_chars"))
-        .orderBy("doc_id")
-        .localCheckpoint()
+      val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def keep(df: DataFrame): DataFrame = { persisted += df; df.persist() }
+      try {
+        val docs = Tables.documents(s, dir)
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        BandStore.importCorpus(corpus, 0L, store)
+        BandStore.evictDocs(
+          corpus.filter(col("doc_id") % 7 === 0).select(col("doc_id")), 1L, store)
+        val batch0 = docs.filter(col("doc_id") % 5 === 0)
+        val signable = keep(batch0.filter(size(split(col("text"), " ")) >= 3)
+          .select(col("doc_id"), textKey.as("__th")))
+        val shape = signable.agg(count(lit(1)), countDistinct(col("__th"))).head
+        val hasExactDups = shape.getLong(0) != shape.getLong(1)
+        val cap = bucketCap(s, shape.getLong(0))
+        val (repDocs, multiMembers) =
+          if (!hasExactDups) (batch0, s.range(0).select(col("id").as("doc_id")))
+          else {
+            val groups = signable.groupBy(col("__th"))
+              .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("__n"))
+            val multi = keep(signable
+              .join(groups.filter(col("__n") > 1).select(col("__th")), Seq("__th"))
+              .select(col("doc_id")))
+            (batch0.join(groups.select(col("rep_id").as("doc_id")),
+              Seq("doc_id"), "left_semi"), multi)
+          }
+        val sig = keep(BandStore.signDocs(repDocs))
+        val bands = BandStore.explodeBands(sig, "doc_id")
+        val cand = cappedSelfPairs(bands, "doc_id", cap, "a_id", "b_id", keep)
+        val dupPairs = cand
+          .join(sig.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), Seq("a_id"))
+          .join(sig.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), Seq("b_id"))
+          .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+          .filter(round(col("c") / (size(col("sh_a")) + size(col("sh_b")) - col("c")), 6) >= 0.8)
+        val inBatchDropped = dupPairs.select(col("a_id").as("doc_id"))
+          .unionByName(dupPairs.select(col("b_id").as("doc_id")))
+          .unionByName(multiMembers)
+          .distinct()
+        val batch = batch0.join(inBatchDropped, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        try {
+          val admitted = s"$store-admitted"
+          BandStore.admitBatch(batch, 2L, store, admitted)
+          s.read.parquet(admitted)
+            .select(col("doc_id"), col("source"), col("n_chars"))
+            .orderBy("doc_id")
+            .localCheckpoint()
+        } finally graft.operators.StoreDirs.freePinned(batch)
+      } finally persisted.foreach(_.unpersist())
     }
 
   /** X7 [EXT] — benchmark DECONTAMINATION: flag training-split documents

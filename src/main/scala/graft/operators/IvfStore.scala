@@ -609,7 +609,8 @@ object IvfStore {
     * measures the whole path flat at 1M vectors.
     */
   def appendVectors(batch: DataFrame, storeDir: String,
-                    streamBatchId: Long): String = {
+                    streamBatchId: Long,
+                    ownerScope: Option[String] = None): String = {
     val s = batch.sparkSession
     val gens = listGens(s, storeDir)
     gens.lastOption.flatMap(readIngestId(s, _)) match {
@@ -671,7 +672,8 @@ object IvfStore {
       val fenceRoot = new Path(storeDir)
       val fenceFs = fsOf(s, fenceRoot)
       StoreDirs.acquireGen(fenceFs, fenceRoot, next,
-        owner = Some(s"ingest-$streamBatchId"))
+        owner = Some(ownerScope.fold(s"ingest-$streamBatchId")(cp =>
+          s"ingest-$cp-$streamBatchId")))
       try {
       val upIds = classified.select(col("vec_id"))
       val reIds = classified.filter(col("is_restate")).select(col("vec_id"))
@@ -750,7 +752,7 @@ object IvfStore {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendVectors(batch, storeDir, batchId)
+        appendVectors(batch, storeDir, batchId, Some(checkpoint))
         ()
       }
       .start()

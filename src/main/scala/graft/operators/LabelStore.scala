@@ -72,6 +72,9 @@ object LabelStore {
       r
     }
 
+  private def settleQuietly(f: scala.concurrent.Future[_]): Unit =
+    StoreDirs.settleQuietly(f)
+
   private case class Gen(k: Long, n: Long, fp: Long, path: Path)
 
   private def fsOf(s: SparkSession, p: Path) =
@@ -379,7 +382,7 @@ object LabelStore {
           try timed(s, "cluster+publish") { publishGen(s, storeDir, n, fp,
             Dedup.x2DupClustersOf(corpus, preSigned = Some(sig)), next) }
           catch { case t: Throwable =>
-            try Await.ready(fIdx, Duration.Inf) catch { case _: Throwable => () }
+            settleQuietly(fIdx)
             throw t
           }
         Await.result(fIdx, Duration.Inf)
@@ -649,10 +652,13 @@ object LabelStore {
             // the `return "full"` exit releases the fence itself before
             // rebuilding — this settle-only arm must not double-release
             // a fence the rebuild has since consumed
-            try Await.ready(fIdx, Duration.Inf) catch { case _: Throwable => () }
+            settleQuietly(fIdx)
             throw t
           case t: Throwable =>
-            try Await.ready(fIdx, Duration.Inf) catch { case _: Throwable => () }
+            // release ONLY after the settle completed: settleQuietly
+            // retries through interrupts, so the fence never outlives a
+            // running index write nor frees one still in flight
+            settleQuietly(fIdx)
             StoreDirs.releaseGen(storeFs, storeRoot, next)
             throw t
         }

@@ -98,6 +98,27 @@ private[graft] object StoreDirs {
         fs.delete(st.getPath, true)
     }
 
+  /** Await a concurrent write's completion, robust to interrupts: the
+    * settle is what licenses releasing a fence or retrying in process,
+    * so an InterruptedException DURING the settle must retry the await,
+    * not abandon a still-running write — an unfenced zombie write racing
+    * a retry is two writers on one directory. The interrupt flag is
+    * restored for the caller once the future is settled.
+    */
+  def settleQuietly(f: scala.concurrent.Future[_]): Unit = {
+    import scala.concurrent.Await
+    import scala.concurrent.duration.Duration
+    var interrupted = false
+    var done = false
+    while (!done)
+      try { Await.ready(f, Duration.Inf); done = true }
+      catch {
+        case _: InterruptedException => interrupted = true
+        case _: Throwable => done = true
+      }
+    if (interrupted) Thread.currentThread().interrupt()
+  }
+
   /** How long an unpublished fence is presumed to have a LIVE writer
     * behind it. A maintenance call that holds a generation longer than
     * this can be reclaimed by a competitor — size it to the slowest
@@ -171,19 +192,28 @@ private[graft] object StoreDirs {
                  owner: Option[String] = None): Unit = {
     fs.mkdirs(root)
     val fence = fencePath(root, k)
-    def tryCreate(): Boolean =
-      if (fs.getScheme == "file")
-        try { Files.createFile(Paths.get(fence.toUri.getPath)); true }
-        catch { case _: java.io.IOException => false }
-      else
-        try { fs.create(fence, false).close(); true }
-        catch { case _: java.io.IOException => false }
-    // stamped AFTER the atomic create — we own the fence, the overwrite
-    // is safe; a reader seeing the brief empty window treats the fence
-    // as foreign, the conservative direction
+    // stamped right after the atomic create — we own the fence, so the
+    // overwrite is safe; a reader seeing the brief empty window treats
+    // the fence as foreign, the conservative direction. A stamp FAILURE
+    // releases the just-claimed fence before propagating: an empty
+    // unreleased fence would lock even its own owner out for a lease
+    // (fenceOwner reads None → the `mine` fast path never fires).
     def stampOwner(): Unit = owner.foreach { o =>
       val out = fs.create(fence, true)
       try out.write(o.getBytes("UTF-8")) finally out.close()
+    }
+    def tryCreate(): Boolean = {
+      val created =
+        if (fs.getScheme == "file")
+          try { Files.createFile(Paths.get(fence.toUri.getPath)); true }
+          catch { case _: java.io.IOException => false }
+        else
+          try { fs.create(fence, false).close(); true }
+          catch { case _: java.io.IOException => false }
+      if (created)
+        try stampOwner()
+        catch { case t: Throwable => releaseGen(fs, root, k); throw t }
+      created
     }
     def fenceOwner(): Option[String] =
       try {
@@ -198,7 +228,7 @@ private[graft] object StoreDirs {
     // must fail BEFORE its first write, whether or not the fence file
     // still exists (fences sweep; generation dirs are the authority)
     if (genDirExists(fs, root, k)) conflict("was already published by a competitor")
-    if (tryCreate()) { stampOwner(); return }
+    if (tryCreate()) return
     if (genDirExists(fs, root, k)) conflict("was already published by a competitor")
     val mine = owner.nonEmpty && fenceOwner() == owner
     if (!mine) {
@@ -212,17 +242,26 @@ private[graft] object StoreDirs {
       s".fence-$k.reclaim-${java.util.UUID.randomUUID}")
     val won = try fs.rename(fence, claimed) catch { case _: java.io.IOException => false }
     if (!won) conflict("was reclaimed by a competing writer")
-    fs.delete(new org.apache.hadoop.fs.Path(root, s".staging-$k"), true)
     fs.delete(claimed, false)
     if (genDirExists(fs, root, k)) conflict("was published during the reclaim")
     if (!tryCreate()) conflict("was reclaimed by a competing writer")
-    stampOwner()
+    // kill the zombie's rename source ONLY while holding the fence: the
+    // rename above frees the fence path, so a fresh claimer can slip in
+    // before this line — deleting `.staging-k` unfenced would wipe THAT
+    // live writer's in-progress staging. Fenced, the only staging that
+    // can exist is the stalled old holder's, and without it a holder
+    // stalled past its lease can never land its publish (its late
+    // rename of an already-deleted source fails loudly). A zombie that
+    // completes its rename BEFORE this delete publishes a valid
+    // generation built at the same parent — the reclaimer then fails
+    // its own publish CAS loudly and retries from the advanced state.
+    fs.delete(new org.apache.hadoop.fs.Path(root, s".staging-$k"), true)
   }
 
   /** Release an ACQUIRED-but-unpublished fence — every failure exit of a
-    * maintenance path must call this (directly or via [[withGen]]) so a
-    * clean in-process retry is not locked out for a whole lease.
-    * Published generations keep their fence until [[sweepFences]].
+    * maintenance path must call this so a clean in-process retry is not
+    * locked out for a whole lease. Published generations keep their
+    * fence until [[sweepFences]].
     */
   def releaseGen(fs: org.apache.hadoop.fs.FileSystem,
                  root: org.apache.hadoop.fs.Path, k: Long): Unit =

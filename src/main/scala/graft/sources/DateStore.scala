@@ -321,7 +321,8 @@ object DateStore {
     * guarantee discipline as [[graft.streaming.BandStore]] admission.
     */
   def appendEvents(batch: DataFrame, storeDir: String,
-                   streamBatchId: Long): String = {
+                   streamBatchId: Long,
+                   ownerScope: Option[String] = None): String = {
     val s = batch.sparkSession
     val gens = listGens(s, storeDir)
     val prior = gens.lastOption.filter(hasManifest(s, _))
@@ -340,7 +341,8 @@ object DateStore {
     val fenceRoot = new Path(storeDir)
     val fenceFs = fsOf(s, fenceRoot)
     StoreDirs.acquireGen(fenceFs, fenceRoot, next,
-      owner = Some(s"ingest-$streamBatchId"))
+      owner = Some(ownerScope.fold(s"ingest-$streamBatchId")(cp =>
+        s"ingest-$cp-$streamBatchId")))
     try prior match {
       case None =>
         val (n, fp) = globalOf(stats)
@@ -416,7 +418,7 @@ object DateStore {
         // stream runs thousands of micro-batches, and un-released
         // checkpoint blocks accumulate until later batches pay for
         // them in memory pressure (the clusterPairs lesson)
-        try { appendEvents(pinned, storeDir, batchId); () }
+        try { appendEvents(pinned, storeDir, batchId, Some(checkpoint)); () }
         finally StoreDirs.freePinned(pinned)
       }
       .start()

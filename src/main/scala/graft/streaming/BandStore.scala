@@ -518,8 +518,9 @@ object BandStore {
     val settleables = scala.collection.mutable.ArrayBuffer[Future[Any]](fInBatch)
     def failSettling[A](body: => A): A =
       try body catch { case t: Throwable =>
-        settleables.foreach(f =>
-          try Await.ready(f, Duration.Inf) catch { case _: Throwable => () })
+        // interrupt-robust: a settle aborted by a second interrupt would
+        // leave the zombie job racing the engine's batch retry
+        settleables.foreach(graft.operators.StoreDirs.settleQuietly)
         throw t
       }
     failSettling {
@@ -671,9 +672,10 @@ object BandStore {
       Future(timed(spark, "write-admitted") {
         overwriteBatchPartitions(admitted, batchId, None, admittedDir) }))
     // settle ALL three before propagating any failure — a zombie write
-    // racing the engine's batch retry is two writers on one partition tree
-    val settled = writes.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
-    settled.foreach(_.get)
+    // racing the engine's batch retry is two writers on one partition
+    // tree (interrupt-robust for the same reason as failSettling)
+    writes.foreach(graft.operators.StoreDirs.settleQuietly)
+    writes.foreach(f => f.value.get.get)
     }
   }
 }
