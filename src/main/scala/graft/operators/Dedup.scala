@@ -1239,14 +1239,24 @@ object Dedup {
   def x2EvictReadmit(s: SparkSession, dir: String): DataFrame =
     graft.operators.StoreDirs.withTempStore("graft-evict") { store =>
       import graft.streaming.BandStore
+      import scala.concurrent.Future
+      import scala.concurrent.ExecutionContext.Implicits.global
       val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       def keep(df: DataFrame): DataFrame = { persisted += df; df.persist() }
-      try {
-        val docs = Tables.documents(s, dir)
-        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      // the store bootstrap + takedown never read the batch, and the
+      // in-batch pre-filter never reads the store — overlap them (the
+      // label-append lesson): the corpus signing/writes are the gate's
+      // single largest serial stretch. The future settles on EVERY exit
+      // before this frame returns (a zombie bootstrap racing the temp
+      // store's cleanup would write into a deleted directory).
+      val fStore = Future {
         BandStore.importCorpus(corpus, 0L, store)
         BandStore.evictDocs(
           corpus.filter(col("doc_id") % 7 === 0).select(col("doc_id")), 1L, store)
+      }
+      try {
         val batch0 = docs.filter(col("doc_id") % 5 === 0)
         val signable = keep(batch0.filter(size(split(col("text"), " ")) >= 3)
           .select(col("doc_id"), textKey.as("__th")))
@@ -1279,6 +1289,10 @@ object Dedup {
         val batch = batch0.join(inBatchDropped, Seq("doc_id"), "left_anti")
           .localCheckpoint()
         try {
+          // join the overlapped bootstrap before touching the store; a
+          // bootstrap failure surfaces here, not as a half-seeded probe
+          graft.operators.StoreDirs.settleQuietly(fStore)
+          fStore.value.get.get
           val admitted = s"$store-admitted"
           BandStore.admitBatch(batch, 2L, store, admitted)
           s.read.parquet(admitted)
@@ -1286,7 +1300,12 @@ object Dedup {
             .orderBy("doc_id")
             .localCheckpoint()
         } finally graft.operators.StoreDirs.freePinned(batch)
-      } finally persisted.foreach(_.unpersist())
+      } finally {
+        // settle (idempotent if already joined) BEFORE the temp-store
+        // cleanup and cache release — covers pre-filter failure exits
+        graft.operators.StoreDirs.settleQuietly(fStore)
+        persisted.foreach(_.unpersist())
+      }
     }
 
   /** X7 [EXT] — benchmark DECONTAMINATION: flag training-split documents

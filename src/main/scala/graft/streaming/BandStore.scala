@@ -117,12 +117,25 @@ object BandStore {
     * same idempotent dynamic overwrite as every batch.
     */
   def importCorpus(corpus: DataFrame, batchId: Long, storeDir: String): Unit = {
+    import scala.concurrent.Future
+    import scala.concurrent.ExecutionContext.Implicits.global
     val sig = signDocs(corpus).persist()
     try {
-      overwriteBatchPartitions(sig, batchId,
-        Some(("__db", pmod(col("doc_id"), lit(SigBuckets)).cast("int"))), sigsDir(storeDir))
-      overwriteBatchPartitions(explodeBands(sig, "doc_id"), batchId,
-        Some(("__bb", pmod(col("bh"), lit(BandBuckets)).cast("int"))), bandsDir(storeDir))
+      // the two trees are independent (distinct directories, one shared
+      // cached signing) — concurrent for the same reason as admitBatch's
+      // step (5): the corpus-size partitioned write is commit-latency
+      // bound, and a crash leaving either subset is overwritten with
+      // identical bytes on the bootstrap's retry. Both settle before any
+      // failure propagates (no zombie write racing a retry).
+      val writes = Seq(
+        Future(overwriteBatchPartitions(sig, batchId,
+          Some(("__db", pmod(col("doc_id"), lit(SigBuckets)).cast("int"))),
+          sigsDir(storeDir))),
+        Future(overwriteBatchPartitions(explodeBands(sig, "doc_id"), batchId,
+          Some(("__bb", pmod(col("bh"), lit(BandBuckets)).cast("int"))),
+          bandsDir(storeDir))))
+      writes.foreach(graft.operators.StoreDirs.settleQuietly)
+      writes.foreach(f => f.value.get.get)
     } finally sig.unpersist()
   }
 
