@@ -81,9 +81,12 @@ object SpillStress {
       val (m0, d0) = (memSpilled.get, diskSpilled.get)
       val t0 = System.nanoTime()
       val (rows, checksum) = body
+      // stop the clock BEFORE the trailing drain pause — the sleep only
+      // exists so the spill counters read after it attribute this
+      // query's tasks; it is not query time
+      val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(1500)
-      ((System.nanoTime() - t0) / 1e9, rows, checksum,
-        memSpilled.get - m0, diskSpilled.get - d0)
+      (sec, rows, checksum, memSpilled.get - m0, diskSpilled.get - d0)
     }
 
     def checksumOf(df: DataFrame, value: org.apache.spark.sql.Column): (Long, Double) = {

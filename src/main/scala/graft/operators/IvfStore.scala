@@ -254,7 +254,8 @@ object IvfStore {
     * SUBSET (the incremental oracle row's split build).
     */
   private[graft] def buildVecs(emb: DataFrame, storeDir: String,
-                               ingestId: Option[Long] = None): Unit = {
+                               ingestId: Option[Long] = None,
+                               owner: Option[String] = None): Unit = {
     val s = emb.sparkSession
     val dg = digestsOf(emb)
     val (n, fp) = fingerprintOf(dg)
@@ -264,14 +265,11 @@ object IvfStore {
       val next = listGens(s, storeDir).lastOption.map(_.k).getOrElse(0L) + 1
       val root = new Path(storeDir)
       val fs = fsOf(s, root)
-      StoreDirs.acquireGen(fs, root, next)
-      try {
+      StoreDirs.withGenFence(fs, root, next, owner) {
         writeBatch(lists.repartition(col("c_id")), next, Seq("c_id"), listsDir(storeDir))
         writeBatch(dg, next, Seq.empty, digestsDir(storeDir))
         publishGen(s, storeDir, next, n, fp, base = next, centroids = cent,
           ingestId = ingestId)
-      } catch { case t: Throwable =>
-        StoreDirs.releaseGen(fs, root, next); throw t
       }
     } finally { cent.unpersist(); e.unpersist() }
   }
@@ -374,12 +372,9 @@ object IvfStore {
         locally {
           val root = new Path(storeDir)
           val fs = fsOf(s, root)
-          StoreDirs.acquireGen(fs, root, next)
-          try {
+          StoreDirs.withGenFence(fs, root, next) {
             writeBatch(newTombs.coalesce(8), next, Seq.empty, tombsDir(storeDir))
             publishGen(s, storeDir, next, n, fp, base = gen.base, centroids = cent)
-          } catch { case t: Throwable =>
-            StoreDirs.releaseGen(fs, root, next); throw t
           }
         }
         return "incremental-delete"
@@ -409,14 +404,11 @@ object IvfStore {
       locally {
         val root = new Path(storeDir)
         val fs = fsOf(s, root)
-        StoreDirs.acquireGen(fs, root, next)
-        try {
+        StoreDirs.withGenFence(fs, root, next) {
           writeBatch(assigned.repartition(col("c_id")), next, Seq("c_id"), listsDir(storeDir))
           writeBatch(dg.join(appended, Seq("vec_id"), "left_semi"), next,
             Seq.empty, digestsDir(storeDir))
           publishGen(s, storeDir, next, n, fp, base = gen.base, centroids = cent)
-        } catch { case t: Throwable =>
-          StoreDirs.releaseGen(fs, root, next); throw t
         }
       }
       "incremental"
@@ -634,7 +626,12 @@ object IvfStore {
       val dgPath = new Path(digestsDir(storeDir))
       val gen0 = gens.lastOption.filter(_ => fsOf(s, dgPath).exists(dgPath))
       if (gen0.isEmpty) {
-        buildVecs(cleaned, storeDir, ingestId = Some(streamBatchId))
+        // same owner token as the append lane below: a hard crash between
+        // the initial build's fence-claim and its publish must not lock
+        // the stream's own replay of batch 0 out for a whole lease
+        buildVecs(cleaned, storeDir, ingestId = Some(streamBatchId),
+          owner = Some(ownerScope.fold(s"ingest-$streamBatchId")(cp =>
+            s"ingest-$cp-$streamBatchId")))
         return "ingest-initial"
       }
       val gen = gen0.get
@@ -671,10 +668,9 @@ object IvfStore {
       // checkpoint, so no live competitor can share the token).
       val fenceRoot = new Path(storeDir)
       val fenceFs = fsOf(s, fenceRoot)
-      StoreDirs.acquireGen(fenceFs, fenceRoot, next,
+      StoreDirs.withGenFence(fenceFs, fenceRoot, next,
         owner = Some(ownerScope.fold(s"ingest-$streamBatchId")(cp =>
-          s"ingest-$cp-$streamBatchId")))
-      try {
+          s"ingest-$cp-$streamBatchId"))) {
       val upIds = classified.select(col("vec_id"))
       val reIds = classified.filter(col("is_restate")).select(col("vec_id"))
       val newVecs = cleaned.join(upIds, Seq("vec_id"), "left_semi")
@@ -735,8 +731,9 @@ object IvfStore {
       publishGen(s, storeDir, next, nAfter, fpAfter, base = gen.base,
         centroids = cent, ingestId = Some(streamBatchId))
       "ingest"
-      } catch { case t: Throwable =>
-        StoreDirs.releaseGen(fenceFs, fenceRoot, next); throw t
+      // the `return "ingest-retrain"` above exits through the fence
+      // scope as a ControlThrowable — withGenFence passes it through
+      // with the (published) generation's fence kept, by design
       }
     } finally pinned.foreach(StoreDirs.freePinned)
   }

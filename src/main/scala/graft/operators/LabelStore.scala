@@ -374,21 +374,18 @@ object LabelStore {
       import scala.concurrent.ExecutionContext.Implicits.global
       val fIdx = Future(timed(s, "index-write") {
         writeSigsBands(sig, next, storeDir, replaceAll = true) })
-      // settle the concurrent static overwrite before any failure
-      // propagates: a zombie index write racing an in-process retry is
-      // two writers statically overwriting the same directories
+      // settle the concurrent static overwrite before any failure exit —
+      // INCLUDING an interrupt during the Await itself — and only then
+      // release the fence: a zombie index write racing an in-process
+      // retry is two writers statically overwriting the same directories
       try {
-        val pub =
-          try timed(s, "cluster+publish") { publishGen(s, storeDir, n, fp,
-            Dedup.x2DupClustersOf(corpus, preSigned = Some(sig)), next) }
-          catch { case t: Throwable =>
-            settleQuietly(fIdx)
-            throw t
-          }
+        val pub = timed(s, "cluster+publish") { publishGen(s, storeDir, n, fp,
+          Dedup.x2DupClustersOf(corpus, preSigned = Some(sig)), next) }
         Await.result(fIdx, Duration.Inf)
         require(pub == next, s"LabelStore: build expected gen $next, published $pub")
         writeDigests(dg, next, storeDir, replaceAll = true)
       } catch { case t: Throwable =>
+        settleQuietly(fIdx)
         StoreDirs.releaseGen(storeFs, storeRoot, next); throw t
       }
     } finally { sig.unpersist(); corpus.unpersist() }
@@ -585,13 +582,10 @@ object LabelStore {
         val storeFs = fsOf(s, storeRoot)
         // first shared-path write of this lane is the tombstone batch —
         // claim the generation before it
-        StoreDirs.acquireGen(storeFs, storeRoot, next, owner)
-        try {
+        StoreDirs.withGenFence(storeFs, storeRoot, next, owner) {
           writeTombstones(deleted, next, storeDir)
           val pub = publishGen(s, storeDir, n, fp, labels.orderBy("doc_id"), next)
           require(pub == next, s"LabelStore: delete expected gen $next, published $pub")
-        } catch { case t: Throwable =>
-          StoreDirs.releaseGen(storeFs, storeRoot, next); throw t
         }
         return "incremental-delete"
       }

@@ -258,6 +258,36 @@ private[graft] object StoreDirs {
     fs.delete(new org.apache.hadoop.fs.Path(root, s".staging-$k"), true)
   }
 
+  /** Fence-scoped maintenance: claim generation `k`, run `body`, and on
+    * FAILURE settle `onFailure` (e.g. join concurrent writes — a zombie
+    * write racing a retry is two writers on one directory) and THEN
+    * release the fence, in that order, before rethrowing. Success keeps
+    * the fence (published generations hold theirs until
+    * [[sweepFences]]). Centralizes the claim/release-on-failure ordering
+    * that was previously hand-copied per maintenance lane — the copies
+    * had already drifted once (a release-before-settle).
+    *
+    * A `ControlThrowable` is NOT a failure: a `return` inside the
+    * by-name body (the "publish then exit the method" lanes) surfaces
+    * as NonLocalReturnControl, and treating it as failure would release
+    * the fence of a generation the body just PUBLISHED. It passes
+    * through with the fence kept — identical to the hand-written form,
+    * where `return` bypasses the catch arm. Lanes whose failure
+    * handling must discriminate further stay hand-written.
+    */
+  def withGenFence[A](fs: org.apache.hadoop.fs.FileSystem,
+                      root: org.apache.hadoop.fs.Path, k: Long,
+                      owner: Option[String] = None,
+                      onFailure: () => Unit = () => ())(body: => A): A = {
+    acquireGen(fs, root, k, owner)
+    try body catch {
+      case t: scala.util.control.ControlThrowable => throw t
+      case t: Throwable =>
+        try onFailure() finally releaseGen(fs, root, k)
+        throw t
+    }
+  }
+
   /** Release an ACQUIRED-but-unpublished fence — every failure exit of a
     * maintenance path must call this so a clean in-process retry is not
     * locked out for a whole lease. Published generations keep their

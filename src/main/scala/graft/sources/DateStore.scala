@@ -241,14 +241,12 @@ object DateStore {
     // interleaving the shared batch dir
     val fenceRoot = new Path(storeDir)
     val fenceFs = fsOf(s, fenceRoot)
-    StoreDirs.acquireGen(fenceFs, fenceRoot, next)
-
     def publish(manifest: Seq[(java.sql.Date, Long, Long, Long)],
                 dead: Long): Unit =
       publishGen(s, storeDir, gens, next, n, fp, dead, manifest, None)
 
     val prior = gens.lastOption.filter(hasManifest(s, _))
-    try prior match {
+    StoreDirs.withGenFence(fenceFs, fenceRoot, next) { prior match {
       case None =>
         writeDaysBatch(s, storeDir, ev, next)
         publish(stats.map(d => (d.date, d.n, d.fp, next)), dead = 0L)
@@ -289,9 +287,7 @@ object DateStore {
         publish(manifest, dead = g.dead + newlyDead)
         if (changed.isEmpty && removed.nonEmpty) "incremental-delete"
         else "incremental"
-    } catch { case t: Throwable =>
-      StoreDirs.releaseGen(fenceFs, fenceRoot, next); throw t
-    }
+    } }
   }
 
   /** LOG-DRIVEN ingestion — the other maintenance discipline (the
@@ -340,10 +336,9 @@ object DateStore {
     // fence debris immediately instead of crash-looping for a lease.
     val fenceRoot = new Path(storeDir)
     val fenceFs = fsOf(s, fenceRoot)
-    StoreDirs.acquireGen(fenceFs, fenceRoot, next,
+    StoreDirs.withGenFence(fenceFs, fenceRoot, next,
       owner = Some(ownerScope.fold(s"ingest-$streamBatchId")(cp =>
-        s"ingest-$cp-$streamBatchId")))
-    try prior match {
+        s"ingest-$cp-$streamBatchId"))) { prior match {
       case None =>
         val (n, fp) = globalOf(stats)
         writeDaysBatch(s, storeDir, batch, next)
@@ -396,9 +391,7 @@ object DateStore {
             dead = g.dead + newlyDead, manifest, Some(streamBatchId))
           "append"
         }
-    } catch { case t: Throwable =>
-      StoreDirs.releaseGen(fenceFs, fenceRoot, next); throw t
-    }
+    } }
   }
 
   /** The streaming entry: AvailableNow micro-batches land through

@@ -411,6 +411,21 @@ class Round11Spec extends SparkSpec {
     BandStore.admitBatch(frame(Seq((104L, text("a", 12)), (105L, text("z", 1)))),
       5L, store, admitted)
     assert(!admittedIds().contains(104L) && admittedIds().contains(105L))
+
+    // same-id re-admission: the batch-gate (`__batch >= __tb`) must let a
+    // tombstoned doc_id's OWN newer rows outrank its tombstone — the
+    // revive above (101) used a fresh id, which a mask that ignored the
+    // gate would also pass
+    def admittedIn(b: Long): Set[Long] = spark.read.parquet(admitted)
+      .filter(col("__batch") === b)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    BandStore.evictDocs(Seq(12L).toDF("doc_id"), 6L, store)
+    BandStore.admitBatch(frame(Seq((12L, text("a", 12)))), 7L, store, admitted)
+    assert(admittedIn(7L).contains(12L),
+      "a tombstoned id must be re-admittable (its only peer is its own masked past)")
+    BandStore.admitBatch(frame(Seq((106L, text("a", 12)))), 8L, store, admitted)
+    assert(admittedIn(8L).isEmpty,
+      "the re-admitted id's newer rows must outrank its tombstone and veto again")
   }
 
   test("BandStore fence: a concurrent compaction fails loudly instead of nesting the published base") {
