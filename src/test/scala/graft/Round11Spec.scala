@@ -137,6 +137,39 @@ class Round11Spec extends SparkSpec {
       java.nio.file.Paths.get(storeRoot, s".fence-$k"),
       java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ageMs))
 
+  test("StoreDirs.withGenFence: failure settles then releases; a return through the body keeps the fence") {
+    val root = new org.apache.hadoop.fs.Path(tmpDir("r11-fencehelper"))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fenceExists(k: Long) = new java.io.File(root.toUri.getPath, s".fence-$k").exists()
+
+    // success keeps the fence (published generations hold theirs)
+    assert(StoreDirs.withGenFence(fs, root, 1L) { 42 } == 42)
+    assert(fenceExists(1L), "success must keep the fence")
+
+    // failure: the settle hook runs BEFORE the release (a zombie write
+    // must be joined while the fence still excludes a second writer)
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    val e = intercept[RuntimeException] {
+      StoreDirs.withGenFence(fs, root, 2L,
+        onFailure = () => { order += s"settle-held=${fenceExists(2L)}" }) {
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(e.getMessage == "boom")
+    assert(order.toSeq == Seq("settle-held=true"),
+      "the settle hook must run exactly once, while the fence is still held")
+    assert(!fenceExists(2L), "failure must release the fence")
+
+    // a `return` from inside the by-name body is a ControlThrowable, NOT
+    // a failure: the fence of a just-published generation must be kept
+    def lane(): String = {
+      StoreDirs.withGenFence(fs, root, 3L) { return "published-early" }
+      "fell-through"
+    }
+    assert(lane() == "published-early")
+    assert(fenceExists(3L), "a return after publish must keep the fence")
+  }
+
   test("DateStore fence: a held generation makes the second writer fail loudly; a stale fence is reclaimed; retry converges") {
     import graft.sources.DateStore
     val store = tmpDir("r11-datefence") + "/store"
