@@ -283,7 +283,11 @@ private[graft] object StoreDirs {
     try body catch {
       case t: scala.util.control.ControlThrowable => throw t
       case t: Throwable =>
-        try onFailure() finally releaseGen(fs, root, k)
+        // the ORIGINAL failure is the diagnosis — a throwing settle hook
+        // or a release IOException must ride along as suppressed, not
+        // replace it
+        try onFailure() catch { case s: Throwable if s ne t => t.addSuppressed(s) }
+        try releaseGen(fs, root, k) catch { case s: Throwable => t.addSuppressed(s) }
         throw t
     }
   }
