@@ -42,12 +42,18 @@ object Temporal {
         col("value").as("p_value"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ONE last() carrying the whole purchase payload as a struct (null on
+    // click rows, non-null on every purchase row): two independent
+    // ignoreNulls windows would pair one purchase's id with an EARLIER
+    // purchase's value whenever a purchase carries a null value — a row
+    // that never existed, and a divergence from the row-atomic ASOF twin
     clicks.unionByName(purchases)
-      .withColumn("purchase_id", last(col("p_event_id"), ignoreNulls = true).over(w))
-      .withColumn("purchase_value", last(col("p_value"), ignoreNulls = true).over(w))
+      .withColumn("__p", last(
+        when(col("side") === 0, struct(col("p_event_id"), col("p_value"))),
+        ignoreNulls = true).over(w))
       .filter(col("side") === 1)
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"),
-        col("purchase_id"), col("purchase_value"))
+        col("__p.p_event_id").as("purchase_id"), col("__p.p_value").as("purchase_value"))
       .orderBy("user_id", "click_ts")
   }
 

@@ -71,8 +71,14 @@ object Sinks {
     * checked explicitly; any other read failure propagates instead of
     * being treated as "store absent" and destroying previous upserts.
     */
-  private[graft] def mergeIntoStore(latest: DataFrame, key: String, storePath: String): Unit = {
-    val spark = latest.sparkSession
+  private[graft] def mergeIntoStore(latest0: DataFrame, key: String, storePath: String): Unit = {
+    val spark = latest0.sparkSession
+    // pin the batch: it feeds the touched-bucket collect, the anti-join
+    // build side, and the union write — unpinned, a streaming micro-batch
+    // re-reads its source and re-runs the caller's dedup window for each
+    // (the labelMaintainSink lesson). Freed on every exit.
+    val latest = latest0.localCheckpoint()
+    try {
     val withBucket = latest.withColumn("__bucket", bucketOf(key))
     val path = new org.apache.hadoop.fs.Path(storePath)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -92,19 +98,26 @@ object Sinks {
     if (touched.isEmpty) return
     val existingTouched = spark.read.parquet(storePath)
       .filter(col("__bucket").isin(touched: _*))
+    // null-safe (<=>) anti join: a NULL key is still A key — the plain
+    // equi anti-join never matches NULL = NULL, so a null-keyed row would
+    // duplicate in the store on every batch instead of upserting
+    val batchKeys = latest.select(col(key).as("__mk")).distinct()
     val merged = existingTouched
-      .join(latest.select(col(key)), Seq(key), "left_anti")
+      .join(batchKeys, existingTouched(key) <=> col("__mk"), "left_anti")
       .unionByName(withBucket)
     val staging = new org.apache.hadoop.fs.Path(
       path.getParent, s".${path.getName}-staging-${java.util.UUID.randomUUID}")
-    merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    try
+    // the staging directory is cleaned on EVERY exit — including a failed
+    // staging write — so repeated failures don't accumulate orphans
+    try {
+      merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
       spark.read.parquet(staging.toString)
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__bucket")
         .parquet(storePath)
-    finally fs.delete(staging, true)
+    } finally fs.delete(staging, true)
+    } finally graft.operators.StoreDirs.freePinned(latest)
   }
 
   /** L5 — keyed upsert, last write wins per key in offset order
@@ -151,13 +164,19 @@ object Sinks {
   /** L9 [EXT] — small-file compaction: rewrite a parquet directory into
     * ~`targetFileBytes` files. The file count derives from the
     * directory's actual byte size (Hadoop FS), the rewrite is a
-    * round-robin repartition (no key needed — this is layout, not
-    * semantics), staged to a temp sibling and swapped in two renames so
-    * a concurrent reader sees either the old or the new layout, never a
-    * half-compacted mix. The small-files problem is THE operational tax
-    * of high-frequency micro-batch sinks at 100 TB — compaction is what
-    * keeps scan parallelism aligned with data size instead of file
-    * count. Returns the new file count.
+    * repartition (round-robin for a flat directory; clustered by the
+    * partition columns when the store is `col=value`-partitioned, whose
+    * layout is DETECTED and PRESERVED — flattening e.g. the upsert
+    * store's `__bucket=` tree would make the next merge read it as
+    * absent and overwrite it). Staged to a temp sibling and swapped in
+    * two renames. NOT atomic for concurrent readers: between the renames
+    * the path briefly does not exist — compaction is quiesced
+    * maintenance (run between drains, the compactStore discipline), and
+    * a failed swap restores the original directory before failing. The
+    * small-files problem is THE operational tax of high-frequency
+    * micro-batch sinks at 100 TB — compaction is what keeps scan
+    * parallelism aligned with data size instead of file count. Returns
+    * the new file count.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Int = {
@@ -165,16 +184,35 @@ object Sinks {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(path).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    // walk the `name=value` directory levels to recover partition columns
+    val partCols = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur = path
+    var walking = true
+    while (walking) {
+      val sub = fs.listStatus(cur).filter(st =>
+        st.isDirectory && st.getPath.getName.matches("[^=]+=.*"))
+      if (sub.isEmpty) walking = false
+      else { partCols += sub.head.getPath.getName.split("=", 2)(0); cur = sub.head.getPath }
+    }
     val staging = new org.apache.hadoop.fs.Path(
       path.getParent, s".${path.getName}-compact-${java.util.UUID.randomUUID}")
     val old = new org.apache.hadoop.fs.Path(
       path.getParent, s".${path.getName}-old-${java.util.UUID.randomUUID}")
-    spark.read.parquet(dir).repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    // two renames, not delete-then-rename: if the second rename fails the
-    // original data still exists under `old`
-    require(fs.rename(path, old), s"compact: could not move $path aside")
-    require(fs.rename(staging, path), s"compact: could not swap $staging into place")
+    try {
+      val src = spark.read.parquet(dir)
+      val writer =
+        if (partCols.isEmpty) src.repartition(nFiles).write
+        else src.repartition(nFiles, partCols.toSeq.map(col): _*)
+          .write.partitionBy(partCols.toSeq: _*)
+      writer.mode(SaveMode.Overwrite).parquet(staging.toString)
+      require(fs.rename(path, old), s"compact: could not move $path aside")
+      if (!fs.rename(staging, path)) {
+        // restore the original before failing — the store must never be
+        // left missing by a failed swap
+        fs.rename(old, path)
+        throw new IllegalStateException(s"compact: could not swap $staging into place")
+      }
+    } catch { case t: Throwable => fs.delete(staging, true); throw t }
     fs.delete(old, true)
     nFiles
   }
@@ -185,8 +223,11 @@ object Sinks {
     * rendered body; delivery is deployment-specific.
     */
   def renderNotification(subject: String, counts: Map[String, Long]): String = {
+    // count keys can be data-derived — escape, or the report is an
+    // HTML-injection vector in whatever surface delivers it
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     val rows = counts.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"<tr><td>$k</td><td>$v</td></tr>" }.mkString
-    s"<html><body><h3>$subject</h3><table>$rows</table></body></html>"
+      .map { case (k, v) => s"<tr><td>${esc(k)}</td><td>$v</td></tr>" }.mkString
+    s"<html><body><h3>${esc(subject)}</h3><table>$rows</table></body></html>"
   }
 }

@@ -148,11 +148,9 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col(key)).orderBy(col(offsetCol).desc)
-        val latest = batch.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-        graft.sources.Sinks.mergeIntoStore(latest, key, storeDir)
+        // ONE implementation of the dedup/tie-break discipline — the
+        // batch and streaming forms must never silently diverge
+        graft.sources.Sinks.upsertByKey(batch, key, offsetCol, storeDir)
         ()
       }
       .start()
@@ -294,7 +292,11 @@ object Streams {
           sorted.foreach { eid =>
             cur match {
               case Some((st, en, n)) if eid - en <= gapEvents =>
-                cur = Some((st, eid, n + 1))
+                // a cross-batch straggler can carry eid < en (file sources
+                // give no cross-file ordering) — the open session's bounds
+                // must only widen, or the regressed end corrupts every
+                // later gap decision
+                cur = Some((math.min(st, eid), math.max(en, eid), n + 1))
               case Some((st, en, n)) =>
                 sessions ::= (user, st, en, n)
                 cur = Some((eid, eid, 1L))
@@ -315,7 +317,6 @@ object Streams {
     */
   def runningUserCounts(spark: SparkSession, stream: DataFrame): DataFrame = {
     import spark.implicits._
-    case class Ev(user_id: Long, event_id: Long)
     stream.select(col("user_id"), col("event_id")).as[(Long, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {

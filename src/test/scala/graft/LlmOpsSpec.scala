@@ -195,6 +195,44 @@ class LlmOpsSpec extends SparkSpec {
     assert(sessions == Seq((1L, 3L, 3L), (10L, 11L, 2L)))
   }
 
+  test("T: sessionize never regresses the open session's end on a cross-batch straggler") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val dir = tmpDir("sess-straggler")
+    val ck = tmpDir("sess-straggler-ck")
+    def write(name: String, eids: Seq[Long]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/$name"),
+        eids.map(i =>
+          s"""{"event_id":$i,"user_id":1,"event_type":"c","value":1.0,"k":1}""")
+          .mkString("\n"))
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    def drain(): Unit = {
+      // foreachBatch, not the memory sink: this drain must RESUME the
+      // checkpoint across the two runs, which the memory sink refuses
+      val q = graft.streaming.Streams.sessionize(spark,
+          graft.streaming.Streams.subscribe(spark, dir), gapEvents = 50L)
+        .writeStream
+        .outputMode(OutputMode.Append()).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+          emitted.synchronized { emitted ++= rows }
+          ()
+        }
+        .start()
+      assert(q.awaitTermination(120000), "sessionize drain did not finish")
+    }
+    write("p1.json", Seq(100L, 150L, 200L)) // one open session (100..200) in state
+    drain()
+    // 160 arrives AFTER the state already holds end=200 (file sources give
+    // no cross-file ordering). A regressed end would make 211 look >gap
+    // away and falsely split; the widened bounds keep it one session
+    write("p2.json", Seq(160L, 211L, 300L))
+    drain()
+    val sessions = emitted.synchronized(emitted.toSeq)
+    assert(sessions == Seq((100L, 211L, 5L)),
+      s"straggler must merge without moving the end backward, got $sessions")
+  }
+
   test("X4: fingerprint is deterministic and collision-free on the fixture") {
     val fp = TextAnalysis.x4Fingerprint(spark, sfDir)
     val n = fp.count()

@@ -68,6 +68,32 @@ class SourcesSinksSpec extends SparkSpec {
     assert(after.agg(sum(col("event_id"))).head.getLong(0) == checksum)
   }
 
+  test("L9: compact preserves a __bucket-partitioned store's layout; the next upsert still merges") {
+    val store = tmpDir("compact-bucketed") + "/store"
+    Sinks.upsertByKey(Seq((1L, 10L, "a"), (2L, 11L, "b")).toDF("id", "off", "v"),
+      "id", "off", store)
+    Sinks.upsertByKey(Seq((1L, 12L, "a2")).toDF("id", "off", "v"), "id", "off", store)
+    Sinks.compact(spark, store, targetFileBytes = 1L << 30)
+    assert(new java.io.File(store).listFiles().exists(_.getName.startsWith("__bucket=")),
+      "compaction must preserve the partition layout (a flattened store reads as absent)")
+    // the next upsert must MERGE into the compacted store, not replace it
+    Sinks.upsertByKey(Seq((3L, 13L, "c")).toDF("id", "off", "v"), "id", "off", store)
+    val back = spark.read.parquet(store)
+    assert(back.count() == 3, "compaction must not cost the store its history")
+    assert(back.filter(col("id") === 1L).select("v").head.getString(0) == "a2")
+  }
+
+  test("L5: a NULL key upserts null-safely instead of duplicating per batch") {
+    val store = tmpDir("upsert-nullkey") + "/store"
+    Sinks.upsertByKey(Seq((Option(1L), 10L, "a"), (Option.empty[Long], 11L, "n1"))
+      .toDF("id", "off", "v"), "id", "off", store)
+    Sinks.upsertByKey(Seq((Option.empty[Long], 12L, "n2")).toDF("id", "off", "v"),
+      "id", "off", store)
+    val back = spark.read.parquet(store)
+    assert(back.count() == 2, "the null-keyed row must upsert, not accumulate")
+    assert(back.filter(col("id").isNull).select("v").head.getString(0) == "n2")
+  }
+
   test("L3: replaceTable fully replaces prior contents") {
     val dir = tmpDir("table")
     Sinks.replaceTable(Seq((1, "old")).toDF("id", "v"), dir)

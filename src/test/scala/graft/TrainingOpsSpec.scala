@@ -32,6 +32,25 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("R12: the as-of payload is row-atomic — a null-valued purchase keeps its null") {
+    // two independent last(ignoreNulls) windows would pair purchase 200's
+    // id with purchase 100's VALUE; the struct carry must not
+    val dir = tmpDir("asof-null")
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    Seq(
+      (100L, ts(10), 1L, "purchase", Option(5.0), "{}"),
+      (200L, ts(11), 1L, "purchase", Option.empty[Double], "{}"),
+      (300L, ts(12), 1L, "click", Option.empty[Double], "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Temporal.r12AsofJoin(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("purchase_id") == 200L)
+    assert(r.isNullAt(r.fieldIndex("purchase_value")),
+      "purchase 200's null value must ride with its id — not purchase 100's 5.0")
+  }
+
   test("T8: batch sessionize splits on >30min gaps and covers every event exactly once") {
     val sess = Temporal.t8SessionizeBatch(spark, sfDir)
     val total = sess.agg(sum("n_events")).head.getLong(0)
