@@ -198,6 +198,12 @@ object Multimodal {
     val frameLen = 64 // frame = 64-char slice (fixture text is ASCII: char == byte)
     val stride = 4 // sample every 4th frame
     Tables.documents(s, dir)
+      // an empty text holds zero frames: without this guard Spark's
+      // floor((0-1)/256) = -1 makes sequence(0,-1) count DOWN to [0,-1]
+      // (two phantom frames of the empty slice) while the DuckDB twin's
+      // range(0, 0) is empty — a latent oracle divergence armed by any
+      // future fixture with an empty document
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"),
         posexplode(expr(
           s"""transform(

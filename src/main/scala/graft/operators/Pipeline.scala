@@ -161,15 +161,22 @@ object Pipeline {
     titles.unionByName(links).orderBy(col("type"), col("index"))
   }
 
-  /** P8 — whitespace-strip scalar. Ref: dags/scrap_to_kafka_to_mongo_pipeline.py:59. */
+  /** P8 — whitespace-strip scalar. Ref: dags/scrap_to_kafka_to_mongo_pipeline.py:59.
+    * Bare `trim()` strips ONLY spaces (0x20) in Spark and DuckDB alike —
+    * the referenced Python `.strip()` removes tabs/newlines too, so both
+    * twins trim the explicit whitespace SET (they'd otherwise agree with
+    * each other while both keeping a trailing tab the reference strips).
+    */
   def p8Trim(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
       .select(col("c_custkey"),
-        trim(concat(lit("  "), col("c_name"), lit("\t "))).as("name"))
+        trim(concat(lit("  "), col("c_name"), lit("\t ")), " \t\n\r").as("name"))
       .orderBy("c_custkey")
 
   val p8Sql: String =
-    """SELECT c_custkey, trim(concat('  ', c_name, chr(9), ' ')) AS name
+    """SELECT c_custkey,
+      |  trim(concat('  ', c_name, chr(9), ' '),
+      |       concat(' ', chr(9), chr(10), chr(13))) AS name
       |FROM customer ORDER BY c_custkey""".stripMargin
 
   /** P9 — record→JSON-string serialization (Kafka producer value shape).

@@ -93,14 +93,20 @@ object Streamy {
     Tables.events(s, dir)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
-      .select(col("session_window.start").as("session_start"), col("user_id"), col("n_events"))
+      // emit + cut in integral MICROSECONDS (the t8 discipline): Spark
+      // normalizes a legacy nanos footer to µs while DuckDB keeps ns, so
+      // a raw-ts emission would mismatch at sub-µs precision on the next
+      // fixture regeneration — the recorded q1-era incident shape
+      .select(Tables.epochUs(col("session_window.start")).as("session_start"),
+        col("user_id"), col("n_events"))
       .orderBy("user_id", "session_start")
 
   val t7SessionSql: String =
     """WITH marked AS (
       |  SELECT user_id, ts,
-      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-      |              >= INTERVAL '30 minutes'
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+      |              OVER (PARTITION BY user_id ORDER BY ts)
+      |              >= 1800000000
       |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
       |         THEN 1 ELSE 0 END AS is_new
       |  FROM events
@@ -110,7 +116,7 @@ object Streamy {
       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
       |  FROM marked
       |)
-      |SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n_events
+      |SELECT epoch_us(MIN(ts)) AS session_start, user_id, COUNT(*) AS n_events
       |FROM islands GROUP BY user_id, session_no
       |ORDER BY user_id, session_start""".stripMargin
 }

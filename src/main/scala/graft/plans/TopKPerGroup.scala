@@ -120,17 +120,15 @@ object TopKColumnPruning extends org.apache.spark.sql.catalyst.rules.Rule[Logica
   import org.apache.spark.sql.catalyst.plans.logical.Project
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case p @ Project(_, topk @ TopKPerGroup(g, so, k, child))
-        if child.resolved && {
-          val required = p.references ++
-            AttributeSet(g.flatMap(_.references)) ++
-            AttributeSet(so.flatMap(_.references))
-          (child.outputSet -- required).nonEmpty
-        } =>
+    // the required set is computed ONCE and shared by the narrowing test
+    // and the rewrite — a drifted duplicate could prune a column the
+    // guard still considered required
+    case p @ Project(_, TopKPerGroup(g, so, k, child)) if child.resolved =>
       val required = p.references ++
         AttributeSet(g.flatMap(_.references)) ++
         AttributeSet(so.flatMap(_.references))
-      p.copy(child = TopKPerGroup(g, so, k,
+      if ((child.outputSet -- required).isEmpty) p
+      else p.copy(child = TopKPerGroup(g, so, k,
         Project(child.output.filter(required.contains), child)))
   }
 }
@@ -143,8 +141,14 @@ object TopKColumnPruning extends org.apache.spark.sql.catalyst.rules.Rule[Logica
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(g, so, k, child) =>
-      val part = TopKPerGroupExec(g, so, k, planLater(child), partial = true)
-      TopKPerGroupExec(g, so, k, part, partial = false) :: Nil
+      // normalize float/double group keys (0.0 == -0.0, one NaN) exactly
+      // as Catalyst does for Aggregate/Window keys — the exec groups by
+      // raw UnsafeRow bytes and the exchange hashes the raw bits, so
+      // unnormalized ±0.0 would land in different partitions and emit up
+      // to 2k rows where the window form emits k
+      val ng = g.map(ColumnBridge.normalizeFloats)
+      val part = TopKPerGroupExec(ng, so, k, planLater(child), partial = true)
+      TopKPerGroupExec(ng, so, k, part, partial = false) :: Nil
     case _ => Nil
   }
 }
@@ -178,8 +182,8 @@ case class TopKPerGroupExec(
     if (partial) "TopKPerGroupPartial" else "TopKPerGroupFinal"
 
   override lazy val metrics = Map(
-    "sortFallbackKeys" -> org.apache.spark.sql.execution.metric.SQLMetrics
-      .createMetric(sparkContext, "keys diverted to sort fallback"))
+    "sortFallbackRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "rows diverted to sort fallback"))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
@@ -187,7 +191,7 @@ case class TopKPerGroupExec(
     val order = sortOrder
     val kk = k
     val maxKeys = conf.getConfString("spark.graft.topk.fallbackThreshold", "65536").toInt
-    val fallbackMetric = longMetric("sortFallbackKeys")
+    val fallbackMetric = longMetric("sortFallbackRows")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(gExprs, childOutput)
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)

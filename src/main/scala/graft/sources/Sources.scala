@@ -35,7 +35,15 @@ object Sources {
           try in.transferTo(out) finally out.close()
           ok = true
         } finally in.close()
-      } catch { case t: Throwable => last = t }
+      } catch {
+        // NonFatal only: an interrupt or VM error must propagate, not be
+        // silently retried. Transient failures back off linearly (the
+        // reference's fetch_data_with_retry sleeps between attempts) so a
+        // brief server blip doesn't exhaust every retry back-to-back.
+        case scala.util.control.NonFatal(t) =>
+          last = t
+          if (attempt < maxRetries) Thread.sleep(100L * attempt)
+      }
     }
     if (!ok) throw new RuntimeException(s"fetch failed after $maxRetries attempts: $url", last)
   }
@@ -78,7 +86,7 @@ object Sources {
     * parquet-side twin.
     */
   def s1HttpScan(s: SparkSession, dir: String): DataFrame = {
-    val tmp = System.getProperty("java.io.tmpdir")
+    val tmp = landingRoot
     val staged = s"$tmp/graft-api-stage"
     Sinks.writeJsonRecords(graft.engine.Tables.nation(s, dir).coalesce(1), staged)
     val part = new java.io.File(staged).listFiles
@@ -104,7 +112,7 @@ object Sources {
     * write→scan→transform path sits under the correctness gate.
     */
   def s3CsvScan(s: SparkSession, dir: String): DataFrame = {
-    val landing = s"${System.getProperty("java.io.tmpdir")}/graft-landing-csv"
+    val landing = s"$landingRoot/graft-landing-csv"
     Sinks.writeCsv(graft.engine.Tables.customer(s, dir), landing)
     val schema = StructType(Seq(
       StructField("c_custkey", LongType),
@@ -129,7 +137,7 @@ object Sources {
     * write→scan path under the correctness gate, timestamps included.
     */
   def s4JsonScan(s: SparkSession, dir: String): DataFrame = {
-    val landing = s"${System.getProperty("java.io.tmpdir")}/graft-landing-json"
+    val landing = s"$landingRoot/graft-landing-json"
     Sinks.writeJsonRecords(graft.engine.Tables.orders(s, dir), landing)
     val schema = StructType(Seq(
       StructField("o_orderkey", LongType),
@@ -149,6 +157,15 @@ object Sources {
     """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
       |FROM orders WHERE o_totalprice > 1000.0 ORDER BY o_orderkey""".stripMargin
 
+  /** Per-process landing ROOT for every staged-scan query (S1/S3/S4/S10):
+    * a fixed shared path (the old `$tmpdir/graft-landing-*`) would let two
+    * concurrent runs — Verify and Bench on the same box — overwrite each
+    * other's landing mid-scan; one process's repeated calls overwrite
+    * sequentially, which is safe and keeps the queries idempotent.
+    */
+  private lazy val landingRoot: String =
+    Files.createTempDirectory("graft-landing").toString
+
   /** S10 [EXT] — ORC scan. ORC is self-describing (schema in the footer,
     * like parquet) and splittable; it is the other columnar format a
     * warehouse migration hands this engine. No schema argument: trusting
@@ -162,16 +179,8 @@ object Sources {
     * gate, with the oracle reading the parquet-side table. Timestamps and
     * doubles round-trip through ORC's own type system.
     */
-  /** Per-process landing directory: a fixed shared path would let two
-    * concurrent runs (Verify and Bench on the same box) overwrite each
-    * other mid-scan; repeated calls within one process overwrite
-    * sequentially, which is safe and keeps the query idempotent.
-    */
-  private lazy val orcLanding: String =
-    Files.createTempDirectory("graft-landing-orc").toString
-
   def s10OrcScan(s: SparkSession, dir: String): DataFrame = {
-    val landing = orcLanding
+    val landing = s"$landingRoot/graft-landing-orc"
     Sinks.writeOrc(graft.engine.Tables.supplier(s, dir), landing)
     readOrc(s, landing)
       .filter(col("s_acctbal") > 2500.0)
@@ -190,12 +199,18 @@ object Sources {
     * Input: one row per page with an `html` string column.
     */
   def scrape(pages: DataFrame): DataFrame = {
+    // (?is): real HTML routinely breaks a title across lines and mixes tag
+    // case — without DOTALL + case-insensitive, '<H1>' or an h1 spanning a
+    // newline silently contributes NO title row (BeautifulSoup, the
+    // reference scraper, matches both)
     val titles = pages
-      .select(posexplode(regexp_extract_all(col("html"), lit("<h1[^>]*>(.*?)</h1>"), lit(1))).as(Seq("pos", "content")))
+      .select(posexplode(regexp_extract_all(col("html"), lit("(?is)<h1[^>]*>(.*?)</h1>"), lit(1))).as(Seq("pos", "content")))
       .select(lit("title").as("type"), (col("pos") + 1).cast("int").as("index"),
-        trim(col("content")).as("content"))
+        // whitespace SET, not bare trim: the reference's .strip() removes
+        // tabs/newlines too (the p8Trim discipline)
+        trim(col("content"), " \t\n\r").as("content"))
     val links = pages
-      .select(posexplode(slice(regexp_extract_all(col("html"), lit("href=\"([^\"]*)\""), lit(1)), 1, 10)).as(Seq("pos", "content")))
+      .select(posexplode(slice(regexp_extract_all(col("html"), lit("(?i)href=\"([^\"]*)\""), lit(1)), 1, 10)).as(Seq("pos", "content")))
       .select(lit("link").as("type"), (col("pos") + 1).cast("int").as("index"),
         col("content"))
     titles.unionByName(links)
@@ -208,10 +223,14 @@ object Sources {
     */
   def waitForPath(path: String, pokeIntervalMs: Long = 10000, timeoutMs: Long = 600000): Boolean = {
     val deadline = System.currentTimeMillis() + timeoutMs
-    while (System.currentTimeMillis() < deadline) {
+    // poke at least ONCE whatever the timeout (the reference FileSensor
+    // checks before timing out — timeoutMs=0 is "one poke, no wait"), and
+    // never sleep(0)-busy-spin on a degenerate interval
+    while ({
       if (Files.exists(Paths.get(path))) return true
-      Thread.sleep(math.min(pokeIntervalMs, math.max(1, deadline - System.currentTimeMillis())))
-    }
+      System.currentTimeMillis() < deadline
+    }) Thread.sleep(math.max(1, math.min(pokeIntervalMs,
+      math.max(1, deadline - System.currentTimeMillis()))))
     false
   }
 }

@@ -37,4 +37,14 @@ object ColumnBridge {
     */
   def taskPageSizeBytes(): Long =
     org.apache.spark.TaskContext.get().taskMemoryManager().pageSizeBytes()
+
+  /** Catalyst's floating-point key normalization (`NormalizeFloatingNumbers
+    * .normalize` is `private[sql]`): 0.0/-0.0 and all NaN payloads collapse
+    * to one canonical value. The built-in rule rewrites only Aggregate/
+    * Window/Join keys — a custom grouping operator must apply it itself or
+    * byte-equality grouping splits float keys the window form would merge.
+    * No-op for types that don't need it.
+    */
+  def normalizeFloats(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }

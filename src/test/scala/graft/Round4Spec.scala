@@ -319,9 +319,26 @@ class Round4Spec extends SparkSpec {
         case o                        => o.children.flatMap(deep)
       }
       val fallbacks = deep(topk.queryExecution.executedPlan)
-        .map(_.metrics("sortFallbackKeys").value).sum
+        .map(_.metrics("sortFallbackRows").value).sum
       assert(fallbacks > 0, "the sort fallback lane must have engaged")
     }
+  }
+
+  test("TopKPerGroupExec: ±0.0 group keys merge into one group, like the window form") {
+    import spark.implicits._
+    import graft.plans.TopKPerGroup
+    // the exec groups by raw UnsafeRow bytes and the exchange hashes raw
+    // bits — without the strategy's NormalizeFloatingNumbers wrap, 0.0
+    // and -0.0 would form two groups (and shuffle to different
+    // partitions), emitting 2k rows where row_number().over(partitionBy)
+    // emits k
+    val df = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L), (-0.0, 4L),
+        (Double.NaN, 5L), (Double.NaN, 6L), (1.5, 7L))
+      .toDF("g", "id")
+    val kept = TopKPerGroup(df, Seq(col("g")), Seq(col("id")), k = 2)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(kept == Seq(1L, 2L, 5L, 6L, 7L),
+      s"±0.0 must be ONE group (keep ids 1,2 only), got $kept")
   }
 
   test("TopKPerGroupExec: fallback path is exact — equals the window form with duplicates and ties") {

@@ -250,7 +250,7 @@ class Round7Spec extends SparkSpec {
       val df = Similarity.annTopKAll(spark, dir, 500L)
       val rows = df.collect()
       val fallbacks = deep(df.queryExecution.executedPlan)
-        .map(_.metrics("sortFallbackKeys").value).sum
+        .map(_.metrics("sortFallbackRows").value).sum
       assert(fallbacks > 0, "the sorter fallback lane must have engaged")
       rows
     }

@@ -119,13 +119,17 @@ class SourcesSinksSpec extends SparkSpec {
 
   test("S8: scrape extracts h1 titles (trimmed) and first 10 hrefs, 1-indexed") {
     val html =
-      """<html><h1> Big News </h1><p>text</p><h1>Second</h1>""" +
+      """<html><h1> Big News </h1><p>text</p><h1>Second</h1><H1>
+        | Third
+        |</H1>""".stripMargin +
         (1 to 15).map(i => s"""<a href="/l$i">l</a>""").mkString + "</html>"
     val pages = Seq(html).toDF("html")
     val out = Sources.scrape(pages).collect()
     val titles = out.filter(_.getString(0) == "title").sortBy(_.getInt(1))
     val links = out.filter(_.getString(0) == "link")
-    assert(titles.map(_.getString(2)).toSeq == Seq("Big News", "Second"))
+    // real HTML breaks titles across lines and mixes tag case — both must
+    // still match, stripped like the reference's .strip()
+    assert(titles.map(_.getString(2)).toSeq == Seq("Big News", "Second", "Third"))
     assert(links.length == 10) // first 10 hrefs only
     assert(links.map(_.getInt(1)).sorted.toSeq == (1 to 10))
     assert(links.map(_.getString(2)).contains("/l1"))
