@@ -36,12 +36,19 @@ case class MinHashSig(child: Expression)
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val hs = new Array[Long](n)
+    var m0 = 0
     var i = 0
     while (i < n) {
+      // a null ELEMENT carries no shingle — skip it (the SQL surface casts
+      // to array<string> with containsNull=true, so arbitrary caller input
+      // can hold nulls; dereferencing would NPE the task)
       val s = arr.getUTF8String(i)
-      hs(i) = Math.floorMod(
-        XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L),
-        MinHashSig.P)
+      if (s != null) {
+        hs(m0) = Math.floorMod(
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L),
+          MinHashSig.P)
+        m0 += 1
+      }
       i += 1
     }
     val sig = new Array[Long](MinHashSig.NumPerms)
@@ -51,7 +58,7 @@ case class MinHashSig(child: Expression)
       val b = MinHashSig.PermB(p)
       var m = Long.MaxValue
       var j = 0
-      while (j < n) {
+      while (j < m0) {
         val v = (a * hs(j) + b) % MinHashSig.P
         if (v < m) m = v
         j += 1
@@ -66,16 +73,26 @@ case class MinHashSig(child: Expression)
     copy(child = newChild)
 }
 
-object MinHashSig {
-  val NumPerms = 128
-  val P = 1000000007L
-
-  private def splitmix64(seed: Long): Long = {
+/** The ONE splitmix64 every deterministic constant table derives from
+  * (MinHash permutations, hyperplane components) — previously hand-copied
+  * per file, where a drifted copy would silently break native-vs-oracle
+  * parity. [[NGramHashes]] inlines the same finalizer in its hot loop by
+  * design (documented there).
+  */
+private[graft] object SplitMix {
+  def splitmix64(seed: Long): Long = {
     var x = seed + 0x9E3779B97F4A7C15L
     x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
     x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
     x ^ (x >>> 31)
   }
+}
+
+object MinHashSig {
+  val NumPerms = 128
+  val P = 1000000007L
+
+  import SplitMix.splitmix64
   // a * h + b for h < P, a ≤ 2^31, b < P: max ≈ 2^61.9 — no Long overflow,
   // and all terms non-negative so % == floorMod.
   val PermA: Array[Long] =

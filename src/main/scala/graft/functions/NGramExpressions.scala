@@ -36,15 +36,21 @@ case class NGramHashes(child: Expression, n: Int)
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val cnt = arr.numElements()
-    if (cnt < n) return new GenericArrayData(Array.emptyLongArray)
-    val hs = new Array[Long](cnt)
+    val rawCnt = arr.numElements()
+    val hs = new Array[Long](rawCnt)
+    // null tokens are compacted away (an n-gram spanning a nonexistent
+    // token is ill-defined, and dereferencing one would NPE the task)
+    var cnt = 0
     var i = 0
-    while (i < cnt) {
+    while (i < rawCnt) {
       val s = arr.getUTF8String(i)
-      hs(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      if (s != null) {
+        hs(cnt) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        cnt += 1
+      }
       i += 1
     }
+    if (cnt < n) return new GenericArrayData(Array.emptyLongArray)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     i = 0
     while (i <= cnt - n) {

@@ -35,14 +35,18 @@ case class SimHashSig(child: Expression)
     val counts = new Array[Int](64)
     var i = 0
     while (i < n) {
+      // null tokens carry no vote — skip, don't NPE (the SQL surface
+      // admits array<string> with containsNull=true)
       val s = arr.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
-      var k = 0
-      while (k < 64) {
-        // odd <=> lowest bit set, for any sign — matches the HOF twin's
-        // shiftright(h, k) % 2 != 0 test
-        if (((h >> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
-        k += 1
+      if (s != null) {
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        var k = 0
+        while (k < 64) {
+          // odd <=> lowest bit set, for any sign — matches the HOF twin's
+          // shiftright(h, k) % 2 != 0 test
+          if (((h >> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+          k += 1
+        }
       }
       i += 1
     }

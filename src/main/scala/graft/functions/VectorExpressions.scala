@@ -130,19 +130,13 @@ object HyperplaneBandSig {
   /** Hyperplane dimensionality — fixed at 64, as in the composed form. */
   val Dims = 64
 
-  private def splitmix64(seed: Long): Long = {
-    var x = seed + 0x9E3779B97F4A7C15L
-    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-    x ^ (x >>> 31)
-  }
-
-  /** ±1 component j of plane p — MUST stay byte-for-byte the derivation
-    * of `Similarity.planeComponents` (the DuckDB ANN twin regenerates
-    * the same planes as SQL literals; Round8Spec pins the parity).
+  /** ±1 component j of plane p — THE canonical derivation:
+    * `Similarity.planeComponents` (which generates the DuckDB ANN twin's
+    * SQL literals) delegates here, so native-vs-oracle plane parity holds
+    * by construction (Round8Spec still pins it).
     */
   private[graft] def component(p: Int, j: Int): Double =
-    if (Math.floorMod(splitmix64(p * 1000L + j), 2L) == 1L) 1.0 else -1.0
+    if (Math.floorMod(SplitMix.splitmix64(p * 1000L + j), 2L) == 1L) 1.0 else -1.0
 
   // flat [plane0 | plane1 | ...] tables, grown monotonically and cached
   // per requested plane count (geometries vary per corpus size)
@@ -181,6 +175,14 @@ object VectorFunctions {
   * `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends SparkSessionExtensionsProvider {
+  // raw children(i) indexing would silently DROP extra arguments (a wrong
+  // answer, not an error) and throw a bare IndexOutOfBounds on missing
+  // ones — validate arity like the built-in registry does
+  private def exactArgs(name: String, n: Int, children: Seq[Expression]): Unit =
+    if (children.length != n)
+      throw new IllegalArgumentException(
+        s"$name requires exactly $n argument(s), got ${children.length}")
+
   override def apply(extensions: SparkSessionExtensions): Unit = {
     // Optimizer rule: rewrite big×big range-band theta joins (BNLJ-bound)
     // to a binned equi-join — see graft.plans.BinnedRangeJoinRule.
@@ -193,18 +195,27 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
     extensions.injectFunction((
       FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[DotProductF64].getName, "dot_f64"),
-      (children: Seq[Expression]) => DotProductF64(
-        Cast(children(0), ArrayType(DoubleType)),
-        Cast(children(1), ArrayType(DoubleType)))))
+      (children: Seq[Expression]) => {
+        exactArgs("dot_f64", 2, children)
+        DotProductF64(
+          Cast(children(0), ArrayType(DoubleType)),
+          Cast(children(1), ArrayType(DoubleType)))
+      }))
     extensions.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (children: Seq[Expression]) => MinHashSig(
-        Cast(children(0), ArrayType(org.apache.spark.sql.types.StringType)))))
+      (children: Seq[Expression]) => {
+        exactArgs("minhash_sig", 1, children)
+        MinHashSig(
+          Cast(children(0), ArrayType(org.apache.spark.sql.types.StringType)))
+      }))
     extensions.injectFunction((
       FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
-      (children: Seq[Expression]) => SimHashSig(
-        Cast(children(0), ArrayType(org.apache.spark.sql.types.StringType)))))
+      (children: Seq[Expression]) => {
+        exactArgs("simhash_sig", 1, children)
+        SimHashSig(
+          Cast(children(0), ArrayType(org.apache.spark.sql.types.StringType)))
+      }))
   }
 }

@@ -70,13 +70,6 @@ object Similarity {
       |  FROM scored)
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
-  private def splitmix64(seed: Long): Long = {
-    var x = seed + 0x9E3779B97F4A7C15L
-    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-    x ^ (x >>> 31)
-  }
-
   /** Banding geometry shared by the ANN top-k, the embedding near-dup
     * scale path ([[Dedup.x2EmbeddingLsh]]), and the generated DuckDB
     * recall oracle. 6 bands × 3 planes: a pair at cosine c agrees with a
@@ -87,12 +80,15 @@ object Similarity {
   private[operators] val LshBands = 6
   private[operators] val LshRowsPerBand = 3
 
-  /** ±1 components of deterministic hyperplane p (64-dim, splitmix64-
-    * derived) — one shared constant table feeding both the Spark
-    * expression and the generated DuckDB oracle SQL.
+  /** ±1 components of deterministic hyperplane p (64-dim) — DELEGATES to
+    * the native expression's own derivation
+    * ([[graft.functions.HyperplaneBandSig.component]]) so the DuckDB
+    * oracle literals generated here can never drift from the planes the
+    * Spark pipeline actually signs with (a re-derived copy used to live
+    * here; parity held only by a spec).
     */
   private def planeComponents(p: Int): IndexedSeq[Int] =
-    (0 until 64).map(j => if (Math.floorMod(splitmix64(p * 1000L + j), 2L) == 1L) 1 else -1)
+    (0 until 64).map(j => graft.functions.HyperplaneBandSig.component(p, j).toInt)
 
   private def planeLit(p: Int): org.apache.spark.sql.Column =
     expr(planeComponents(p).map(c => s"${c}D").mkString("array(", ",", ")"))
@@ -133,6 +129,15 @@ object Similarity {
     * top-k and [[Dedup.x2EmbeddingLsh]]'s near-dup scale path. Geometry
     * defaults to the cosine-0.5 fixture regime; the near-dup regime
     * passes narrower-bucket geometry (see [[Dedup.x2EmbeddingLshAt]]).
+    *
+    * On the `.persist()`s in this family with no paired unpersist: the
+    * CacheManager keys cache entries by LOGICAL PLAN, so repeated calls
+    * of one entry point re-reference ONE entry (the benign "already
+    * cached" warnings) — session cache growth is bounded by the distinct
+    * (query, dir, geometry) set, not by call count. Unpersisting before
+    * return isn't possible without materializing (localCheckpoint),
+    * which would destroy the executed plans PlanSpec pins for these
+    * queries.
     */
   private[graft] def bandedCorpus(s: SparkSession, dir: String,
                                   nBands: Int = LshBands,
@@ -275,7 +280,11 @@ object Similarity {
   def x3Sq8Recall(s: SparkSession, dir: String): DataFrame = {
     val corpus = normed(s, dir)
       .withColumn("ma", expr("aggregate(e, 0D, (acc, x) -> greatest(acc, abs(x)))"))
-      .withColumn("q8", expr("transform(e, x -> cast(round(x * 127.0D / ma, 0) as tinyint))"))
+      // the ma = 0 arm (an all-zero vector) quantizes to 0 explicitly:
+      // x/0 is NaN and ANSI CAST(NaN AS TINYINT) would abort the whole
+      // query; the twin carries the identical guard
+      .withColumn("q8", expr(
+        "transform(e, x -> cast(round(CASE WHEN ma = 0D THEN 0D ELSE x * 127.0D / ma END, 0) as tinyint))"))
       .persist()
     val queries = corpus.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("q8").as("qq8"),
@@ -304,7 +313,7 @@ object Similarity {
       |  list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS ma
       |  FROM embeddings),
       |q8 AS (SELECT vec_id, norm, ma,
-      |  list_transform(e, x -> round(x * 127.0 / ma, 0)) AS q8 FROM e),
+      |  list_transform(e, x -> round(CASE WHEN ma = 0 THEN 0 ELSE x * 127.0 / ma END, 0)) AS q8 FROM e),
       |sq8_scored AS (
       |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
       |    round(list_dot_product(q.q8, c.q8) * q.ma * c.ma
@@ -348,6 +357,12 @@ object Similarity {
     ivfScore(lists, ivfQueryCells(refined, queries))
   }
 
+  /** Embedding dimensionality of the fixture corpus — interpolated into
+    * the generated twin SQL (a hardcoded literal there could silently
+    * drift from the Spark side, which derives it from the data).
+    */
+  private[graft] val EmbeddingDims = 64
+
   /** IVF cell count. 32 at fixture scale; a production deployment
     * scales it with the corpus while the centroid set stays
     * broadcast-sized.
@@ -384,9 +399,15 @@ object Similarity {
     * incremental append rests on.
     */
   private[graft] def ivfAssign(vecs: DataFrame, cents: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(cents))
-      .withColumn("sim", dotF64(col("e"), col("ce")) /
-        (col("norm") * sqrt(dotF64(col("ce"), col("ce")))))
+    // centroid norms hoisted onto the nlist-row frame BEFORE the cross
+    // join: computed once per centroid instead of once per (vector,
+    // centroid) pair — at 1M vectors × 32 cells that is ~32M redundant
+    // 64-dim dots + sqrt per assignment pass. norm * cnorm evaluates the
+    // same IEEE product as the inline form, so results are bit-identical
+    // (the DuckDB twin keeps the per-pair form; sqrt is deterministic).
+    vecs.crossJoin(broadcast(
+        cents.withColumn("cnorm", sqrt(dotF64(col("ce"), col("ce"))))))
+      .withColumn("sim", dotF64(col("e"), col("ce")) / (col("norm") * col("cnorm")))
       .groupBy(col("vec_id"))
       .agg(first(col("e")).as("e"), first(col("norm")).as("norm"),
         max(struct(col("sim"), (-col("c_id")).as("nc"))).as("top"))
@@ -403,13 +424,11 @@ object Similarity {
       .orderBy("h").limit(nlist)
       .select(row_number().over(Window.orderBy(col("h"))).as("c_id"), col("e").as("ce"))
 
-    def assign(vecs: DataFrame, cents: DataFrame): DataFrame = ivfAssign(vecs, cents)
-
     // one Lloyd refinement: new centroid = per-cell dimension-wise mean.
     // The mean is EXACT (decimal sum / count): double summation order is
     // partition-dependent in Spark, and the oracle twin must derive
     // bit-identical centroids
-    val assigned0 = assign(e, seeds)
+    val assigned0 = ivfAssign(e, seeds)
     // nlist rows; persisted because both the list build and the query
     // probe consume it (recomputing would re-run the Lloyd pipeline)
     val refined = assigned0
@@ -420,7 +439,7 @@ object Similarity {
       .select(col("c_id"), expr("transform(dm, x -> x.m)").as("ce"))
       .persist()
 
-    val lists = assign(e, refined) // inverted lists: (cell) -> vectors
+    val lists = ivfAssign(e, refined) // inverted lists: (cell) -> vectors
     (refined, lists)
   }
 
@@ -428,9 +447,10 @@ object Similarity {
     * (q_id, qe, qnorm, c_id).
     */
   private[graft] def ivfQueryCells(refined: DataFrame, queries: DataFrame): DataFrame = {
-    val scored = queries.crossJoin(broadcast(refined))
-      .withColumn("sim", dotF64(col("qe"), col("ce")) /
-        (col("qnorm") * sqrt(dotF64(col("ce"), col("ce")))))
+    // centroid norms hoisted pre-crossJoin, as in [[ivfAssign]]
+    val scored = queries.crossJoin(broadcast(
+        refined.withColumn("cnorm", sqrt(dotF64(col("ce"), col("ce"))))))
+      .withColumn("sim", dotF64(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")))
     TopKPerGroup(scored, Seq(col("q_id")), Seq(col("sim").desc, col("c_id")), IvfNProbe)
       .select(col("q_id"), col("qe"), col("qnorm"), col("c_id"))
   }
@@ -469,7 +489,7 @@ object Similarity {
       |seeds AS (
       |  SELECT CAST(row_number() OVER (ORDER BY h) AS INTEGER) AS c_id, ce FROM (
       |    SELECT md5(CAST(vec_id AS VARCHAR)) AS h, e AS ce FROM $base
-      |    ORDER BY h LIMIT 32)),
+      |    ORDER BY h LIMIT $IvfNList)),
       |a0 AS (
       |  SELECT vec_id, e, norm, c_id FROM (
       |    SELECT v.vec_id, v.e, v.norm, s.c_id,
@@ -482,7 +502,7 @@ object Similarity {
       |    SELECT c_id, dim,
       |      CAST(SUM(CAST(val AS DECIMAL(28,16))) AS DOUBLE) / COUNT(val) AS m
       |    FROM (SELECT c_id, i AS dim, e[i + 1] AS val
-      |          FROM a0, unnest(range(0, 64)) AS t(i))
+      |          FROM a0, unnest(range(0, $EmbeddingDims)) AS t(i))
       |    GROUP BY c_id, dim)
       |  GROUP BY c_id),
       |lists AS (
@@ -498,7 +518,7 @@ object Similarity {
       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
       |        list_dot_product(q.e, r.ce) / (q.norm * sqrt(list_dot_product(r.ce, r.ce))) DESC,
       |        r.c_id) AS rk
-      |    FROM e q CROSS JOIN refined r WHERE q.vec_id < 10) WHERE rk <= 20),
+      |    FROM e q CROSS JOIN refined r WHERE q.vec_id < 10) WHERE rk <= $IvfNProbe),
       |scored AS (
       |  SELECT qc.q_id, l.vec_id,
       |    round(list_dot_product(qc.qe, l.e) / (qc.qnorm * l.norm), 6) AS cosine

@@ -105,6 +105,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native signatures skip null array elements instead of crashing, equal to the null-free input") {
+    import graft.functions.{MinHashSig, NGramHashes, SimHashSig}
+    // the SQL surface casts to array<string> with containsNull=true —
+    // arbitrary caller input can hold null elements
+    val clean = Seq(Tuple1(Seq("alpha", "beta", "gamma", "delta"))).toDF("sh")
+    val holey = Seq(Tuple1(Seq("alpha", null, "beta", "gamma", null, "delta"))).toDF("sh")
+    def longs(df: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.Column): List[Long] =
+      df.select(c).collect().head.getSeq[Long](0).toList
+    def one(df: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.Column): Long =
+      df.select(c).collect().head.getLong(0)
+    assert(longs(holey, MinHashSig(col("sh"))) == longs(clean, MinHashSig(col("sh"))))
+    assert(one(holey, SimHashSig(col("sh"))) == one(clean, SimHashSig(col("sh"))))
+    assert(longs(holey, NGramHashes(col("sh"), 2)) == longs(clean, NGramHashes(col("sh"), 2)))
+  }
+
   test("last-wins upsert: result has one row per key, the max-offset one") {
     forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 1000L), Gen.chooseNum(0L, 5L)))) { xs =>
       val df = xs.toDF("offset", "id")
