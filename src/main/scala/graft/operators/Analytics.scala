@@ -266,9 +266,7 @@ object Analytics {
     * attributes them); part's type filter prunes before its join.
     */
   def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
-    val asiaNations = Tables.nation(s, dir)
-      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
-        col("n_regionkey") === col("r_regionkey"))
+    val asiaNations = regionNations(s, dir, "ASIA")
       .select(col("n_nationkey").as("asia_nk"))
     val suppNation = Tables.nation(s, dir)
       .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
@@ -642,6 +640,16 @@ object Analytics {
     * shuffles and never cross-joins; the one auxiliary input is the
     * 1-row supplier count (broadcast gate idiom).
     */
+  /** (n_nationkey, n_name) of one region's nations, broadcast-sized —
+    * the region-qualification block q2/q8/q11/q20 all share (it was
+    * previously copy-pasted per query).
+    */
+  private def regionNations(s: SparkSession, dir: String, region: String): DataFrame =
+    Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+
   private[graft] def partsupp(s: SparkSession, dir: String): DataFrame = {
     val scnt = Tables.supplier(s, dir).agg(count(lit(1)).as("s_cnt"))
     Tables.part(s, dir).select(col("p_partkey"))
@@ -691,10 +699,7 @@ object Analytics {
     val p = Tables.part(s, dir)
       .filter(col("p_type") === "LARGE" && col("p_size").between(10, 20))
       .select(col("p_partkey"), col("p_name"))
-    val eur = Tables.nation(s, dir)
-      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
-        col("n_regionkey") === col("r_regionkey"))
-      .select(col("n_nationkey"), col("n_name"))
+    val eur = regionNations(s, dir, "EUROPE")
     val w = Window.partitionBy(col("ps_partkey"))
     partsupp(s, dir)
       .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
@@ -732,10 +737,7 @@ object Analytics {
     * double on both engines.
     */
   def q11ImportantStock(s: SparkSession, dir: String): DataFrame = {
-    val eur = Tables.nation(s, dir)
-      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
-        col("n_regionkey") === col("r_regionkey"))
-      .select(col("n_nationkey"))
+    val eur = regionNations(s, dir, "EUROPE").select(col("n_nationkey"))
     val vals = partsupp(s, dir)
       .join(Tables.supplier(s, dir), col("ps_suppkey") === col("s_suppkey"))
       .join(broadcast(eur), col("s_nationkey") === col("n_nationkey"))
@@ -815,10 +817,7 @@ object Analytics {
         col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(Exact.dsum(col("l_quantity")).as("qty"))
-    val eur = Tables.nation(s, dir)
-      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
-        col("n_regionkey") === col("r_regionkey"))
-      .select(col("n_nationkey"))
+    val eur = regionNations(s, dir, "EUROPE").select(col("n_nationkey"))
     val qualified = partsupp(s, dir)
       .join(broadcast(redParts), col("ps_partkey") === col("p_partkey"), "left_semi")
       .join(shipped, col("ps_partkey") === col("l_partkey") &&
@@ -865,12 +864,19 @@ object Analytics {
     */
   def a5Funnel(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
+    // s1 feeds THREE consumers (s2's join, its stage count, the
+    // conversion denominator) and s2 two — Catalyst does not dedupe
+    // common subplans, so uncached each consumer re-scans the fact and
+    // re-runs the stage aggregate. Cache growth is bounded by the
+    // CacheManager's plan-dedup (the bandedCorpus note).
     val s1 = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      .persist()
     val s2 = ev.filter(col("event_type") === "click")
       .join(s1, "user_id")
       .filter(col("ts") > col("t1") && col("ts") <= col("t1") + expr("INTERVAL 12 HOURS"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      .persist()
     val s3 = ev.filter(col("event_type") === "purchase")
       .join(s2, "user_id")
       .filter(col("ts") > col("t2") && col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))

@@ -135,18 +135,17 @@ object Dags {
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n", size(col("toks")))
       .filter(col("n") >= 20)
+    // the chunking expression and the split mapping are the SHARED
+    // definitions of x4_chunk / x6_hash_split — the scaladoc's "every
+    // stage is the oracle-checked operator it reuses" held only by
+    // coincidence while these were hand-copied
     kept.select(col("doc_id"), col("n"),
-        posexplode(expr(
-          "transform(sequence(1, n, 24), i -> struct(size(slice(toks, i, 32)) AS nt, array_join(slice(toks, i, 32), ' ') AS ch))"))
-          .as(Seq("pos", "c")))
+        posexplode(expr(TextAnalysis.chunkTransformSql)).as(Seq("pos", "c")))
       .select(col("doc_id"), (col("pos") + 1).cast("int").as("chunk_no"),
         col("c.nt").as("n_chunk_tokens"),
         conv(substring(md5(concat(col("doc_id"), lit("#"), col("pos") + 1)), 1, 4), 16, 10)
           .cast("long").mod(100).as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < 96, "train")
-          .when(col("bucket") < 98, "validation")
-          .otherwise("test"))
+      .withColumn("split", Sampling.splitOf(col("bucket")))
       .select(col("doc_id"), col("chunk_no"), col("n_chunk_tokens"), col("split"))
       .orderBy("doc_id", "chunk_no")
   }
@@ -255,9 +254,28 @@ object Dags {
     val xMarker = "SELECT t.doc_id AS train_id, count(DISTINCT t.s) AS n_shared,\n  count(DISTINCT e.doc_id) AS n_eval_docs\nFROM sh t JOIN sh e ON t.s = e.s AND t.bucket < 96 AND e.bucket >= 96\nGROUP BY t.doc_id ORDER BY train_id"
     require(Dedup.x7DecontaminateSql.endsWith(xMarker), "x7DecontaminateSql tail changed")
     val xRaw = Dedup.x7DecontaminateSql.stripSuffix(xMarker).stripPrefix("WITH ")
+    // the rename is word-boundary regex over finished SQL — guard the two
+    // ways it can silently corrupt: (a) a future string literal in the
+    // decontam twin containing a standalone 'b'/'sh' token would be
+    // rewritten too; (b) a CTE added to ANY block whose name collides
+    // with another block's would bind the wrong table and only surface
+    // as an opaque oracle failure
+    require(!xRaw.split("'", -1).zipWithIndex.exists { case (seg, i) =>
+        i % 2 == 1 && seg.matches("(?s).*\\b(b|sh)\\b.*") },
+      "decontam twin now carries a quoted literal the CTE rename would rewrite")
     val xCtes = xRaw.replaceAll("\\bb\\b", "xb").replaceAll("\\bsh\\b", "xsh")
     require(xCtes.startsWith("xb AS (") && xCtes.contains("xsh AS (")
       && xCtes.contains("FROM xb)"), "decontam CTE rename drifted")
+    def cteNames(block: String): Set[String] =
+      "(?m)(?:^|,)\\s*(\\w+) AS \\(".r.findAllMatchIn(block).map(_.group(1)).toSet
+    val blocks = Seq("funnel" -> cteNames(funnelCtes),
+      "cluster" -> cteNames(clusterCtes),
+      "decontam" -> (cteNames(xCtes) ++ Set("xcont", "xkeep")),
+      "glue" -> Set("fkeep", "clusters", "dkeep"))
+    for (Seq((an, a), (bn, bSet)) <- blocks.combinations(2)) {
+      val clash = a.intersect(bSet)
+      require(clash.isEmpty, s"composite CTE collision between $an and $bn: $clash")
+    }
     "WITH RECURSIVE " + funnelCtes +
       """,fkeep AS (SELECT doc_id FROM staged WHERE stage = 'keep'),
         |""".stripMargin + clusterCtes +

@@ -544,16 +544,25 @@ object Relational {
     * decimal-summed on both engines so the float cut is identical.
     */
   def r14SqlEntry(s: SparkSession, dir: String): DataFrame = {
-    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
-    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
-    s.sql(
-      """SELECT c.c_mktsegment, count(*) AS n_big,
+    // per-call view names, dropped once the text is ANALYZED (the
+    // returned frame holds the resolved plan): session-global names let
+    // a second caller with a different dir replace the views between
+    // registration and analysis — the first caller would silently bind
+    // the second's tables — and leaked catalog entries shadow user views
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+    val ov = s"orders_v_$tag"
+    val cv = s"customer_v_$tag"
+    Tables.orders(s, dir).createOrReplaceTempView(ov)
+    Tables.customer(s, dir).createOrReplaceTempView(cv)
+    try s.sql(
+      s"""SELECT c.c_mktsegment, count(*) AS n_big,
         |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
-        |FROM orders_v o JOIN customer_v c ON o.o_custkey = c.c_custkey
+        |FROM $ov o JOIN $cv c ON o.o_custkey = c.c_custkey
         |WHERE o.o_totalprice > (
         |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / count(*)
-        |  FROM orders_v)
+        |  FROM $ov)
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)
+    finally { s.catalog.dropTempView(ov); s.catalog.dropTempView(cv) }
   }
 
   val r14SqlEntrySql: String =

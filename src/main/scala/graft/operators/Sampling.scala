@@ -42,6 +42,15 @@ object Sampling {
       |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS INTEGER) AS rk
       |  FROM events) WHERE rk <= 20 ORDER BY event_type, rk""".stripMargin
 
+  /** THE 96/2/2 train/validation/test bucket mapping — shared with
+    * [[graft.operators.Dags.dagTrainingPrep]] so a ratio change can
+    * never leave the composite on the old split.
+    */
+  private[graft] def splitOf(bucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(bucket < 96, "train")
+      .when(bucket < 98, "validation")
+      .otherwise("test")
+
   /** X6b — deterministic hash-split into train/validation/test
     * (96/2/2 by md5 bucket of the doc id): the reproducible-split
     * discipline every training pipeline needs — a pure narrow map, no
@@ -52,10 +61,7 @@ object Sampling {
     Tables.documents(s, dir)
       .withColumn("bucket",
         conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long") % 100)
-      .withColumn("split",
-        when(col("bucket") < 96, "train")
-          .when(col("bucket") < 98, "validation")
-          .otherwise("test"))
+      .withColumn("split", Sampling.splitOf(col("bucket")))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
       .orderBy("split")

@@ -196,14 +196,19 @@ object TextAnalysis {
     * the presentation sort; at 100 TB this is the map stage in front of
     * tokenization.
     */
+  /** THE chunking expression (32-token windows at stride 24 over `toks`/
+    * `n`) — shared with [[graft.operators.Dags.dagTrainingPrep]] so the
+    * composite can never drift from the oracle-checked operator it
+    * claims to reuse.
+    */
+  private[graft] val chunkTransformSql: String =
+    "transform(sequence(1, n, 24), i -> struct(size(slice(toks, i, 32)) AS nt, array_join(slice(toks, i, 32), ' ') AS ch))"
   def x4Chunk(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n", size(col("toks")))
       .select(col("doc_id"), col("n"),
-        posexplode(expr(
-          "transform(sequence(1, n, 24), i -> struct(size(slice(toks, i, 32)) AS nt, array_join(slice(toks, i, 32), ' ') AS ch))"))
-          .as(Seq("pos", "c")))
+        posexplode(expr(chunkTransformSql)).as(Seq("pos", "c")))
       .select(col("doc_id"), col("n").as("n_tokens"),
         (col("pos") + 1).cast("int").as("chunk_no"),
         col("c.nt").as("n_chunk_tokens"), col("c.ch").as("chunk"))
@@ -236,7 +241,10 @@ object TextAnalysis {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     // tf holds one row per distinct (doc, term), so df derives from it
-    // directly — no second explode/distinct/shuffle chain over the corpus
+    // directly — no second explode/distinct/shuffle chain over the corpus.
+    // No paired unpersist (the result is lazy): session cache growth is
+    // bounded by the CacheManager's logical-plan dedup — repeated calls
+    // re-reference ONE entry (the Similarity.bandedCorpus note).
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")).persist()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -265,7 +273,7 @@ object TextAnalysis {
       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rk
       |  FROM scored) WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
-  /** X4h — corpus bigram language-model scoring: per-document mean
+  /** X4i — corpus bigram language-model scoring: per-document mean
     * log-likelihood under the corpus's own bigram MLE,
     * lp(w1 w2) = ln(c(w1 w2) / c(w1·)), where c(w1·) counts w1 as a
     * bigram prefix. This is the KenLM-style perplexity quality filter of
@@ -289,7 +297,9 @@ object TextAnalysis {
             concat_ws(" ", element_at(col("toks"), i),
               element_at(col("toks"), i + 1)).as("bg")))).as("e"))
       .select(col("doc_id"), col("e.w1").as("w1"), col("e.bg").as("bg"))
-      .persist() // feeds both count aggregates and the scoring join
+      // feeds both count aggregates and the scoring join; no paired
+      // unpersist — bounded by plan-dedup (the x4TfIdf note above)
+      .persist()
     val cb = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
     val cp = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("cp"))
     bigrams.join(cb, Seq("bg")).join(cp, Seq("w1"))
