@@ -22,7 +22,11 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
-    // optional args = subset of query names to run (local iteration probe)
+    // optional args = subset of query names to run (local iteration probe);
+    // an unknown name is an ERROR — silently dropping it would write a
+    // valid-looking artifact benchmarking nothing
+    val unknown = args.toSet.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
@@ -56,20 +60,36 @@ object Bench {
     val loadStart = loadavg
     val best = scala.collection.mutable.Map.empty[String, Double]
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    // Methodology note: later passes run against whatever frames pass 1
+    // persisted (CacheManager plan-dedup — the bounded-cache note in
+    // Similarity.bandedCorpus), so best-of-N is a WARM figure for the
+    // dedup-family queries. Deliberate and stable across every recorded
+    // round: the per-query `samples` array carries the cold pass-1 time,
+    // so both costs are in the artifact and cross-round comparisons stay
+    // like-for-like.
     for (_ <- 1 to runs; (name, fn) <- ordered) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        if (!errors.contains(name)) {
-          errors ::= name
-          System.err.println(s"[bench] $name FAILED: ${e.toString.take(300)}")
+      val ok =
+        try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+          if (!errors.contains(name)) {
+            errors ::= name
+            System.err.println(s"[bench] $name FAILED: ${e.toString.take(300)}")
+          }
+          false
         }
+      // a failed run contributes NO timing: its time-to-exception as a
+      // sample/best would make an outright breakage read as a speedup
+      if (ok) {
+        val sec = (System.nanoTime() - t0) / 1e9
+        samples(name) = samples.getOrElse(name, Nil) :+ (math.round(sec * 1000) / 1000.0)
+        if (!best.get(name).exists(_ <= sec)) best(name) = sec
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      samples(name) = samples.getOrElse(name, Nil) :+ (math.round(sec * 1000) / 1000.0)
-      if (!best.get(name).exists(_ <= sec)) best(name) = sec
     }
     val loadEnd = loadavg
-    val results = ordered.map { case (name, _) => name -> best(name) }.toMap
+    // a query that failed EVERY pass has no best — it appears only in
+    // `errors`, never as a timing
+    val results = ordered.flatMap { case (name, _) =>
+      best.get(name).map(name -> _) }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val samplesJson = ordered.map { case (name, _) =>

@@ -55,9 +55,15 @@ object StressBench {
   }
 
   /** Planted-boilerplate corpus (VERDICT r7 item 1): 30% of the docs
-    * (doc_id % 10 < 3) are replaced by one of 40 templates — the
-    * templated/identical-doc shape of a crawl corpus, ~37 copies per
-    * template at sf0.1. The embeddings table is copied through unchanged.
+    * (doc_id % 10 < 3) are replaced by a template — the templated/
+    * identical-doc shape of a crawl corpus. NOTE the real shape: since
+    * 10 divides 40, `doc_id % 40` restricted to `doc_id % 10 < 3`
+    * reaches only 12 of the 40 template ids ({0,1,2,10,11,12,...}) —
+    * ~125 copies per template at sf0.1, a ~3× HOTTER pileup than 40
+    * templates would give. Kept as-is deliberately: it is the stricter
+    * guard test, and every recorded stress artifact measured THIS
+    * corpus (changing the shape would break cross-round comparability).
+    * The embeddings table is copied through unchanged.
     */
   private def boilerize(spark: SparkSession, baseDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
@@ -189,6 +195,11 @@ object StressBench {
     val admOut = s"$work/admout"
     val allDocs = spark.read.parquet(s"$bigOut/documents.parquet").persist()
     val perBatch = allDocs.count() / 10
+    // the range slicing below assumes ids contiguous from 0 — on a gapped
+    // corpus (e.g. an already-deduped one passed as baseDir) it would
+    // silently drop every doc past 10*perBatch and undercount `admitted`
+    require(allDocs.agg(max(col("doc_id"))).head.getLong(0) == allDocs.count() - 1,
+      "admission slicing requires contiguous doc_ids from 0")
     val admSecs = (0 until 10).map { b =>
       val batch = allDocs.filter(col("doc_id") >= b * perBatch && col("doc_id") < (b + 1) * perBatch)
       val t0 = System.nanoTime()
@@ -207,6 +218,8 @@ object StressBench {
     val bAdmOut = s"$work/boiler-admout"
     val bDocs = spark.read.parquet(s"$boilOut/documents.parquet").persist()
     val bPer = bDocs.count() / 10
+    require(bDocs.agg(max(col("doc_id"))).head.getLong(0) == bDocs.count() - 1,
+      "admission slicing requires contiguous doc_ids from 0")
     val boilAdmSecs = (0 until 10).map { b =>
       val batch = bDocs.filter(col("doc_id") >= b * bPer && col("doc_id") < (b + 1) * bPer)
       val t0 = System.nanoTime()
@@ -404,7 +417,7 @@ object StressBench {
     // of the full re-train (ivfScaleBuildSec), which is what every
     // delete used to pay ---
     val ivfDelCorpus = scaleVecs.filter(col("vec_id") % 1000 =!= 3)
-    val ivfDeleted = scaleVecs.count() - ivfDelCorpus.count()
+    val ivfDeleted = scaleVecCount - ivfDelCorpus.count()
     val tIvfDel = System.nanoTime()
     val ivfDelMode = graft.operators.IvfStore.ensureIncrementalVecs(
       ivfDelCorpus, s"$work/ivfstore-scale")

@@ -7,8 +7,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     // args 3+: optional query-name subset (local iteration probe); the
     // driver always passes exactly (sfDir, outDir) → full surface
+    require(args.length >= 2,
+      "usage: graft.Verify <sfDir> <outDir> [queryName ...]")
     val Array(sfDir, outDir) = args.take(2)
     val selected = args.drop(2).toSet
+    val unknownQ = selected.diff(SparkEntry.queries.keySet)
+    require(unknownQ.isEmpty,
+      s"unknown query name(s): ${unknownQ.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -380,8 +380,6 @@ object Dedup {
         |ORDER BY d.doc_id""".stripMargin
   }
 
-  private val P = 1000000007L
-
   /** Per-(band, band-hash) bucket population cap for LSH candidate
     * generation (`spark.graft.lsh.bucketCap`; when unset, derived from
     * the corpus size by [[derivedBucketCap]]). See [[cappedSelfPairs]]
