@@ -72,8 +72,10 @@ case class BinnedRangeJoinRule(session: SparkSession)
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled || binWidth <= 0) plan
     else plan.transformUp {
-      case j @ Join(l, r, Inner, Some(cond), hint)
-          if hint == JoinHint.NONE && bothLarge(l, r) =>
+      // bothLarge (stats on both subtrees) is checked INSIDE rewrite,
+      // after the cheap syntactic band detection — the overwhelmingly
+      // common equi/band-free joins bail before any stats work
+      case j @ Join(_, _, Inner, Some(cond), hint) if hint == JoinHint.NONE =>
         rewrite(j, cond).getOrElse(j)
     }
 
@@ -128,6 +130,7 @@ case class BinnedRangeJoinRule(session: SparkSession)
     } yield (lo, hi)).nextOption()
 
     band.flatMap { case (lo, hi) =>
+      if (!bothLarge(l, r)) return None
       val p = lo.p
       val pointIsLeft = p.references.subsetOf(l.outputSet)
       val pointChild = if (pointIsLeft) l else r
@@ -144,10 +147,11 @@ case class BinnedRangeJoinRule(session: SparkSession)
       // can always run beats one that manufactures per-row bin arrays
       // with no size bound. (Bounds always reference the interval side's
       // attributes — splitSides guarantees it — so there is no foldable
-      // case to fold.) Without stats the rewrite proceeds: the runtime
-      // reversed-interval guard below still bounds junk generation, and
-      // the DataFrame API (RangeJoin.pointInInterval) measures the true
-      // width with an aggregate before choosing the binned plan.
+      // case to fold.) Without stats the rewrite proceeds, and the
+      // RUNTIME cap below turns a wide interval into a diagnosable error
+      // instead of a sequence-limit failure/OOM; the DataFrame API
+      // (RangeJoin.pointInInterval) measures the true width with an
+      // aggregate first and falls back to the (hinted) theta join.
       if (estimatedMaxBins(lo.b, hi.b, ivChild).exists(_ > maxBinsPerInterval)) None
       else {
         val pbin = Alias(binOf(p), "__gr_pbin")()
@@ -155,14 +159,28 @@ case class BinnedRangeJoinRule(session: SparkSession)
 
         // Sequence is TimeZoneAwareExpression — without an explicit zone it
         // stays unresolved and the optimizer's plan-integrity check fails.
-        // Guard: a reversed/empty interval (lo > hi, or a null bound)
-        // generates NO bins — unguarded, Sequence silently DESCENDS on
-        // lo > hi, manufacturing |lo−hi|/binWidth junk bins per row (an
-        // unsatisfiable predicate turned into an OOM for a large
-        // reversal). Dropping the row is exact: an inner-join row with an
-        // empty interval can never match.
+        // Guards, innermost out:
+        //  - a reversed/empty interval (lo > hi, or a null bound)
+        //    generates NO bins — unguarded, Sequence silently DESCENDS on
+        //    lo > hi, manufacturing |lo−hi|/binWidth junk bins per row (an
+        //    unsatisfiable predicate turned into an OOM for a large
+        //    reversal). Dropping the row is exact: an inner-join row with
+        //    an empty interval can never match.
+        //  - an interval wider than maxBinsPerInterval (possible only in
+        //    the stats-less SQL path — an open-ended sentinel hi is the
+        //    classic case) RAISES a diagnosable error naming the configs,
+        //    instead of silently building an unbounded per-row array that
+        //    dies as an opaque sequence-length failure or executor OOM.
         val seq = Sequence(binLo, binHi, None, Some(conf.sessionLocalTimeZone))
-        val guarded = If(LessThanOrEqual(binLo, binHi), seq,
+        val tooWide = GreaterThan(Subtract(binHi, binLo),
+          Literal(maxBinsPerInterval - 1L))
+        val bail = Cast(new RaiseError(Literal(
+          s"graft binned range join: an interval spans more than $maxBinsPerInterval bins " +
+            s"(binWidth=$binWidth); raise spark.graft.binnedRangeJoin.binWidth or " +
+            "maxBinsPerInterval, or disable spark.graft.binnedRangeJoin.enabled")),
+          seq.dataType)
+        val guarded = If(LessThanOrEqual(binLo, binHi),
+          If(tooWide, bail, seq),
           Literal.create(Array.empty[Long], seq.dataType))
         val gen = Explode(guarded)
         val elem = gen.elementSchema.head
@@ -195,6 +213,10 @@ case class BinnedRangeJoinRule(session: SparkSession)
     for {
       mn <- stat(loB, _.min)
       mx <- stat(hiB, _.max)
-    } yield (mx - mn) / binWidth + 1
+      // +2, not +1: an interval straddling a bin boundary touches one
+      // more bin than its width/binWidth quotient (min(lo)=31, max(hi)=33,
+      // w=32 → 2 true bins but (33-31)/32+1 = 1) — with +1 this was not
+      // the upper bound its contract claims
+    } yield (mx - mn) / binWidth + 2
   }
 }

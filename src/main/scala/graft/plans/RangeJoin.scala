@@ -63,9 +63,18 @@ object RangeJoin {
     val binLo = floor(col(loCol) / binWidth).cast("long")
     // hi is exclusive: the last covered value is hi-1
     val binHi = floor((col(hiCol) - 1) / binWidth).cast("long")
+    // NOTE: this width check is an EAGER action — constructing the frame
+    // runs one narrow aggregate over the intervals' two bound columns
+    // (explaining the query therefore runs that job too). Deliberate:
+    // the strategy choice must be made before the plan exists.
     val widest = intervals.agg(max(binHi - binLo + 1)).head.get(0)
     if (widest != null && widest.asInstanceOf[Long] > maxBinsPerInterval)
-      return points.join(intervals,
+      // the fallback is HINTED: un-hinted, BinnedRangeJoinRule (installed
+      // by GraftExtensions) would rewrite this exact theta join back into
+      // the binned form the measurement just rejected. The hint also
+      // picks the honest both-sides-large strategy — shuffle-replicate
+      // NL, partition-parallel — instead of broadcasting a fact table.
+      return points.join(intervals.hint("shuffle_replicate_nl"),
         col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
     val p = points.withColumn("__gr_pbin",
       floor(col(pointCol) / binWidth).cast("long"))

@@ -271,6 +271,42 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  test("BinnedRangeJoinRule: a too-wide interval in the stats-less SQL path raises a diagnosable error") {
+    // open-ended sentinel hi — unbounded, the rewrite would otherwise
+    // build a per-row Sequence that dies as a sequence-limit/OOM
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+             "spark.graft.binnedRangeJoin.maxBinsPerInterval" -> "64") {
+      val pts = spark.range(0, 50).select(col("id").as("p"))
+      val ivs = spark.range(0, 10).select(
+        (col("id") * 10).as("lo"),
+        when(col("id") === 0, lit(Long.MaxValue / 2)).otherwise(col("id") * 10 + 9).as("hi"))
+      val e = intercept[Exception] {
+        pts.join(ivs, col("p") >= col("lo") && col("p") < col("hi")).count()
+      }
+      def msgs(t: Throwable): String =
+        if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
+      assert(msgs(e).contains("graft binned range join"),
+        s"expected the diagnosable wide-interval error, got: ${msgs(e).take(400)}")
+    }
+  }
+
+  test("R4b: the too-wide fallback is a hinted theta join the rule does not re-bin") {
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val pts = spark.range(0, 50).select(col("id").as("p"))
+      val ivs = spark.range(0, 10).select(
+        (col("id") * 10).as("lo"),
+        when(col("id") === 0, lit(1000000L)).otherwise(col("id") * 10 + 9).as("hi"))
+      // widest interval ≈ 1e6/7 bins > the 4096 default cap → fallback
+      val df = RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi", binWidth = 7)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("__gr_pbin"),
+        s"the fallback must not be re-binned by the optimizer rule:\n${plan.take(600)}")
+      // and it is still exact
+      val want = pts.crossJoin(ivs).filter(col("p") >= col("lo") && col("p") < col("hi")).count()
+      assert(df.count() == want)
+    }
+  }
+
   test("BinnedRangeJoinRule: null and empty intervals produce no matches, no crash") {
     withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val pts = spark.range(0, 50).select(col("id").as("p"))
