@@ -111,5 +111,16 @@ object Bench {
     spark.stop()
     // print LAST, after Spark's shutdown chatter, so the tail is clean
     println(line)
+    // the full line is several KB — a harness that keeps only the last
+    // ~2 KB of output truncates its head and fails to parse (both
+    // recorded rounds' BENCH artifacts show exactly that). A compact
+    // trailer with the headline numbers always fits inside such a tail;
+    // the full per-query map lives in the line above and in
+    // target/bench.json. No "queries" key here on purpose — a subset
+    // map must not be mistaken for the full surface.
+    val slowest = results.toSeq.sortBy(-_._2).take(8)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":$errJson,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","slowest":$slowest,"queries_file":"target/bench.json"}""")
   }
 }

@@ -440,6 +440,22 @@ object Dedup {
     * min-id dedup outcome. Exact-duplicate skew never reaches this guard
     * at all: callers pre-collapse identical texts first (X1 contract).
     */
+  /** ALL ordered colliding pairs of a band frame — the uncapped band
+    * self-join. [[cappedSelfPairs]]'s no-overflow fast path; also the
+    * only admissible candidate generator where an EXACT oracle twin
+    * adjudicates the drop set ([[x2EvictReadmit]]'s in-batch pre-filter,
+    * ADVICE r11): the capped path's star-probe under-drops past the
+    * bucket cap — fine for admission recall, a silent subset for a
+    * hash-exact gate.
+    */
+  private[graft] def exactSelfPairs(bands: DataFrame, idCol: String,
+                                    outA: String, outB: String): DataFrame =
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as(outA), col(s"b.$idCol").as(outB))
+      .distinct()
+
   private[graft] def cappedSelfPairs(bands: DataFrame, idCol: String, cap: Int,
                                      outA: String, outB: String,
                                      // overflow-branch persist hook: callers with a
@@ -457,11 +473,7 @@ object Dedup {
     // is paid only when an overflowing bucket actually exists.
     val maxN = stats.agg(coalesce(max(col("__n")), lit(0L))).head.getLong(0)
     if (maxN <= cap) {
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-            && col(s"a.$idCol") < col(s"b.$idCol"))
-        .select(col(s"a.$idCol").as(outA), col(s"b.$idCol").as(outB))
-        .distinct()
+      exactSelfPairs(bands, idCol, outA, outB)
     } else {
       // feeds both self-join sides and the star branch
       val sized = persistFn(bands.join(stats, Seq("band", "bh")))
@@ -1227,12 +1239,15 @@ object Dedup {
     * expressed in the twin SQL. The filter is built from the store's
     * own canonical signing ([[graft.streaming.BandStore.signDocs]] /
     * `explodeBands` — a hand-inlined copy could silently diverge from
-    * the pipeline under test) and runs under the family-wide skew
-    * discipline: adaptive exact pre-collapse to min-id representatives
-    * (a multi-member exact group is pairwise J=1, so the WHOLE group
-    * drops and only its rep joins the pair scan) plus the capped
-    * self-join. Both-sides-drop commutes with the collapse: a singleton
-    * near-dup of a group's text pairs with the group's rep.
+    * the pipeline under test); skew is handled by the adaptive exact
+    * pre-collapse to min-id representatives (a multi-member exact group
+    * is pairwise J=1, so the WHOLE group drops and only its rep joins
+    * the pair scan), and the pair scan itself is the EXACT band
+    * self-join, not the capped one — the twin's drop set is exact
+    * all-pairs, and a bucket past the cap would silently shrink the
+    * Spark-side drops below it (ADVICE r11). Both-sides-drop commutes
+    * with the collapse: a singleton near-dup of a group's text pairs
+    * with the group's rep.
     */
   def x2EvictReadmit(s: SparkSession, dir: String): DataFrame =
     graft.operators.StoreDirs.withTempStore("graft-evict") { store =>
@@ -1260,7 +1275,6 @@ object Dedup {
           .select(col("doc_id"), textKey.as("__th")))
         val shape = signable.agg(count(lit(1)), countDistinct(col("__th"))).head
         val hasExactDups = shape.getLong(0) != shape.getLong(1)
-        val cap = bucketCap(s, shape.getLong(0))
         val (repDocs, multiMembers) =
           if (!hasExactDups) (batch0, s.range(0).select(col("id").as("doc_id")))
           else {
@@ -1274,7 +1288,13 @@ object Dedup {
           }
         val sig = keep(BandStore.signDocs(repDocs))
         val bands = BandStore.explodeBands(sig, "doc_id")
-        val cand = cappedSelfPairs(bands, "doc_id", cap, "a_id", "b_id", keep)
+        // EXACT pairs, not cappedSelfPairs (ADVICE r11): the DuckDB twin
+        // computes the in-batch drop set by exact all-pairs Jaccard, so a
+        // hot band bucket past the cap would make the Spark-side drops a
+        // strict SUBSET of the twin's and silently diverge the hash gate.
+        // The batch split is small (a fifth of the corpus, exact-
+        // pre-collapsed above), so the uncapped self-join is bounded.
+        val cand = exactSelfPairs(bands, "doc_id", "a_id", "b_id")
         val dupPairs = cand
           .join(sig.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), Seq("a_id"))
           .join(sig.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), Seq("b_id"))

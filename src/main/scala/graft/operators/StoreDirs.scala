@@ -130,6 +130,27 @@ private[graft] object StoreDirs {
     sys.props.get("graft.store.fence.staleMs").flatMap(_.toLongOption)
       .getOrElse(15L * 60L * 1000L)
 
+  /** The shorter lease for SAME-STREAM, different-process fence debris
+    * (`graft.store.fence.restartMs`, default 60 s): a fence whose owner
+    * prefix matches the claimer's but whose process token differs is
+    * almost always the previous driver incarnation's hard-crash debris —
+    * the restart must not crash-loop for the full [[staleFenceMs]] — but
+    * it CAN be a live zombie driver replaying the same checkpoint, so it
+    * still gets a lease (plus the staging-activity probe) instead of the
+    * zero-wait reclaim. Size it above the longest stall (GC pause, VM
+    * freeze) a live driver could experience mid-batch.
+    */
+  def restartFenceMs: Long =
+    sys.props.get("graft.store.fence.restartMs").flatMap(_.toLongOption)
+      .getOrElse(60L * 1000L)
+
+  /** Per-JVM identity appended to every stamped owner token. The PID is
+    * for a human reading the fence file; the UUID is what makes the
+    * token unforgeable across incarnations (PIDs recycle).
+    */
+  private[graft] val processToken: String =
+    s"${ProcessHandle.current().pid()}-${java.util.UUID.randomUUID()}"
+
   private def fencePath(root: org.apache.hadoop.fs.Path, k: Long) =
     new org.apache.hadoop.fs.Path(root, s".fence-$k")
 
@@ -177,28 +198,44 @@ private[graft] object StoreDirs {
     * overwrite remains the documented residual hazard, as in any
     * lease-based design.
     *
-    * `owner`: an optional identity token stamped INTO the fence file.
-    * A claimer whose `owner` matches the existing fence's content may
-    * reclaim IMMEDIATELY, lease notwithstanding — it is this writer's
-    * own crash debris. The streaming ingest lanes pass their micro-batch
-    * id (`ingest-<batchId>`): micro-batches of one stream serialize
-    * through the checkpoint, so no live competitor can share the token,
-    * and without this a hard crash between fence and publish would
-    * lock the stream's own replay out for a whole lease (a
-    * lease-long crash-loop on restart).
+    * `owner`: an optional identity PREFIX stamped into the fence file as
+    * `<owner>@<processToken>`. Three tiers of reclaim (ADVICE r11 — the
+    * prefix alone is checkpoint+batchId, and two live drivers replaying
+    * ONE checkpoint share it, so a prefix-only match must never bypass
+    * every lease):
+    *   - EXACT match (prefix and process token): this very JVM's own
+    *     debris — reclaim immediately, zero lease. In-process only, so
+    *     no live competitor can hold it.
+    *   - PREFIX match, different process: the previous driver
+    *     incarnation's hard-crash debris (the restart case the fast
+    *     path exists for) OR a live zombie driver on the same
+    *     checkpoint. Reclaimed after the short [[restartFenceMs]] lease,
+    *     and only if the generation's staging tree shows no write
+    *     activity within that lease — an actively-writing zombie keeps
+    *     its fence; a zombie stalled past the lease loses its staging
+    *     and fails its publish loudly (the documented lease residual).
+    *   - FOREIGN (no owner, or prefix mismatch): the full
+    *     [[staleFenceMs]] lease, with the same staging-activity probe.
+    * The streaming ingest lanes pass `ingest-<checkpoint>-<batchId>`:
+    * micro-batches of one stream serialize through the checkpoint, so
+    * the only same-prefix holders are the stream's own incarnations.
     */
   def acquireGen(fs: org.apache.hadoop.fs.FileSystem,
                  root: org.apache.hadoop.fs.Path, k: Long,
                  owner: Option[String] = None): Unit = {
     fs.mkdirs(root)
     val fence = fencePath(root, k)
+    // the stamped token = owner prefix + this JVM's process token — the
+    // exact-match fast path must never fire across processes (two live
+    // drivers on one checkpoint share the prefix, ADVICE r11).
+    val stamp = owner.map(o => s"$o@$processToken")
     // stamped right after the atomic create — we own the fence, so the
     // overwrite is safe; a reader seeing the brief empty window treats
     // the fence as foreign, the conservative direction. A stamp FAILURE
     // releases the just-claimed fence before propagating: an empty
     // unreleased fence would lock even its own owner out for a lease
     // (fenceOwner reads None → the `mine` fast path never fires).
-    def stampOwner(): Unit = owner.foreach { o =>
+    def stampOwner(): Unit = stamp.foreach { o =>
       val out = fs.create(fence, true)
       try out.write(o.getBytes("UTF-8")) finally out.close()
     }
@@ -227,15 +264,50 @@ private[graft] object StoreDirs {
     // a published k means the claimer's read of the store is stale — it
     // must fail BEFORE its first write, whether or not the fence file
     // still exists (fences sweep; generation dirs are the authority)
+    // newest modification time anywhere under the generation's staging
+    // tree — a holder actively producing staging files is ALIVE whatever
+    // its fence age says, and reclaiming under it deletes a tree its
+    // still-running write job would partially recreate (two writers on
+    // one staging path). Entries that vanish mid-walk (the holder's own
+    // cleanup) don't count as activity.
+    def stagingActiveWithin(ms: Long): Boolean = {
+      def newest(p: org.apache.hadoop.fs.Path): Long =
+        try {
+          val st = fs.getFileStatus(p)
+          if (!st.isDirectory) st.getModificationTime
+          else (st.getModificationTime +:
+            fs.listStatus(p).map(c => newest(c.getPath)).toSeq).max
+        } catch { case _: java.io.IOException => 0L }
+      // `.staging-<k>` is the generational stores' staging; `.compact-*`
+      // is BandStore compaction's (UUID-named, also produced under this
+      // fence) — fresh writes under either mean a live holder
+      val candidates =
+        new org.apache.hadoop.fs.Path(root, s".staging-$k") +:
+          (try fs.listStatus(root).toSeq.filter(_.getPath.getName.startsWith(".compact-"))
+             .map(_.getPath)
+           catch { case _: java.io.IOException => Seq.empty })
+      candidates.exists(p =>
+        fs.exists(p) && System.currentTimeMillis() - newest(p) < ms)
+    }
     if (genDirExists(fs, root, k)) conflict("was already published by a competitor")
     if (tryCreate()) return
     if (genDirExists(fs, root, k)) conflict("was already published by a competitor")
-    val mine = owner.nonEmpty && fenceOwner() == owner
+    val content = fenceOwner()
+    // EXACT token match — this JVM's own debris, zero lease (see the
+    // three reclaim tiers in the scaladoc)
+    val mine = stamp.nonEmpty && content == stamp
     if (!mine) {
+      // prefix match without the process token: a previous incarnation
+      // of the SAME stream (hard-crash debris, the common restart case)
+      // or a live zombie driver on the same checkpoint — the short lease
+      val sameStream = owner.exists(o => content.exists(_.takeWhile(_ != '@') == o))
+      val lease = if (sameStream) restartFenceMs else staleFenceMs
       val age = try System.currentTimeMillis() - fs.getFileStatus(fence).getModificationTime
                 catch { case _: java.io.IOException => Long.MaxValue } // vanished: racer released
-      if (age < staleFenceMs)
-        conflict(s"is held by a live writer (fence age ${age / 1000}s < lease ${staleFenceMs / 1000}s)")
+      if (age < lease)
+        conflict(s"is held by a live writer (fence age ${age / 1000}s < lease ${lease / 1000}s)")
+      if (stagingActiveWithin(lease))
+        conflict(s"has staging writes younger than its lease ${lease / 1000}s — the holder is alive")
     }
     // stale (or our own debris): atomic-rename reclaim — one winner
     val claimed = new org.apache.hadoop.fs.Path(root,

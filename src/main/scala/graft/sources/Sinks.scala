@@ -206,16 +206,33 @@ object Sinks {
           .write.partitionBy(partCols.toSeq: _*)
       writer.mode(SaveMode.Overwrite).parquet(staging.toString)
       require(fs.rename(path, old), s"compact: could not move $path aside")
-      if (!fs.rename(staging, path)) {
-        // restore the original before failing — the store must never be
-        // left missing by a failed swap
-        fs.rename(old, path)
-        throw new IllegalStateException(s"compact: could not swap $staging into place")
-      }
+      swapIn(fs, staging, path, old)
     } catch { case t: Throwable => fs.delete(staging, true); throw t }
     fs.delete(old, true)
     nFiles
   }
+
+  /** The second rename of [[compact]]'s swap, restore-on-ANY-failure: at
+    * this point the original directory has already been moved aside to
+    * `old`, so a swap that THROWS (an `IOException` from the rename, not
+    * just a `false` return) must also put the original back before
+    * propagating — otherwise the store path is left missing with the
+    * data hidden under a dot-name (ADVICE r11). A restore failure rides
+    * along as suppressed; the original swap failure stays the diagnosis.
+    */
+  private[graft] def swapIn(fs: org.apache.hadoop.fs.FileSystem,
+                              staging: org.apache.hadoop.fs.Path,
+                              path: org.apache.hadoop.fs.Path,
+                              old: org.apache.hadoop.fs.Path): Unit =
+    try {
+      if (!fs.rename(staging, path))
+        throw new IllegalStateException(s"compact: could not swap $staging into place")
+    } catch {
+      case t: Throwable =>
+        try { if (!fs.exists(path)) { fs.rename(old, path); () } }
+        catch { case s: Throwable if s ne t => t.addSuppressed(s) }
+        throw t
+    }
 
   /** L8 — notification "sink": the engine-side analogue of EmailOperator
     * is a driver-side templated report after the query completes

@@ -88,10 +88,17 @@ object BandStore {
   /** Retire documents from the dedup memory — the batch's ids land as
     * one tombstone partition (`evicted/__batch=<id>`, idempotent dynamic
     * overwrite, same replay discipline as admission). Reads mask
-    * BATCH-AWARE: a store row is hidden iff its batch is OLDER than the
-    * newest tombstone covering its doc — so a document re-admitted
-    * after an eviction vetoes again (its new rows outrank the old
-    * tombstone), exactly the LabelStore/IvfStore revive semantics.
+    * BATCH-AWARE: a store row is hidden iff its ORIGINAL batch
+    * (`__obatch`, a data column stamped at write time and preserved
+    * verbatim through compaction) is OLDER than the newest tombstone
+    * covering its doc — so a document re-admitted after an eviction
+    * vetoes again (its new rows outrank the old tombstone), exactly the
+    * LabelStore/IvfStore revive semantics. The gate deliberately does
+    * NOT compare the partition `__batch`: compaction re-stamps that to
+    * the (negative) base generation id, and ranking base rows by it
+    * would let a tombstone that survived a crash between the base
+    * publish and the tombstone delete outrank a re-admitted doc's rows
+    * and silently drop them at the next absorb (ADVICE r11).
     *
     * The caller owes the same single-log contract the other maintenance
     * paths state: eviction and admission batch ids come from ONE
@@ -130,10 +137,10 @@ object BandStore {
       val writes = Seq(
         Future(overwriteBatchPartitions(sig, batchId,
           Some(("__db", pmod(col("doc_id"), lit(SigBuckets)).cast("int"))),
-          sigsDir(storeDir))),
+          sigsDir(storeDir), origin = true)),
         Future(overwriteBatchPartitions(explodeBands(sig, "doc_id"), batchId,
           Some(("__bb", pmod(col("bh"), lit(BandBuckets)).cast("int"))),
-          bandsDir(storeDir))))
+          bandsDir(storeDir), origin = true)))
       writes.foreach(graft.operators.StoreDirs.settleQuietly)
       writes.foreach(f => f.value.get.get)
     } finally sig.unpersist()
@@ -147,11 +154,18 @@ object BandStore {
     else Some(spark.read.parquet(evictedDir(storeDir))
       .groupBy(col("doc_id")).agg(max(col("__batch")).as("__tb")))
 
-  /** Hide rows whose batch predates their doc's newest tombstone. */
+  /** Hide rows whose ORIGINAL batch predates their doc's newest
+    * tombstone. `__obatch` (not the partition `__batch`) carries the
+    * rank: it survives compaction per-row, so the gate is identical
+    * before and after a batch's rows fold into a base generation — in
+    * particular a tombstone left behind by a crash between the base
+    * publish and the tombstone delete masks exactly the rows it always
+    * masked (a true no-op) instead of everything in the base.
+    */
   private def maskEvicted(rows: DataFrame, ev: Option[DataFrame]): DataFrame =
     ev.fold(rows) { e =>
       rows.join(e, Seq("doc_id"), "left")
-        .filter(col("__tb").isNull || col("__batch") >= col("__tb"))
+        .filter(col("__tb").isNull || col("__obatch") >= col("__tb"))
         .drop("__tb")
     }
 
@@ -185,10 +199,17 @@ object BandStore {
       .exists(st => st.isDirectory && st.getPath.getName.startsWith("__batch="))
   }
 
+  /** `origin = true` (the `sigs/` and `bands/` trees) additionally
+    * stamps the batch id into a DATA column `__obatch` that compaction
+    * preserves per row — the eviction batch-gate's rank (see
+    * [[maskEvicted]]). The tombstone and admitted trees don't carry it.
+    */
   private def overwriteBatchPartitions(df: DataFrame, batchId: Long,
                                        extraBucket: Option[(String, org.apache.spark.sql.Column)],
-                                       dir: String): Unit = {
-    val stamped = df.withColumn("__batch", lit(batchId))
+                                       dir: String, origin: Boolean = false): Unit = {
+    val stamped0 = df.withColumn("__batch", lit(batchId))
+    val stamped =
+      if (origin) stamped0.withColumn("__obatch", lit(batchId)) else stamped0
     // cluster rows by their bucket before the partitioned write so each
     // bucket directory receives ONE file per batch, not one per task —
     // without this a 32-task batch writes 32×64 ≈ 2k files and the
@@ -330,11 +351,13 @@ object BandStore {
         s"compactStore: store advanced between listing and fence — retry")
       // distinct() reaps duplicate ROWS (a batch alive in both its source
       // partition and a prior base after an interrupted run) — benign for
-      // decisions (see above) but worth merging away here. The eviction
-      // mask applies BEFORE the batch column drops: the batch-gate needs
-      // each row's true source batch, so a doc re-admitted after an old
-      // eviction carries its rows into the new base while the pre-
-      // eviction copies fall out
+      // decisions (see above) but worth merging away here; the copies
+      // agree on `__obatch`, so they collapse to one row. The eviction
+      // batch-gate ranks by `__obatch` — each row's true source batch,
+      // preserved verbatim into the new base — so a doc re-admitted
+      // after an old eviction carries its rows forward while the pre-
+      // eviction copies fall out, and the ranking is unchanged by
+      // however many compactions the rows have been through.
       val rows = maskEvicted(
           spark.read.parquet(dir).filter(col("__batch").isin(oldIds: _*)),
           absorb)
@@ -374,8 +397,13 @@ object BandStore {
       rewrite(sigsDir(storeDir), "__db", pmod(col("doc_id"), lit(SigBuckets)).cast("int"))
       // absorb: both trees have dropped the masked rows — the old
       // tombstone partitions are dead weight now. A crash before this
-      // delete leaves them masking already-absent rows (a no-op), and the
-      // next compaction's tombstone-only path re-absorbs them.
+      // delete leaves them masking already-absent rows — a GENUINE no-op
+      // because the gate ranks by the per-row `__obatch`, which the base
+      // rows kept: a doc re-admitted after the tombstone still outranks
+      // it, exactly as before the compaction (ADVICE r11 — ranking by
+      // the re-stamped partition `__batch` here would mute the doc's
+      // veto and the next absorb would drop its rows for good). The next
+      // compaction's tombstone-only path re-absorbs the leftovers.
       absorb.foreach { _ =>
         val ep = new org.apache.hadoop.fs.Path(evictedDir(storeDir))
         val efs = ep.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -678,10 +706,12 @@ object BandStore {
     val admittedSig = keep(sig.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi"))
     val writes = Seq(
       Future(timed(spark, "write-sigs") { overwriteBatchPartitions(admittedSig, batchId,
-        Some(("__db", pmod(col("doc_id"), lit(SigBuckets)).cast("int"))), sigsDir(storeDir)) }),
+        Some(("__db", pmod(col("doc_id"), lit(SigBuckets)).cast("int"))), sigsDir(storeDir),
+        origin = true) }),
       Future(timed(spark, "write-bands") { overwriteBatchPartitions(
         explodeBands(admittedSig, "doc_id"), batchId,
-        Some(("__bb", pmod(col("bh"), lit(BandBuckets)).cast("int"))), bandsDir(storeDir)) }),
+        Some(("__bb", pmod(col("bh"), lit(BandBuckets)).cast("int"))), bandsDir(storeDir),
+        origin = true) }),
       Future(timed(spark, "write-admitted") {
         overwriteBatchPartitions(admitted, batchId, None, admittedDir) }))
     // settle ALL three before propagating any failure — a zombie write

@@ -242,29 +242,78 @@ class Round11Spec extends SparkSpec {
     assert(got == evB.select("event_id").collect().map(_.getLong(0)).toSet)
   }
 
-  test("ingest fence owner: a crash-replay reclaims its own young fence immediately; foreign writers still wait the lease") {
+  test("ingest fence owner: exact-token debris reclaims immediately; a same-stream foreign process waits the restart lease; foreign writers wait the full lease") {
     import graft.sources.DateStore
     val store = tmpDir("r11-owner") + "/store"
     val ev = graft.engine.Tables.events(spark, sfDir).localCheckpoint()
     def upTo(d: String) = ev.filter(to_date(col("ts")) < lit(d))
     assert(DateStore.appendEvents(upTo("2024-01-10"), store, 0L) == "append-initial")
-    // simulate appendEvents(batch 1) crashing after its acquireGen: the
-    // fence for generation 2 is young AND carries the batch's owner token
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(store, ".fence-2"), "ingest-1".getBytes("UTF-8"))
-    // a FOREIGN writer (corpus-driven maintenance) is still locked out
+    def plantOwner(k: Long, token: String): Unit = java.nio.file.Files.write(
+      java.nio.file.Paths.get(store, s".fence-$k"), token.getBytes("UTF-8"))
+    val batch = ev.filter(to_date(col("ts")) === lit("2024-01-10")).localCheckpoint()
+    // tier 2 (ADVICE r11): the owner PREFIX alone — what a live zombie
+    // driver replaying the same checkpoint would also stamp — must NOT
+    // bypass every lease. A young fence from a DIFFERENT process locks
+    // out even the same stream's replay...
+    plantOwner(2L, s"ingest-1@99999-${java.util.UUID.randomUUID()}")
+    val z = intercept[IllegalStateException] {
+      DateStore.appendEvents(batch, store, 1L)
+    }
+    assert(z.getMessage.contains("held by a live writer"), z.getMessage)
+    // ... and a FOREIGN writer (corpus-driven maintenance) too
     val e = intercept[IllegalStateException] {
       DateStore.ensureIncrementalEvents(upTo("2024-01-12"), store)
     }
     assert(e.getMessage.contains("held by a live writer"), e.getMessage)
-    // ... but the stream's own replay of batch 1 reclaims immediately —
-    // no lease-long crash-loop on restart
-    val batch = ev.filter(to_date(col("ts")) === lit("2024-01-10")).localCheckpoint()
+    // aged past the short RESTART lease (but far inside the full lease):
+    // the same stream's replay reclaims — a restarted driver recovers in
+    // restartMs, not a 15-minute crash-loop — while the foreign writer
+    // would still be locked out at this age
+    ageFence(store, 2L, StoreDirs.restartFenceMs + 60000L)
+    val e2 = intercept[IllegalStateException] {
+      DateStore.ensureIncrementalEvents(upTo("2024-01-12"), store)
+    }
+    assert(e2.getMessage.contains("held by a live writer"), e2.getMessage)
     assert(DateStore.appendEvents(batch, store, 1L) == "append")
     val got = DateStore.readEvents(spark, store).select("event_id")
       .collect().map(_.getLong(0)).toSet
     val want = upTo("2024-01-11").select("event_id").collect().map(_.getLong(0)).toSet
     assert(got == want, "the replayed batch must have landed exactly once")
+    // tier 1: THIS process's own exact token (prefix + process token)
+    // reclaims with zero lease — the in-process retry fast path (batch 2
+    // claims generation 3 now that generation 2 is published)
+    plantOwner(3L, s"ingest-2@${StoreDirs.processToken}")
+    val batch2 = ev.filter(to_date(col("ts")) === lit("2024-01-11")).localCheckpoint()
+    assert(DateStore.appendEvents(batch2, store, 2L) == "append")
+  }
+
+  test("ingest fence: an aged same-stream fence with ACTIVE staging writes is a live zombie — not reclaimed") {
+    import graft.sources.DateStore
+    val store = tmpDir("r11-zombie") + "/store"
+    val ev = graft.engine.Tables.events(spark, sfDir).localCheckpoint()
+    def upTo(d: String) = ev.filter(to_date(col("ts")) < lit(d))
+    assert(DateStore.appendEvents(upTo("2024-01-10"), store, 0L) == "append-initial")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(store, ".fence-2"),
+      s"ingest-1@99999-${java.util.UUID.randomUUID()}".getBytes("UTF-8"))
+    ageFence(store, 2L, StoreDirs.restartFenceMs + 60000L)
+    // the zombie is mid-write: a FRESH file under .staging-2 proves a
+    // writer is alive whatever the fence age says — reclaiming here
+    // would delete a tree the zombie's running job partially recreates
+    val stage = java.nio.file.Paths.get(store, ".staging-2")
+    java.nio.file.Files.createDirectories(stage)
+    java.nio.file.Files.write(stage.resolve("part-00000"), "x".getBytes("UTF-8"))
+    val batch = ev.filter(to_date(col("ts")) === lit("2024-01-10")).localCheckpoint()
+    val z = intercept[IllegalStateException] {
+      DateStore.appendEvents(batch, store, 1L)
+    }
+    assert(z.getMessage.contains("staging writes younger"), z.getMessage)
+    // once the staging goes quiet past the lease too, the reclaim lands
+    val oldTs = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - StoreDirs.restartFenceMs - 60000L)
+    java.nio.file.Files.setLastModifiedTime(stage, oldTs)
+    java.nio.file.Files.setLastModifiedTime(stage.resolve("part-00000"), oldTs)
+    assert(DateStore.appendEvents(batch, store, 1L) == "append")
   }
 
   test("LabelStore and IvfStore fences: a held generation refuses the second maintainer before any index write") {
@@ -445,7 +494,7 @@ class Round11Spec extends SparkSpec {
       5L, store, admitted)
     assert(!admittedIds().contains(104L) && admittedIds().contains(105L))
 
-    // same-id re-admission: the batch-gate (`__batch >= __tb`) must let a
+    // same-id re-admission: the batch-gate (`__obatch >= __tb`) must let a
     // tombstoned doc_id's OWN newer rows outrank its tombstone — the
     // revive above (101) used a fresh id, which a mask that ignored the
     // gate would also pass

@@ -56,9 +56,19 @@ class TrainingOpsSpec extends SparkSpec {
     val total = sess.agg(sum("n_events")).head.getLong(0)
     val nEvents = graft.engine.Tables.events(spark, sfDir).count()
     assert(total == nEvents, "sessions must partition the events")
-    // within a session, span ≥ 0; sessions of one user don't overlap
+    // within a session, span ≥ 0
     val bad = sess.filter(col("session_end") < col("session_start")).count()
     assert(bad == 0)
+    // sessions of one user don't overlap: each starts strictly more than
+    // the 30-minute gap after the previous one's end (ordered by start)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("session_start"))
+    val overlaps = sess
+      .withColumn("prev_end", lag(col("session_end"), 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        col("session_start") <= col("prev_end") + expr("INTERVAL 30 MINUTES"))
+      .count()
+    assert(overlaps == 0, "a user's sessions must be separated by more than the gap")
   }
 
   test("X6: stratified sample draws exactly k distinct rows per stratum, deterministically") {
