@@ -37,13 +37,34 @@ object Probe11 {
 
     if (mode == "signing") { signingSplit(spark, sfDir); spark.stop(); return }
 
-    val work = java.nio.file.Files.createTempDirectory("probe11").toString
-    // ×10 corpus with disjoint ids, the StressBench replicate discipline
+    // optional [workDir] [startBatch] [endBatch]: resume the loop over an
+    // EXISTING store from a fresh JVM — store growth and JVM age are
+    // co-linear inside one loop, and the split-run is what de-confounds
+    // them (same store state, new process: matching times = store-size
+    // cost, a reset = JVM aging)
+    val work = if (args.length > 2) args(2)
+      else java.nio.file.Files.createTempDirectory("probe11").toString
+    val startBatch = if (args.length > 3) args(3).toInt else 0
+    val endBatch = if (args.length > 4) args(4).toInt else 10
+    // ×10 corpus with disjoint ids AND replica-prefixed tokens — the full
+    // StressBench replicate discipline. The first recording shifted only
+    // the ids, so every replica was an EXACT duplicate of the base
+    // corpus: batches 1–9 were wholly dropped, the store never grew past
+    // one batch, and the loop's "flat across a growing store" reading
+    // measured a store that wasn't growing (found in the r12 admission
+    // investigation — the in-run climb is store-size cost, which this
+    // probe's stage split now actually exhibits).
     val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
     val maxId = docs0.agg(max(col("doc_id"))).head.getLong(0) + 1
     val big = s"$work/documents.parquet"
-    (0 until 10)
-      .map(i => docs0.withColumn("doc_id", col("doc_id") + lit(i * maxId)))
+    if (startBatch == 0) (0 until 10)
+      .map { i =>
+        val prefixed =
+          if (i == 0) col("text")
+          else expr(s"array_join(transform(split(text, ' '), t -> concat('r$i', t)), ' ')")
+        docs0.select((col("doc_id") + lit(i * maxId)).as("doc_id"),
+          prefixed.as("text"), col("source"), col("lang"), col("n_chars"))
+      }
       .reduce(_ unionByName _)
       .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(big)
@@ -52,8 +73,14 @@ object Probe11 {
     val out = s"$work/admout"
     val all = spark.read.parquet(big).persist()
     val per = all.count() / 10
-    val secs = (0 until 10).map { b =>
-      if (b >= 7) spark.conf.set("spark.graft.debug.timing", "true")
+    // stage-time EVERY batch: the climb lives in batches 2-7 (the
+    // approach to steady state), not just the steady tail
+    spark.conf.set("spark.graft.debug.timing", "true")
+    // SPARK_GRAFT_SEQWRITES=1 serializes the three store writes so their
+    // timings don't absorb each other's scheduler contention
+    if (sys.env.contains("SPARK_GRAFT_SEQWRITES"))
+      spark.conf.set("spark.graft.debug.sequentialWrites", "true")
+    val secs = (startBatch until endBatch).map { b =>
       val batch = all.filter(col("doc_id") >= b * per && col("doc_id") < (b + 1) * per)
       val t0 = System.nanoTime()
       graft.streaming.BandStore.admitBatch(batch, b.toLong, store, out)
@@ -61,7 +88,7 @@ object Probe11 {
       println(f"[probe11] batch $b total $s%6.2f s")
       s
     }
-    println(f"[probe11] steady state (batches 7-9): ${secs.drop(7).sum / 3}%.2f s")
+    println(f"[probe11] mean of last 3 run batches: ${secs.takeRight(3).sum / 3}%.2f s")
     all.unpersist()
     spark.stop()
   }

@@ -191,6 +191,20 @@ object StressBench {
     // wall time must stay FLAT (probe cost is bucket-bounded, never
     // O(store)); before the bucketed store each batch rescanned and
     // re-banded the full signature history, so batch 10 cost ~10x batch 1
+    //
+    // phase isolation: the query phases above leave their cached frames
+    // resident (clearCache in timeOne runs at each timing's START, so the
+    // LAST query's blocks survive it). Leftover storage blocks shrink the
+    // memory the admission loop's own per-batch transient caches grow
+    // into, so the in-run samples climbed (r11: 4.0→9.2 s) while
+    // isolated fresh-JVM drives of the same loop stayed flat — the
+    // residue measured nothing. Each phase starts from a clean block
+    // manager; what admission measures is then store-size cost alone.
+    def isolatePhase(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+    isolatePhase()
     val admStore = s"$work/admstore"
     val admOut = s"$work/admout"
     val allDocs = spark.read.parquet(s"$bigOut/documents.parquet").persist()
@@ -214,6 +228,7 @@ object StressBench {
     boilerize(spark, baseDir, boilOut)
     val (boilSec, boilRows) = timeOne("x2_minhash_lsh", boilOut)
     val (gCand, uCand) = candStats(spark, boilOut)
+    isolatePhase()
     val bAdmStore = s"$work/boiler-admstore"
     val bAdmOut = s"$work/boiler-admout"
     val bDocs = spark.read.parquet(s"$boilOut/documents.parquet").persist()
@@ -228,6 +243,15 @@ object StressBench {
     }
     val boilAdmitted = spark.read.parquet(bAdmOut).count()
     bDocs.unpersist()
+    // local-iteration escape hatch: reproduce the two admission loops
+    // (with their full query preamble — the JVM state under test) and
+    // stop, instead of paying the whole 15-minute suite per experiment.
+    // Recorded STRESS artifacts never set this.
+    if (sys.env.contains("SPARK_GRAFT_STRESS_ADMIT_ONLY")) {
+      println(s"""{"stress":"admit-only","admission_batch_secs":[${admSecs.map(s => math.round(s * 1000) / 1000.0).mkString(",")}],"boiler_admission_batch_secs":[${boilAdmSecs.map(s => math.round(s * 1000) / 1000.0).mkString(",")}],"admitted":${spark.read.parquet(admOut).count()},"boiler_admitted":$boilAdmitted,"loadavg_start":"$loadStart","loadavg_end":"$loadavg"}""")
+      spark.stop()
+      return
+    }
 
     // --- planted embedding near-dups at cosine ≥ 0.9 (r7 item 3): the
     // 8×8 narrow-bucket geometry measured in its operating regime ---

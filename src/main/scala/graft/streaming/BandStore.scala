@@ -566,6 +566,9 @@ object BandStore {
       }
     failSettling {
     // (2a) store candidates through the bucket-pruned probe
+    // handle to the probe cache, surfaced so step (5) can release it
+    // BEFORE the store writes (see the pre-write cache release there)
+    var probeCache: Option[DataFrame] = None
     val candVsStore =
       if (!storeExists) emptyPairs("batch_id", "peer_id")
       else {
@@ -581,6 +584,7 @@ object BandStore {
           // cost model already charges for scanning, and MEMORY_AND_DISK
           // spills rather than evicting the executors at scale.
           val probe = keep(probeScan(spark, storeDir, touched, batchId, Some(ev)))
+          probeCache = Some(probe)
           // hot-bucket guard, bipartite form: cap the STORE side of each
           // (band, bh) bucket — an over-cap bucket contributes only its
           // min peer (star-probe), bounding the candidate join at
@@ -693,32 +697,57 @@ object BandStore {
 
     val dropped = storeDropped.unionByName(batchDropped)
       .unionByName(exactDropped).distinct()
-    val admitted = keep(batch.join(dropped, Seq("doc_id"), "left_anti"))
+    // the write inputs are PINNED (lineage-truncating localCheckpoint),
+    // not merely cached, and every store-reading cache is released before
+    // the writes — because each store write ends in Spark's
+    // refreshByPath(target), which walks EVERY registered cache whose
+    // plan references the written tree. With the probe/candidate/veto
+    // caches still registered, that walk grew with the store and put an
+    // O(store) term into each batch's constant-size write (measured:
+    // write-bands 0.9 → 3.4 s over ten batches; Probe12 pins the
+    // mechanism — the same write is flat with no live cache over the
+    // target and grows with one). A pinned LogicalRDD has no file
+    // relation for the refresh to match, so the writes stay flat.
+    val admitted = pin(batch.join(dropped, Seq("doc_id"), "left_anti"))
+    val admittedSig =
+      pin(sig.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+    // fully consumed at this point (dropped → admitted is materialized by
+    // the pin); releasing them now is what keeps refreshByPath a no-op
+    probeCache.foreach(_.unpersist())
+    candVsStore.unpersist()
+    storeDropped.unpersist()
 
     // (5) idempotent writes: dynamic overwrite of this batch's partitions.
-    // The three trees are independent (distinct directories, shared cached
-    // inputs), so they run CONCURRENTLY — the label-append lesson: the
-    // sequential form spent half the steady-state batch on write latency
-    // (3×~1.3 s of small-file commit overhead that doesn't contend).
-    // Replay safety is unchanged: a crash leaves any SUBSET of the three
-    // committed, and the engine's batch retry overwrites all three with
-    // identical bytes.
-    val admittedSig = keep(sig.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi"))
-    val writes = Seq(
-      Future(timed(spark, "write-sigs") { overwriteBatchPartitions(admittedSig, batchId,
+    // The three trees are independent (distinct directories, shared
+    // pinned inputs), so they run CONCURRENTLY — the label-append lesson:
+    // the sequential form spent half the steady-state batch on write
+    // latency (3×~1.3 s of small-file commit overhead that doesn't
+    // contend). Replay safety is unchanged: a crash leaves any SUBSET of
+    // the three committed, and the engine's batch retry overwrites all
+    // three with identical bytes.
+    def writeSigs(): Unit = timed(spark, "write-sigs") {
+      overwriteBatchPartitions(admittedSig, batchId,
         Some(("__db", pmod(col("doc_id"), lit(SigBuckets)).cast("int"))), sigsDir(storeDir),
-        origin = true) }),
-      Future(timed(spark, "write-bands") { overwriteBatchPartitions(
-        explodeBands(admittedSig, "doc_id"), batchId,
+        origin = true) }
+    def writeBands(): Unit = timed(spark, "write-bands") {
+      overwriteBatchPartitions(explodeBands(admittedSig, "doc_id"), batchId,
         Some(("__bb", pmod(col("bh"), lit(BandBuckets)).cast("int"))), bandsDir(storeDir),
-        origin = true) }),
-      Future(timed(spark, "write-admitted") {
-        overwriteBatchPartitions(admitted, batchId, None, admittedDir) }))
+        origin = true) }
+    def writeAdmitted(): Unit = timed(spark, "write-admitted") {
+      overwriteBatchPartitions(admitted, batchId, None, admittedDir) }
+    // diagnostic knob: serialize the three writes so their per-stage
+    // timings don't absorb each other's scheduler contention (the
+    // Probe11/12 admission-climb investigation) — never set in production
+    if (spark.conf.get("spark.graft.debug.sequentialWrites", "false") == "true") {
+      writeSigs(); writeBands(); writeAdmitted()
+    } else {
+    val writes = Seq(Future(writeSigs()), Future(writeBands()), Future(writeAdmitted()))
     // settle ALL three before propagating any failure — a zombie write
     // racing the engine's batch retry is two writers on one partition
     // tree (interrupt-robust for the same reason as failSettling)
     writes.foreach(graft.operators.StoreDirs.settleQuietly)
     writes.foreach(f => f.value.get.get)
+    }
     }
   }
 }
