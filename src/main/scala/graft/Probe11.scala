@@ -88,7 +88,8 @@ object Probe11 {
       println(f"[probe11] batch $b total $s%6.2f s")
       s
     }
-    println(f"[probe11] mean of last 3 run batches: ${secs.takeRight(3).sum / 3}%.2f s")
+    val tail3 = secs.takeRight(3)
+    println(f"[probe11] mean of last ${tail3.length} run batches: ${tail3.sum / tail3.length}%.2f s")
     all.unpersist()
     spark.stop()
   }

@@ -702,7 +702,14 @@ object IvfStore {
             .select(col("vec_id"), col("e"), col("norm"), col("__batch")), ts)
           .join(reIds, Seq("vec_id"), "left_anti")
           .select(col("vec_id"), col("e"), col("norm"))
-        val allNorm = liveNorm.unionByName(Similarity.normedOf(newVecs)).persist()
+        // localCheckpoint, not persist (the BandStore write-tax lesson,
+        // ROUND12.md §3): liveNorm's plan reads listsDir, and the lists
+        // write below ends in refreshByPath(listsDir) — a registered
+        // cache over the written tree makes every write walk and recache
+        // it; a pinned LogicalRDD has no file relation to match
+        val allNorm = liveNorm.unionByName(Similarity.normedOf(newVecs))
+          .localCheckpoint()
+        pinned += allNorm
         val (cent2, lists2) = Similarity.ivfIndex(allNorm)
         try {
           val liveDg = maskDead(
@@ -715,7 +722,7 @@ object IvfStore {
             digestsDir(storeDir))
           publishGen(s, storeDir, next, nAfter, fpAfter, base = next,
             centroids = cent2, ingestId = Some(streamBatchId))
-        } finally { cent2.unpersist(); allNorm.unpersist() }
+        } finally cent2.unpersist() // allNorm pinned → freed via `pinned`
         return "ingest-retrain"
       }
       if (nRe > 0) {
