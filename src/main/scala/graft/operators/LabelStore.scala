@@ -127,6 +127,26 @@ object LabelStore {
   private val BandBuckets = 64
   private val SigBuckets = 16
 
+  /** The index's bucket geometry — conf-driven at store creation
+    * (shared confs with [[graft.streaming.BandStore]]: the same
+    * 100 TB sizing applies), recorded in `<storeDir>/.geometry`, fixed
+    * for the store's lifetime, legacy stores pinned to the 64/16
+    * defaults their index rows were written under. See
+    * [[StoreDirs.ensureGeometry]].
+    */
+  private def geometry(s: SparkSession, storeDir: String): (Int, Int) = {
+    val root = new Path(storeDir)
+    val fs = fsOf(s, root)
+    StoreDirs.ensureGeometry(fs, storeDir,
+      legacy = StoreDirs.hasBatchDirs(fs, new Path(sigsIdx(storeDir))) ||
+        StoreDirs.hasBatchDirs(fs, new Path(bandsIdx(storeDir))) ||
+        StoreDirs.hasBatchDirs(fs, new Path(digestsIdx(storeDir))),
+      defaults = (BandBuckets, SigBuckets),
+      confValues = (
+        s.conf.get(graft.streaming.BandStore.BandBucketsConf, BandBuckets.toString).toInt,
+        s.conf.get(graft.streaming.BandStore.SigBucketsConf, SigBuckets.toString).toInt))
+  }
+
   private def digestsIdx(storeDir: String) = s"$storeDir/index/digests"
   private def sigsIdx(storeDir: String) = s"$storeDir/index/sigs"
   private def bandsIdx(storeDir: String) = s"$storeDir/index/bands"
@@ -243,10 +263,11 @@ object LabelStore {
   private def writeSigsBands(sig: DataFrame, gen: Long, storeDir: String,
                              replaceAll: Boolean): Unit = {
     val s = sig.sparkSession
+    val (gbb, gdb) = geometry(s, storeDir)
     val sigsDf = sig.select(col("doc_id"), col("sh"))
-      .withColumn("__db", pmod(col("doc_id"), lit(SigBuckets)).cast("int"))
+      .withColumn("__db", pmod(col("doc_id"), lit(gdb)).cast("int"))
     val bandsDf = bandsOf(sig).select(col("band"), col("bh"), col("doc_id"))
-      .withColumn("__bb", pmod(col("bh"), lit(BandBuckets)).cast("int"))
+      .withColumn("__bb", pmod(col("bh"), lit(gbb)).cast("int"))
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -257,10 +278,10 @@ object LabelStore {
       // otherwise fold the tiny shuffle into ONE task that creates all
       // 64 bucket files serially (measured ~2 s per append)
       Future(timed(s, "  idx-sigs") {
-        writeOne(sigsDf.repartition(SigBuckets, col("__db")), gen,
+        writeOne(sigsDf.repartition(gdb, col("__db")), gen,
           Seq("__db"), sigsIdx(storeDir), replaceAll) }),
       Future(timed(s, "  idx-bands") {
-        writeOne(bandsDf.repartition(BandBuckets, col("__bb")), gen,
+        writeOne(bandsDf.repartition(gbb, col("__bb")), gen,
           Seq("__bb"), bandsIdx(storeDir), replaceAll) }))), Duration.Inf)
   }
 
@@ -450,6 +471,7 @@ object LabelStore {
         buildDocs(corpus, storeDir, owner); return "full"
       }
       val latest = gens.last
+      val (gbb, gdb) = geometry(s, storeDir)
       val ts = tombstones(s, storeDir, upTo = latest.k)
       val idx = maskDead(s.read.parquet(digestsIdx(storeDir)), ts)
         .select(col("doc_id"), col("h").as("h_idx"))
@@ -517,7 +539,7 @@ object LabelStore {
             // never data rows): the only per-doc state the re-cluster
             // needs; banding/signing reruns for the touched docs only
             val dbs = survivors
-              .select(pmod(col("doc_id"), lit(SigBuckets)).cast("int").as("__db"))
+              .select(pmod(col("doc_id"), lit(gdb)).cast("int").as("__db"))
               .distinct().collect().map(_.getInt(0)).toSeq
             // __batch <= latest.k: a crashed append attempt's
             // unpublished sig slice must not masquerade as store state
@@ -539,7 +561,7 @@ object LabelStore {
             // never approach the 256-doc floor.
             val cap = Dedup.bucketCap(s, n)
             val survBb = survBands
-              .select(pmod(col("bh"), lit(BandBuckets)).cast("int").as("__bb"))
+              .select(pmod(col("bh"), lit(gbb)).cast("int").as("__bb"))
               .distinct().collect().map(_.getInt(0)).toSeq
             val reducedMax =
               if (survBb.isEmpty) 0L
@@ -666,9 +688,9 @@ object LabelStore {
       // ≥ 4×BandBuckets band rows almost surely touches all 64, and the
       // collect would pay scheduler latency to learn nothing
       val touched = timed(s, "delta-bands") {
-        if (nNew * Dedup.minhashBands >= 4L * BandBuckets) (0 until BandBuckets)
+        if (nNew * Dedup.minhashBands >= 4L * gbb) (0 until gbb)
         else newBands
-          .select(pmod(col("bh"), lit(BandBuckets)).cast("int").as("__bb"))
+          .select(pmod(col("bh"), lit(gbb)).cast("int").as("__bb"))
           .distinct().collect().map(_.getInt(0)).toSeq }
       val no = timed(s, "probe-candidates") {
         if (touched.isEmpty) s.range(0).select(col("id").as("new_id"), col("id").as("old_id"))
@@ -717,7 +739,7 @@ object LabelStore {
         .join(sig.select(col("doc_id"), col("sh").as("sh_b")), col("nb") === col("doc_id")).drop("doc_id")
         .filter(jaccardOk).select(col("na").as("doc_a"), col("nb").as("doc_b"))
       val peerBuckets = timed(s, "peer-buckets") { no
-        .select(pmod(col("old_id"), lit(SigBuckets)).cast("int").as("__db"))
+        .select(pmod(col("old_id"), lit(gdb)).cast("int").as("__db"))
         .distinct().collect().map(_.getInt(0)).toSeq } // ≤ SigBuckets values
       val noV =
         if (peerBuckets.isEmpty) nnV.limit(0)

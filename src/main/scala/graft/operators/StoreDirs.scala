@@ -119,6 +119,45 @@ private[graft] object StoreDirs {
     if (interrupted) Thread.currentThread().interrupt()
   }
 
+  /** Read a store's recorded bucket geometry from `<root>/.geometry`,
+    * stamping it first when absent: `legacy` (the store already holds
+    * rows written before the file existed) pins the DEFAULTS those rows
+    * were bucketed under — never the session confs, which would
+    * silently mis-prune an existing store; a genuinely new store takes
+    * the confs. The stamp is a temp write + atomic rename, so racing
+    * first-writers read either nothing or the winner's full content.
+    * Geometry is immutable for the store's lifetime — the partition
+    * columns are pmod results, and mixing counts within one store breaks
+    * the pruned probes; re-bucketing is a rebuild into a fresh store.
+    */
+  def ensureGeometry(fs: org.apache.hadoop.fs.FileSystem, root: String,
+                     legacy: => Boolean, defaults: (Int, Int),
+                     confValues: => (Int, Int)): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(root, ".geometry")
+    def read(): Option[(Int, Int)] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        val kv = s.trim.split("\\s+").map(_.split("=", 2)).collect {
+          case Array(k, v) => k -> v.toInt
+        }.toMap
+        Some((kv("bandBuckets"), kv("sigBuckets")))
+      }
+    read().getOrElse {
+      val g = if (legacy) defaults else confValues
+      require(g._1 > 0 && g._2 > 0, s"bucket counts must be positive: $g")
+      fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+      val tmp = new org.apache.hadoop.fs.Path(root,
+        s".geometry.tmp-${java.util.UUID.randomUUID}")
+      val out = fs.create(tmp, true)
+      try out.write(s"bandBuckets=${g._1} sigBuckets=${g._2}".getBytes("UTF-8"))
+      finally out.close()
+      if (!fs.rename(tmp, p)) fs.delete(tmp, true) // lost the race: winner stands
+      read().getOrElse(g)
+    }
+  }
+
   /** How long an unpublished fence is presumed to have a LIVE writer
     * behind it. A maintenance call that holds a generation longer than
     * this can be reclaimed by a competitor — size it to the slowest

@@ -35,7 +35,9 @@ import graft.operators.Dedup
   * same admission decision against the exact same visible store and
   * overwrites its own partitions with identical bytes. No blind appends.
   *
-  * At 100 TB the bucket counts scale up (thousands), the store is the
+  * At 100 TB the bucket counts scale up (thousands) via the
+  * creation-time confs ([[BandBucketsConf]]/[[SigBucketsConf]], recorded
+  * per store in a `.geometry` file — see [[Geometry]]), the store is the
   * precomputed ~1 KB/doc signature state, and the corpus text is never
   * re-read — admission cost per batch is bounded by the batch and its
   * candidates.
@@ -55,11 +57,56 @@ object BandStore {
       r
     }
 
-  /** Band-hash bucket count of `bands/`. 64 at fixture scale. */
+  /** Default band-hash bucket count of `bands/` — fixture scale, and the
+    * geometry of every store created before the conf existed.
+    */
   val BandBuckets = 64
 
-  /** doc_id bucket count of `sigs/`. 16 at fixture scale. */
+  /** Default doc_id bucket count of `sigs/`. */
   val SigBuckets = 16
+
+  /** Creation-time bucket-count confs. The 100 TB deployment sets these
+    * in the THOUSANDS so a batch's probe touches a bounded fraction of
+    * the store instead of all of it — the scaling lever the layout
+    * scaladoc promises, now an actual knob rather than a constant.
+    */
+  val BandBucketsConf = "spark.graft.band.buckets"
+  val SigBucketsConf = "spark.graft.sig.buckets"
+
+  /** A store's bucket geometry — FIXED at store creation and recorded in
+    * a `.geometry` file at the store root. The partition columns
+    * `__bb`/`__db` are pmod results: rows written under one bucket count
+    * and probed under another would be silently missed by the pruned
+    * scans, so the counts can never drift within a store's lifetime.
+    * Re-bucketing an existing store is a REBUILD: [[importCorpus]] the
+    * live corpus into a fresh store created under the new confs (the
+    * adopt-in-place bootstrap — one signing pass, no admission
+    * re-adjudication) and swap paths at the orchestration layer.
+    */
+  private[graft] case class Geometry(bandBuckets: Int, sigBuckets: Int)
+
+  /** Read the store's geometry, stamping it first if the store is new:
+    * a NEW store takes the session confs (defaults 64/16); a store that
+    * already has batches but no file (created before the file existed)
+    * is stamped with the DEFAULTS its rows were written under — never
+    * the confs, which would mis-prune a legacy store the moment a
+    * deployment sets them. The stamp is a temp-file write plus an atomic
+    * rename, so racing first-writers see either nothing or the winner's
+    * full content, never a torn file.
+    */
+  private[graft] def ensureGeometry(spark: SparkSession, storeDir: String): Geometry = {
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (bb, db) = graft.operators.StoreDirs.ensureGeometry(fs, storeDir,
+      legacy = hasBatches(spark, bandsDir(storeDir)) ||
+        hasBatches(spark, sigsDir(storeDir)) ||
+        hasBatches(spark, evictedDir(storeDir)),
+      defaults = (BandBuckets, SigBuckets),
+      confValues = (
+        spark.conf.get(BandBucketsConf, BandBuckets.toString).toInt,
+        spark.conf.get(SigBucketsConf, SigBuckets.toString).toInt))
+    Geometry(bb, db)
+  }
 
   def bandsDir(storeDir: String): String = s"$storeDir/bands"
   def sigsDir(storeDir: String): String = s"$storeDir/sigs"
@@ -106,13 +153,18 @@ object BandStore {
     * comparison is meaningful, and — as with compaction — an eviction id
     * must not exceed a batch the stream could still replay.
     */
-  def evictDocs(evictIds: DataFrame, batchId: Long, storeDir: String): Unit =
+  def evictDocs(evictIds: DataFrame, batchId: Long, storeDir: String): Unit = {
+    // the tombstone tree has no buckets, but an eviction CAN be a new
+    // store's first write — stamp the geometry now so a later admission
+    // doesn't misread the store as legacy and pin it to the defaults
+    ensureGeometry(evictIds.sparkSession, storeDir)
     overwriteBatchPartitions(
       // one file per eviction batch: every later admission batch reads
       // this dir, so file count matters more than write parallelism
       // (production-size eviction feeds re-partition upstream)
       evictIds.select(col("doc_id")).distinct().coalesce(1),
       batchId, None, evictedDir(storeDir))
+  }
 
   /** Bootstrap: seed the store from an EXISTING corpus as one batch,
     * with NO admission decisions — the adopt-in-place path for a
@@ -126,6 +178,7 @@ object BandStore {
   def importCorpus(corpus: DataFrame, batchId: Long, storeDir: String): Unit = {
     import scala.concurrent.Future
     import scala.concurrent.ExecutionContext.Implicits.global
+    val g = ensureGeometry(corpus.sparkSession, storeDir)
     val sig = signDocs(corpus).persist()
     try {
       // the two trees are independent (distinct directories, one shared
@@ -136,10 +189,10 @@ object BandStore {
       // failure propagates (no zombie write racing a retry).
       val writes = Seq(
         Future(overwriteBatchPartitions(sig, batchId,
-          Some(("__db", pmod(col("doc_id"), lit(SigBuckets)).cast("int"))),
+          Some(("__db", pmod(col("doc_id"), lit(g.sigBuckets)).cast("int"))),
           sigsDir(storeDir), origin = true)),
         Future(overwriteBatchPartitions(explodeBands(sig, "doc_id"), batchId,
-          Some(("__bb", pmod(col("bh"), lit(BandBuckets)).cast("int"))),
+          Some(("__bb", pmod(col("bh"), lit(g.bandBuckets)).cast("int"))),
           bandsDir(storeDir), origin = true)))
       writes.foreach(graft.operators.StoreDirs.settleQuietly)
       writes.foreach(f => f.value.get.get)
@@ -393,8 +446,9 @@ object BandStore {
     // advanced-store require, a publish rename) must not pin the
     // tombstone aggregate for the life of the session
     try {
-      rewrite(bandsDir(storeDir), "__bb", pmod(col("bh"), lit(BandBuckets)).cast("int"))
-      rewrite(sigsDir(storeDir), "__db", pmod(col("doc_id"), lit(SigBuckets)).cast("int"))
+      val g = ensureGeometry(spark, storeDir)
+      rewrite(bandsDir(storeDir), "__bb", pmod(col("bh"), lit(g.bandBuckets)).cast("int"))
+      rewrite(sigsDir(storeDir), "__db", pmod(col("doc_id"), lit(g.sigBuckets)).cast("int"))
       // absorb: both trees have dropped the masked rows — the old
       // tombstone partitions are dead weight now. A crash before this
       // delete leaves them masking already-absent rows — a GENUINE no-op
@@ -491,6 +545,7 @@ object BandStore {
                              keep: DataFrame => DataFrame,
                              pin: DataFrame => DataFrame): Unit = {
     val spark = batch.sparkSession
+    val g = ensureGeometry(spark, storeDir)
     // (0) X1 exact pre-collapse — the `dag_training_prep` ordering (exact
     // dedup BEFORE near-dedup) made a contract of the admission path:
     // among batch docs with identical text only the min-doc_id
@@ -573,8 +628,8 @@ object BandStore {
       if (!storeExists) emptyPairs("batch_id", "peer_id")
       else {
         val touched = timed(spark, "sign+touched") { batchBands
-          .select(pmod(col("bh"), lit(BandBuckets)).cast("int").as("__bb"))
-          .distinct().collect().map(_.getInt(0)).toSeq } // ≤ BandBuckets values
+          .select(pmod(col("bh"), lit(g.bandBuckets)).cast("int").as("__bb"))
+          .distinct().collect().map(_.getInt(0)).toSeq } // ≤ bandBuckets values
         if (touched.isEmpty) emptyPairs("batch_id", "peer_id")
         else {
           // the probe feeds TWO jobs (the bucket-population stats and the
@@ -633,10 +688,10 @@ object BandStore {
       if (!storeExists) emptyPairs("doc_id", "ignore").select(col("doc_id"))
       else {
         // candidate peers' shingles: read only the sigs/ buckets holding
-        // them — ≤ SigBuckets driver-side values, the Sinks.mergeIntoStore
+        // them — ≤ sigBuckets driver-side values, the Sinks.mergeIntoStore
         // touched-bucket discipline
         val peerBuckets = timed(spark, "cand-vs-store") { candVsStore
-          .select(pmod(col("peer_id"), lit(SigBuckets)).cast("int").as("__db"))
+          .select(pmod(col("peer_id"), lit(g.sigBuckets)).cast("int").as("__db"))
           .distinct().collect().map(_.getInt(0)).toSeq }
         if (peerBuckets.isEmpty) emptyPairs("doc_id", "ignore").select(col("doc_id"))
         else {
@@ -727,11 +782,11 @@ object BandStore {
     // three with identical bytes.
     def writeSigs(): Unit = timed(spark, "write-sigs") {
       overwriteBatchPartitions(admittedSig, batchId,
-        Some(("__db", pmod(col("doc_id"), lit(SigBuckets)).cast("int"))), sigsDir(storeDir),
+        Some(("__db", pmod(col("doc_id"), lit(g.sigBuckets)).cast("int"))), sigsDir(storeDir),
         origin = true) }
     def writeBands(): Unit = timed(spark, "write-bands") {
       overwriteBatchPartitions(explodeBands(admittedSig, "doc_id"), batchId,
-        Some(("__bb", pmod(col("bh"), lit(BandBuckets)).cast("int"))), bandsDir(storeDir),
+        Some(("__bb", pmod(col("bh"), lit(g.bandBuckets)).cast("int"))), bandsDir(storeDir),
         origin = true) }
     def writeAdmitted(): Unit = timed(spark, "write-admitted") {
       overwriteBatchPartitions(admitted, batchId, None, admittedDir) }

@@ -133,6 +133,151 @@ class Round12Spec extends SparkSpec {
   // all-pairs set the DuckDB twin computes.
   // ---------------------------------------------------------------
 
+  // ---------------------------------------------------------------
+  // Store bucket geometry: conf-driven at creation, recorded per store,
+  // decisions invariant, pruning intact, legacy stores pinned to the
+  // defaults they were written under.
+  // ---------------------------------------------------------------
+
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("BandStore geometry: a store created under non-default bucket confs decides identically, prunes on its own counts, and survives compaction and eviction") {
+    import graft.streaming.BandStore
+    def text(tag: String, i: Int) =
+      (0 until 25).map(j => s"${tag}_w${i}_$j").mkString(" ")
+    def frame(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val b0 = (0 until 20).map(i => (i.toLong, text("a", i)))
+    // batch 1: an exact copy of doc 3 (must drop) and a fresh doc
+    val b1 = Seq((100L, text("a", 3)), (101L, text("z", 1)))
+    def admittedIn(out: String, b: Long): Set[Long] = spark.read.parquet(out)
+      .filter(col("__batch") === b).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+
+    // reference store at the default 64/16 geometry
+    val rootD = tmpDir("r12-geo-default")
+    BandStore.admitBatch(frame(b0), 0L, s"$rootD/store", s"$rootD/out")
+    BandStore.admitBatch(frame(b1), 1L, s"$rootD/store", s"$rootD/out")
+
+    val root = tmpDir("r12-geo-8x4")
+    val store = s"$root/store"
+    withConf(BandStore.BandBucketsConf -> "8", BandStore.SigBucketsConf -> "4") {
+      BandStore.admitBatch(frame(b0), 0L, store, s"$root/out")
+    }
+    // geometry stamped at creation; later batches run WITHOUT the confs
+    // set and must honor the recorded counts, not the session defaults
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(store, ".geometry")) == "bandBuckets=8 sigBuckets=4")
+    BandStore.admitBatch(frame(b1), 1L, store, s"$root/out")
+    assert(admittedIn(s"$root/out", 1L) == admittedIn(s"$rootD/out", 1L),
+      "bucket geometry must never change an admission decision")
+    val bb = spark.read.parquet(BandStore.bandsDir(store))
+      .select(col("__bb").cast("int")).distinct().collect().map(_.getInt(0))
+    assert(bb.forall(v => v >= 0 && v < 8) && bb.length <= 8,
+      s"bands tree must carry the 8-bucket layout: ${bb.toSeq.sorted}")
+    val db = spark.read.parquet(BandStore.sigsDir(store))
+      .select(col("__db").cast("int")).distinct().collect().map(_.getInt(0))
+    assert(db.forall(v => v >= 0 && v < 4), s"sigs tree layout: ${db.toSeq.sorted}")
+    // probe pruning holds on the recorded geometry: one touched bucket
+    // scans at most one leaf per stored batch
+    val oneBucket = spark.read.parquet(BandStore.bandsDir(store))
+      .select(pmod(col("bh"), lit(8)).cast("int")).head().getInt(0)
+    val probe = BandStore.probeScan(spark, store, Seq(oneBucket), 2L)
+    val scanned = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scanned.nonEmpty && scanned.head <= 2,
+      s"pruning must hold at 8 buckets: scanned=$scanned")
+    // eviction + re-admission and compaction respect the geometry
+    BandStore.evictDocs(Seq(3L).toDF("doc_id"), 2L, store)
+    BandStore.admitBatch(frame(Seq((102L, text("a", 3)))), 3L, store, s"$root/out")
+    assert(admittedIn(s"$root/out", 3L) == Set(102L),
+      "eviction must free the text under the non-default geometry")
+    BandStore.compactStore(spark, store, minLiveBatch = 4L)
+    val bbAfter = spark.read.parquet(BandStore.bandsDir(store))
+      .select(col("__bb").cast("int")).distinct().collect().map(_.getInt(0))
+    assert(bbAfter.forall(v => v >= 0 && v < 8),
+      "compaction must preserve the recorded geometry")
+    BandStore.admitBatch(frame(Seq((103L, text("a", 5)), (104L, text("q", 2)))),
+      4L, store, s"$root/out")
+    assert(admittedIn(s"$root/out", 4L) == Set(104L),
+      "post-compaction decisions must be unchanged at 8/4 buckets")
+  }
+
+  test("LabelStore geometry: an index created under non-default bucket confs labels identically and appends under its recorded counts") {
+    import graft.operators.LabelStore
+    def toks(p: String, from: Int, to: Int) = (from to to).map(i => s"$p$i").mkString(" ")
+    def corpus(stage: Int): Seq[(Long, String)] =
+      (Seq(
+        0L -> toks("tok", 0, 11), 1L -> toks("tok", 0, 11),
+        10L -> (toks("n", 0, 10) + " tailA"), 11L -> (toks("n", 0, 10) + " tailB")) ++
+        (40L until 50L).map(i => i -> (0 until 12).map(j => s"d${i}w$j").mkString(" ")) ++
+        (if (stage >= 1) Seq(30L -> ("x0 " + toks("n", 1, 10) + " tailB")) else Nil))
+    def writeCorpus(dir: String, stage: Int): Unit =
+      corpus(stage).toDF("doc_id", "text")
+        .withColumn("source", lit("s")).withColumn("lang", lit("en"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(2)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def labels(store: String): Set[(Long, Long)] =
+      LabelStore.read(spark, store).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val dir = tmpDir("r12-lgeo-corpus")
+    writeCorpus(dir, 0)
+    val storeD = tmpDir("r12-lgeo-d") + "/store"
+    LabelStore.build(spark, dir, storeD)
+    val store8 = tmpDir("r12-lgeo-8") + "/store"
+    withConf(graft.streaming.BandStore.BandBucketsConf -> "8",
+             graft.streaming.BandStore.SigBucketsConf -> "4") {
+      LabelStore.build(spark, dir, store8)
+    }
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(store8, ".geometry")) == "bandBuckets=8 sigBuckets=4")
+    assert(labels(store8) == labels(storeD),
+      "index geometry must never change the labels")
+    val bb = spark.read.parquet(s"$store8/index/bands")
+      .select(col("__bb").cast("int")).distinct().collect().map(_.getInt(0))
+    assert(bb.forall(v => v >= 0 && v < 8), s"bands index layout: ${bb.toSeq.sorted}")
+    // incremental append WITHOUT the confs set: the recorded geometry
+    // must govern the delta writes and the bucket-pruned probes
+    writeCorpus(dir, 1)
+    assert(LabelStore.ensureCurrentIncremental(spark, dir, store8) == "incremental")
+    assert(LabelStore.ensureCurrentIncremental(spark, dir, storeD) == "incremental")
+    assert(labels(store8) == labels(storeD),
+      "post-append labels must be geometry-invariant")
+    assert(labels(store8).contains((30L, 10L)), "the appended near-dup must attach")
+    val bbAfter = spark.read.parquet(s"$store8/index/bands")
+      .select(col("__bb").cast("int")).distinct().collect().map(_.getInt(0))
+    assert(bbAfter.forall(v => v >= 0 && v < 8),
+      "the delta batch must land under the recorded 8-bucket layout")
+  }
+
+  test("BandStore geometry: a legacy store (batches, no file) is stamped with the defaults, not the session confs") {
+    import graft.streaming.BandStore
+    val root = tmpDir("r12-geo-legacy")
+    val store = s"$root/store"
+    def frame(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    BandStore.admitBatch(
+      frame((0 until 10).map(i => (i.toLong, (0 until 25).map(j => s"l${i}_$j").mkString(" ")))),
+      0L, store, s"$root/out")
+    // simulate a pre-geometry store: rows exist, no file
+    java.nio.file.Files.delete(java.nio.file.Paths.get(store, ".geometry"))
+    withConf(BandStore.BandBucketsConf -> "8", BandStore.SigBucketsConf -> "4") {
+      val g = BandStore.ensureGeometry(spark, store)
+      assert(g == BandStore.Geometry(64, 16),
+        "a store with batches must be pinned to the defaults its rows were written under")
+    }
+  }
+
   test("exactSelfPairs returns all colliding pairs where the capped path under-reports") {
     import graft.operators.Dedup
     // one hot (band, bh) bucket of five ids — over a cap of 3
