@@ -137,14 +137,15 @@ object LabelStore {
   private def geometry(s: SparkSession, storeDir: String): (Int, Int) = {
     val root = new Path(storeDir)
     val fs = fsOf(s, root)
-    StoreDirs.ensureGeometry(fs, storeDir,
+    val g = StoreDirs.ensureGeometry(fs, storeDir,
       legacy = StoreDirs.hasBatchDirs(fs, new Path(sigsIdx(storeDir))) ||
         StoreDirs.hasBatchDirs(fs, new Path(bandsIdx(storeDir))) ||
         StoreDirs.hasBatchDirs(fs, new Path(digestsIdx(storeDir))),
-      defaults = (BandBuckets, SigBuckets),
-      confValues = (
-        s.conf.get(graft.streaming.BandStore.BandBucketsConf, BandBuckets.toString).toInt,
-        s.conf.get(graft.streaming.BandStore.SigBucketsConf, SigBuckets.toString).toInt))
+      defaults = Seq("bandBuckets" -> BandBuckets, "sigBuckets" -> SigBuckets),
+      confValues = Seq(
+        "bandBuckets" -> s.conf.get(graft.streaming.BandStore.BandBucketsConf, BandBuckets.toString).toInt,
+        "sigBuckets" -> s.conf.get(graft.streaming.BandStore.SigBucketsConf, SigBuckets.toString).toInt))
+    (g("bandBuckets"), g("sigBuckets"))
   }
 
   private def digestsIdx(storeDir: String) = s"$storeDir/index/digests"

@@ -131,30 +131,36 @@ private[graft] object StoreDirs {
     * the pruned probes; re-bucketing is a rebuild into a fresh store.
     */
   def ensureGeometry(fs: org.apache.hadoop.fs.FileSystem, root: String,
-                     legacy: => Boolean, defaults: (Int, Int),
-                     confValues: => (Int, Int)): (Int, Int) = {
-    val p = new org.apache.hadoop.fs.Path(root, ".geometry")
-    def read(): Option[(Int, Int)] =
+                     legacy: => Boolean, defaults: Seq[(String, Int)],
+                     confValues: => Seq[(String, Int)],
+                     // stores whose ROOT is itself an overwrite target
+                     // (the upsert store: its first write wipes the
+                     // whole path) keep the file as a dot-SIBLING
+                     // instead, immune to overwrites and compact swaps
+                     fileAt: Option[org.apache.hadoop.fs.Path] = None): Map[String, Int] = {
+    val p = fileAt.getOrElse(new org.apache.hadoop.fs.Path(root, ".geometry"))
+    def read(): Option[Map[String, Int]] =
       if (!fs.exists(p)) None
       else {
         val in = fs.open(p)
         val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        val kv = s.trim.split("\\s+").map(_.split("=", 2)).collect {
+        Some(s.trim.split("\\s+").map(_.split("=", 2)).collect {
           case Array(k, v) => k -> v.toInt
-        }.toMap
-        Some((kv("bandBuckets"), kv("sigBuckets")))
+        }.toMap)
       }
     read().getOrElse {
       val g = if (legacy) defaults else confValues
-      require(g._1 > 0 && g._2 > 0, s"bucket counts must be positive: $g")
-      fs.mkdirs(new org.apache.hadoop.fs.Path(root))
-      val tmp = new org.apache.hadoop.fs.Path(root,
-        s".geometry.tmp-${java.util.UUID.randomUUID}")
+      require(g.forall(_._2 > 0), s"bucket counts must be positive: $g")
+      fs.mkdirs(p.getParent)
+      // tmp sits next to the final file (same parent) so the publishing
+      // rename never crosses directories
+      val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+        s"${p.getName}.tmp-${java.util.UUID.randomUUID}")
       val out = fs.create(tmp, true)
-      try out.write(s"bandBuckets=${g._1} sigBuckets=${g._2}".getBytes("UTF-8"))
+      try out.write(g.map { case (k, v) => s"$k=$v" }.mkString(" ").getBytes("UTF-8"))
       finally out.close()
       if (!fs.rename(tmp, p)) fs.delete(tmp, true) // lost the race: winner stands
-      read().getOrElse(g)
+      read().getOrElse(g.toMap)
     }
   }
 

@@ -48,10 +48,38 @@ object Sinks {
     * at 100 TB this is thousands — the per-batch cost scales with the
     * buckets a batch touches, never with the store.
     */
+  /** Default bucket count of the keyed-upsert store — fixture scale, and
+    * the geometry of every store created before the conf existed.
+    */
   val UpsertBuckets = 16
 
-  private def bucketOf(key: String): org.apache.spark.sql.Column =
-    pmod(xxhash64(col(key)), lit(UpsertBuckets)).cast("int")
+  /** Creation-time bucket-count conf for NEW upsert stores — the same
+    * per-store recorded-geometry discipline as the dedup indexes
+    * ([[graft.operators.StoreDirs.ensureGeometry]]): pmod partition
+    * columns can never drift within a store, legacy stores pin to the
+    * default, re-bucketing is a rewrite into a fresh store.
+    */
+  val UpsertBucketsConf = "spark.graft.upsert.buckets"
+
+  private def bucketOf(key: String, n: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(col(key)), lit(n)).cast("int")
+
+  private def upsertGeometry(spark: org.apache.spark.sql.SparkSession,
+                             storePath: String, hasBuckets: => Boolean): Int = {
+    val path = new org.apache.hadoop.fs.Path(storePath)
+    graft.operators.StoreDirs.ensureGeometry(
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      storePath, legacy = hasBuckets,
+      defaults = Seq("upsertBuckets" -> UpsertBuckets),
+      confValues = Seq("upsertBuckets" ->
+        spark.conf.get(UpsertBucketsConf, UpsertBuckets.toString).toInt),
+      // dot-SIBLING of the store dir: the store root itself is the
+      // initial write's overwrite target and compact's swap victim — a
+      // file inside it would not survive either
+      fileAt = Some(new org.apache.hadoop.fs.Path(
+        path.getParent, s".${path.getName}.geometry"))
+    )("upsertBuckets")
+  }
 
   /** Core keyed-upsert merge into a bucket-partitioned parquet store.
     * `latest` must already hold one row per key.
@@ -79,7 +107,6 @@ object Sinks {
     // (the labelMaintainSink lesson). Freed on every exit.
     val latest = latest0.localCheckpoint()
     try {
-    val withBucket = latest.withColumn("__bucket", bucketOf(key))
     val path = new org.apache.hadoop.fs.Path(storePath)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // absent = no directory, an empty one (callers may pre-create the
@@ -89,6 +116,8 @@ object Sinks {
     // error instead of silently discarding the store
     val hasBuckets = fs.exists(path) &&
       fs.listStatus(path).exists(st => st.isDirectory && st.getPath.getName.startsWith("__bucket="))
+    val nBuckets = upsertGeometry(spark, storePath, hasBuckets)
+    val withBucket = latest.withColumn("__bucket", bucketOf(key, nBuckets))
     if (!hasBuckets) {
       withBucket.write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(storePath)
       return
@@ -205,6 +234,9 @@ object Sinks {
         else src.repartition(nFiles, partCols.toSeq.map(col): _*)
           .write.partitionBy(partCols.toSeq: _*)
       writer.mode(SaveMode.Overwrite).parquet(staging.toString)
+      // NOTE the upsert store's recorded geometry is a dot-SIBLING of the
+      // store dir (`.name.geometry`), deliberately outside this swap —
+      // no carry-over needed
       require(fs.rename(path, old), s"compact: could not move $path aside")
       swapIn(fs, staging, path, old)
     } catch { case t: Throwable => fs.delete(staging, true); throw t }

@@ -97,15 +97,15 @@ object BandStore {
   private[graft] def ensureGeometry(spark: SparkSession, storeDir: String): Geometry = {
     val p = new org.apache.hadoop.fs.Path(storeDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (bb, db) = graft.operators.StoreDirs.ensureGeometry(fs, storeDir,
+    val g = graft.operators.StoreDirs.ensureGeometry(fs, storeDir,
       legacy = hasBatches(spark, bandsDir(storeDir)) ||
         hasBatches(spark, sigsDir(storeDir)) ||
         hasBatches(spark, evictedDir(storeDir)),
-      defaults = (BandBuckets, SigBuckets),
-      confValues = (
-        spark.conf.get(BandBucketsConf, BandBuckets.toString).toInt,
-        spark.conf.get(SigBucketsConf, SigBuckets.toString).toInt))
-    Geometry(bb, db)
+      defaults = Seq("bandBuckets" -> BandBuckets, "sigBuckets" -> SigBuckets),
+      confValues = Seq(
+        "bandBuckets" -> spark.conf.get(BandBucketsConf, BandBuckets.toString).toInt,
+        "sigBuckets" -> spark.conf.get(SigBucketsConf, SigBuckets.toString).toInt))
+    Geometry(g("bandBuckets"), g("sigBuckets"))
   }
 
   def bandsDir(storeDir: String): String = s"$storeDir/bands"

@@ -278,6 +278,41 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("upsert-store geometry: non-default bucket count recorded at creation, honored by later merges, preserved across compaction") {
+    import graft.sources.Sinks
+    val root = tmpDir("r12-ugeo")
+    val store = s"$root/store"
+    withConf(Sinks.UpsertBucketsConf -> "4") {
+      Sinks.upsertByKey(
+        (0L until 40L).map(i => (i, i, s"v$i")).toDF("off", "id", "v"),
+        "id", "off", store)
+    }
+    // the file is a dot-SIBLING: the store root is the initial write's
+    // overwrite target and compact's swap victim
+    def geoFile = java.nio.file.Paths.get(root, ".store.geometry")
+    assert(java.nio.file.Files.readString(geoFile) == "upsertBuckets=4")
+    val buckets = new java.io.File(store).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__bucket=")).map(_.getName)
+    assert(buckets.length <= 4 && buckets.nonEmpty, s"layout: ${buckets.toSeq}")
+    // a later merge WITHOUT the conf must bucket by the recorded count —
+    // a session-default pmod would route keys to partitions the store
+    // never reads back, duplicating them forever
+    Sinks.upsertByKey(Seq((100L, 3L, "v3b")).toDF("off", "id", "v"), "id", "off", store)
+    val got = spark.read.parquet(store).select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.size == 40 && got(3L) == "v3b",
+      "the merge must upsert under the recorded geometry, not duplicate")
+    // compaction swaps the whole store dir — the sibling file survives
+    Sinks.compact(spark, store, targetFileBytes = 1L << 30)
+    assert(java.nio.file.Files.readString(geoFile) == "upsertBuckets=4",
+      "compaction must not cost the store its recorded geometry")
+    Sinks.upsertByKey(Seq((200L, 7L, "v7b")).toDF("off", "id", "v"), "id", "off", store)
+    val after = spark.read.parquet(store).select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(after.size == 40 && after(7L) == "v7b",
+      "post-compaction merges must still honor the recorded geometry")
+  }
+
   test("exactSelfPairs returns all colliding pairs where the capped path under-reports") {
     import graft.operators.Dedup
     // one hot (band, bh) bucket of five ids — over a cap of 3
