@@ -44,12 +44,11 @@ object Sinks {
   def appendDocuments(df: DataFrame, collectionPath: String): Unit =
     df.write.mode(SaveMode.Append).parquet(collectionPath)
 
-  /** Bucket count of the keyed-upsert store layout. 16 at fixture scale;
-    * at 100 TB this is thousands — the per-batch cost scales with the
-    * buckets a batch touches, never with the store.
-    */
-  /** Default bucket count of the keyed-upsert store — fixture scale, and
-    * the geometry of every store created before the conf existed.
+  /** Default bucket count of the keyed-upsert store layout — fixture
+    * scale, and the geometry of every store created before the conf
+    * existed. At 100 TB this is thousands (via [[UpsertBucketsConf]]) —
+    * the per-batch cost scales with the buckets a batch touches, never
+    * with the store.
     */
   val UpsertBuckets = 16
 
