@@ -1293,7 +1293,25 @@ object Dedup {
         // hot band bucket past the cap would make the Spark-side drops a
         // strict SUBSET of the twin's and silently diverge the hash gate.
         // The batch split is small (a fifth of the corpus, exact-
-        // pre-collapsed above), so the uncapped self-join is bounded.
+        // pre-collapsed above), so the uncapped self-join is bounded —
+        // but only probabilistically: k DISTINCT near-identical texts in
+        // one (band, bh) bucket survive the exact pre-collapse and
+        // generate O(k²) pairs with no cap. A documented
+        // correctness-over-cost trade for this oracle-gated query; the
+        // loud sanity bound below (ADVICE r12) turns a pathological
+        // fixture into a diagnosis instead of a quadratic hang. At the
+        // bound, one bucket contributes ~8M candidate pairs — far past
+        // any sane fixture, still minutes not hours if ever hit.
+        val sanityCap = math.max(4096, 8 * bucketCap(s))
+        val hottest = bands.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("__n"))
+          .agg(coalesce(max(col("__n")), lit(0L))).head.getLong(0)
+        if (hottest > sanityCap) throw new IllegalStateException(
+          s"x2EvictReadmit in-batch pre-filter: a band bucket holds $hottest distinct " +
+            s"near-identical docs (> sanity bound $sanityCap) — the EXACT all-pairs " +
+            "scan its oracle twin mandates would go quadratic on it. The fixture is " +
+            "pathologically boilerplate-skewed; use the capped admission path for " +
+            "production corpora of this shape.")
         val cand = exactSelfPairs(bands, "doc_id", "a_id", "b_id")
         val dupPairs = cand
           .join(sig.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), Seq("a_id"))

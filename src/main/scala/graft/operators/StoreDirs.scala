@@ -150,7 +150,10 @@ private[graft] object StoreDirs {
       }
     read().getOrElse {
       val g = if (legacy) defaults else confValues
-      require(g.forall(_._2 > 0), s"bucket counts must be positive: $g")
+      // only the bucket counts must be positive — epoch-style markers
+      // (e.g. BandStore's obatchEpoch) legitimately carry 0
+      require(g.forall { case (k, v) => v > 0 || !k.toLowerCase.contains("bucket") },
+        s"bucket counts must be positive: $g")
       fs.mkdirs(p.getParent)
       // tmp sits next to the final file (same parent) so the publishing
       // rename never crosses directories
@@ -264,6 +267,10 @@ private[graft] object StoreDirs {
     * The streaming ingest lanes pass `ingest-<checkpoint>-<batchId>`:
     * micro-batches of one stream serialize through the checkpoint, so
     * the only same-prefix holders are the stream's own incarnations.
+    * The checkpoint-less bare form `ingest-<batchId>` gets NO
+    * same-stream tier — two unrelated streams on one store share a
+    * batch counter, so a prefix match there proves nothing and the
+    * holder keeps the full foreign lease (ADVICE r12).
     */
   def acquireGen(fs: org.apache.hadoop.fs.FileSystem,
                  root: org.apache.hadoop.fs.Path, k: Long,
@@ -344,8 +351,15 @@ private[graft] object StoreDirs {
     if (!mine) {
       // prefix match without the process token: a previous incarnation
       // of the SAME stream (hard-crash debris, the common restart case)
-      // or a live zombie driver on the same checkpoint — the short lease
-      val sameStream = owner.exists(o => content.exists(_.takeWhile(_ != '@') == o))
+      // or a live zombie driver on the same checkpoint — the short lease.
+      // The inference is sound ONLY when the prefix embeds a checkpoint
+      // scope (`ingest-<checkpoint>-<batchId>`): the bare un-scoped form
+      // `ingest-<batchId>` is just a batch counter, which two UNRELATED
+      // streams on one store can share — a genuinely foreign live writer
+      // must keep the full lease, not a 60 s one (ADVICE r12).
+      val scoped = owner.exists(o => !o.matches("ingest-\\d+"))
+      val sameStream =
+        scoped && owner.exists(o => content.exists(_.takeWhile(_ != '@') == o))
       val lease = if (sameStream) restartFenceMs else staleFenceMs
       val age = try System.currentTimeMillis() - fs.getFileStatus(fence).getModificationTime
                 catch { case _: java.io.IOException => Long.MaxValue } // vanished: racer released

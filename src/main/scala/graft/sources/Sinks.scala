@@ -66,17 +66,26 @@ object Sinks {
   private def upsertGeometry(spark: org.apache.spark.sql.SparkSession,
                              storePath: String, hasBuckets: => Boolean): Int = {
     val path = new org.apache.hadoop.fs.Path(storePath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // dot-SIBLING of the store dir: the store root itself is the
+    // initial write's overwrite target and compact's swap victim — a
+    // file inside it would not survive either
+    val sibling = new org.apache.hadoop.fs.Path(
+      path.getParent, s".${path.getName}.geometry")
+    // …but a sibling equally survives deleting the STORE: a store
+    // deleted and recreated at the same path must take the current
+    // confs, not silently inherit the dead store's recorded bucket
+    // count (ADVICE r12). With the store provably absent/empty the
+    // sibling describes nothing — drop it before stamping. Racing
+    // first-batch writers both land here (both see !hasBuckets), so the
+    // delete-then-stamp stays first-writer-wins on the fresh file.
+    if (!hasBuckets) fs.delete(sibling, false)
     graft.operators.StoreDirs.ensureGeometry(
-      path.getFileSystem(spark.sparkContext.hadoopConfiguration),
-      storePath, legacy = hasBuckets,
+      fs, storePath, legacy = hasBuckets,
       defaults = Seq("upsertBuckets" -> UpsertBuckets),
       confValues = Seq("upsertBuckets" ->
         spark.conf.get(UpsertBucketsConf, UpsertBuckets.toString).toInt),
-      // dot-SIBLING of the store dir: the store root itself is the
-      // initial write's overwrite target and compact's swap victim — a
-      // file inside it would not survive either
-      fileAt = Some(new org.apache.hadoop.fs.Path(
-        path.getParent, s".${path.getName}.geometry"))
+      fileAt = Some(sibling)
     )("upsertBuckets")
   }
 

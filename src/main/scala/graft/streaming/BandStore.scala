@@ -83,7 +83,28 @@ object BandStore {
     * adopt-in-place bootstrap — one signing pass, no admission
     * re-adjudication) and swap paths at the orchestration layer.
     */
-  private[graft] case class Geometry(bandBuckets: Int, sigBuckets: Int)
+  private[graft] case class Geometry(bandBuckets: Int, sigBuckets: Int,
+                                     obatchEpoch: Int) {
+    /** True when every row of the store is guaranteed to carry the
+      * `__obatch` rank column (stamped at creation for post-upgrade
+      * stores). Epoch-0 stores — genuinely pre-upgrade ones, and any
+      * whose geometry file predates the key — may mix files with and
+      * without the column, so their tree reads must schema-MERGE: a
+      * plain read takes one file's footer, and which file wins decides
+      * whether `__obatch` resolves at all (ADVICE r12 — the gate must
+      * not depend on listing order). The merge tax is per-maintenance /
+      * per-probe and retired by rebuilding via [[importCorpus]].
+      */
+    def uniformObatch: Boolean = obatchEpoch >= 1
+  }
+
+  /** Read a sigs/bands tree under the store's schema epoch: epoch ≥ 1
+    * reads plain (every file has `__obatch`); epoch 0 merges schemas so
+    * legacy rows surface the column as null deterministically.
+    */
+  private def readTree(spark: SparkSession, dir: String, g: Geometry): DataFrame =
+    if (g.uniformObatch) spark.read.parquet(dir)
+    else spark.read.option("mergeSchema", "true").parquet(dir)
 
   /** Read the store's geometry, stamping it first if the store is new:
     * a NEW store takes the session confs (defaults 64/16); a store that
@@ -93,6 +114,11 @@ object BandStore {
     * deployment sets them. The stamp is a temp-file write plus an atomic
     * rename, so racing first-writers see either nothing or the winner's
     * full content, never a torn file.
+    *
+    * `obatchEpoch` rides in the same file: 1 for stores created after
+    * the `__obatch` rank column existed (all rows carry it), 0 for
+    * legacy stores and for files stamped before the key existed (absent
+    * key reads as 0 — the conservative, schema-merging direction).
     */
   private[graft] def ensureGeometry(spark: SparkSession, storeDir: String): Geometry = {
     val p = new org.apache.hadoop.fs.Path(storeDir)
@@ -101,11 +127,13 @@ object BandStore {
       legacy = hasBatches(spark, bandsDir(storeDir)) ||
         hasBatches(spark, sigsDir(storeDir)) ||
         hasBatches(spark, evictedDir(storeDir)),
-      defaults = Seq("bandBuckets" -> BandBuckets, "sigBuckets" -> SigBuckets),
+      defaults = Seq("bandBuckets" -> BandBuckets, "sigBuckets" -> SigBuckets,
+        "obatchEpoch" -> 0),
       confValues = Seq(
         "bandBuckets" -> spark.conf.get(BandBucketsConf, BandBuckets.toString).toInt,
-        "sigBuckets" -> spark.conf.get(SigBucketsConf, SigBuckets.toString).toInt))
-    Geometry(g("bandBuckets"), g("sigBuckets"))
+        "sigBuckets" -> spark.conf.get(SigBucketsConf, SigBuckets.toString).toInt,
+        "obatchEpoch" -> 1))
+    Geometry(g("bandBuckets"), g("sigBuckets"), g.getOrElse("obatchEpoch", 0))
   }
 
   def bandsDir(storeDir: String): String = s"$storeDir/bands"
@@ -214,13 +242,37 @@ object BandStore {
     * particular a tombstone left behind by a crash between the base
     * publish and the tombstone delete masks exactly the rows it always
     * masked (a true no-op) instead of everything in the base.
+    *
+    * Pre-`__obatch` stores (rows written before the column existed) are
+    * handled by [[rankBatch]]'s fallback rather than an unresolvable
+    * column reference — see its scaladoc for the exactness argument.
     */
   private def maskEvicted(rows: DataFrame, ev: Option[DataFrame]): DataFrame =
     ev.fold(rows) { e =>
       rows.join(e, Seq("doc_id"), "left")
-        .filter(col("__tb").isNull || col("__obatch") >= col("__tb"))
+        .filter(col("__tb").isNull || rankBatch(rows) >= col("__tb"))
         .drop("__tb")
     }
+
+  /** The eviction gate's per-row rank: `__obatch` where present,
+    * falling back to the partition `__batch` for legacy rows — stores
+    * written before the column existed read without it entirely (the
+    * schema footer predates the upgrade), and a MIXED store can surface
+    * legacy rows as `__obatch = null` next to post-upgrade ones. A bare
+    * `col("__obatch")` would throw `AnalysisException` on the former and
+    * silently mask re-admitted legacy docs on the latter (null fails the
+    * gate regardless of true rank — ADVICE r12). The fallback is EXACT
+    * for every row that has never been compacted (`__batch` IS its
+    * original batch there); only rows folded into a pre-upgrade base
+    * generation rank at the (negative) base id — the pre-upgrade
+    * semantics those rows were always governed by, never a new hazard —
+    * and the first post-upgrade [[compactStore]] migrates them
+    * permanently (see the rewrite's `__obatch` materialization).
+    */
+  private def rankBatch(rows: DataFrame): org.apache.spark.sql.Column =
+    if (rows.columns.contains("__obatch"))
+      coalesce(col("__obatch"), col("__batch"))
+    else col("__batch")
 
   /** 32 bands × 4 rows over the 128-perm signature — identical banding to
     * [[Dedup.x2MinHashLsh]] / [[Dedup.x2IncrementalLsh]] (one shared
@@ -362,7 +414,7 @@ object BandStore {
         if (e.isEmpty) None else Some(e.persist())
       }
     def rewrite(dir: String, bucketCol: String,
-                bucketOf: org.apache.spark.sql.Column): Unit = {
+                bucketOf: org.apache.spark.sql.Column, g: Geometry): Unit = {
       val path = new org.apache.hadoop.fs.Path(dir)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(path)) return
@@ -411,9 +463,25 @@ object BandStore {
       // after an old eviction carries its rows forward while the pre-
       // eviction copies fall out, and the ranking is unchanged by
       // however many compactions the rows have been through.
-      val rows = maskEvicted(
-          spark.read.parquet(dir).filter(col("__batch").isin(oldIds: _*)),
+      val merged0 = maskEvicted(
+          readTree(spark, dir, g).filter(col("__batch").isin(oldIds: _*)),
           absorb)
+      // MIGRATE pre-`__obatch` rows while the true rank is still in
+      // reach: a legacy row's `__batch` IS its original batch (legacy
+      // base rows get the pre-upgrade base id — the semantics they were
+      // written under), and stamping it here makes the store uniformly
+      // post-upgrade after one compaction instead of carrying the
+      // rankBatch fallback forever. Ensure the column exists first — a
+      // store whose schema footer predates the upgrade reads without it.
+      // cast: the partition `__batch` reads back as int while the data
+      // column is long — an uncast migration would write int `__obatch`
+      // rows that a later schema-merge with long ones refuses to read
+      val withRank =
+        if (merged0.columns.contains("__obatch"))
+          merged0.withColumn("__obatch",
+            coalesce(col("__obatch"), col("__batch")).cast("long"))
+        else merged0.withColumn("__obatch", col("__batch").cast("long"))
+      val rows = withRank
         .drop("__batch", bucketCol)
         .distinct()
       val staging = new org.apache.hadoop.fs.Path(
@@ -447,8 +515,8 @@ object BandStore {
     // tombstone aggregate for the life of the session
     try {
       val g = ensureGeometry(spark, storeDir)
-      rewrite(bandsDir(storeDir), "__bb", pmod(col("bh"), lit(g.bandBuckets)).cast("int"))
-      rewrite(sigsDir(storeDir), "__db", pmod(col("doc_id"), lit(g.sigBuckets)).cast("int"))
+      rewrite(bandsDir(storeDir), "__bb", pmod(col("bh"), lit(g.bandBuckets)).cast("int"), g)
+      rewrite(sigsDir(storeDir), "__db", pmod(col("doc_id"), lit(g.sigBuckets)).cast("int"), g)
       // absorb: both trees have dropped the masked rows — the old
       // tombstone partitions are dead weight now. A crash before this
       // delete leaves them masking already-absent rows — a GENUINE no-op
@@ -486,7 +554,7 @@ object BandStore {
                                touchedBb: Seq[Int], batchId: Long,
                                evOpt: Option[Option[DataFrame]] = None): DataFrame =
     maskEvicted(
-      spark.read.parquet(bandsDir(storeDir))
+      readTree(spark, bandsDir(storeDir), ensureGeometry(spark, storeDir))
         .filter(col("__bb").isin(touchedBb: _*) && col("__batch") =!= batchId),
       evOpt.getOrElse(evictions(spark, storeDir)))
       .select(col("band"), col("bh"), col("doc_id").as("peer_id"))
@@ -698,7 +766,7 @@ object BandStore {
           // same eviction mask as the band probe — a candidate surfaced
           // by a stale band row must not re-materialize via its sig
           val peerSh = maskEvicted(
-              spark.read.parquet(sigsDir(storeDir))
+              readTree(spark, sigsDir(storeDir), g)
                 .filter(col("__db").isin(peerBuckets: _*) && col("__batch") =!= batchId),
               ev)
             .select(col("doc_id"), col("sh").as("sh_p"))

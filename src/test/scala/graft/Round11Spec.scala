@@ -247,7 +247,8 @@ class Round11Spec extends SparkSpec {
     val store = tmpDir("r11-owner") + "/store"
     val ev = graft.engine.Tables.events(spark, sfDir).localCheckpoint()
     def upTo(d: String) = ev.filter(to_date(col("ts")) < lit(d))
-    assert(DateStore.appendEvents(upTo("2024-01-10"), store, 0L) == "append-initial")
+    assert(DateStore.appendEvents(upTo("2024-01-10"), store, 0L, Some("cpA"))
+      == "append-initial")
     def plantOwner(k: Long, token: String): Unit = java.nio.file.Files.write(
       java.nio.file.Paths.get(store, s".fence-$k"), token.getBytes("UTF-8"))
     val batch = ev.filter(to_date(col("ts")) === lit("2024-01-10")).localCheckpoint()
@@ -255,9 +256,9 @@ class Round11Spec extends SparkSpec {
     // driver replaying the same checkpoint would also stamp — must NOT
     // bypass every lease. A young fence from a DIFFERENT process locks
     // out even the same stream's replay...
-    plantOwner(2L, s"ingest-1@99999-${java.util.UUID.randomUUID()}")
+    plantOwner(2L, s"ingest-cpA-1@99999-${java.util.UUID.randomUUID()}")
     val z = intercept[IllegalStateException] {
-      DateStore.appendEvents(batch, store, 1L)
+      DateStore.appendEvents(batch, store, 1L, Some("cpA"))
     }
     assert(z.getMessage.contains("held by a live writer"), z.getMessage)
     // ... and a FOREIGN writer (corpus-driven maintenance) too
@@ -274,7 +275,7 @@ class Round11Spec extends SparkSpec {
       DateStore.ensureIncrementalEvents(upTo("2024-01-12"), store)
     }
     assert(e2.getMessage.contains("held by a live writer"), e2.getMessage)
-    assert(DateStore.appendEvents(batch, store, 1L) == "append")
+    assert(DateStore.appendEvents(batch, store, 1L, Some("cpA")) == "append")
     val got = DateStore.readEvents(spark, store).select("event_id")
       .collect().map(_.getLong(0)).toSet
     val want = upTo("2024-01-11").select("event_id").collect().map(_.getLong(0)).toSet
@@ -282,9 +283,9 @@ class Round11Spec extends SparkSpec {
     // tier 1: THIS process's own exact token (prefix + process token)
     // reclaims with zero lease — the in-process retry fast path (batch 2
     // claims generation 3 now that generation 2 is published)
-    plantOwner(3L, s"ingest-2@${StoreDirs.processToken}")
+    plantOwner(3L, s"ingest-cpA-2@${StoreDirs.processToken}")
     val batch2 = ev.filter(to_date(col("ts")) === lit("2024-01-11")).localCheckpoint()
-    assert(DateStore.appendEvents(batch2, store, 2L) == "append")
+    assert(DateStore.appendEvents(batch2, store, 2L, Some("cpA")) == "append")
   }
 
   test("ingest fence: an aged same-stream fence with ACTIVE staging writes is a live zombie — not reclaimed") {
@@ -292,10 +293,11 @@ class Round11Spec extends SparkSpec {
     val store = tmpDir("r11-zombie") + "/store"
     val ev = graft.engine.Tables.events(spark, sfDir).localCheckpoint()
     def upTo(d: String) = ev.filter(to_date(col("ts")) < lit(d))
-    assert(DateStore.appendEvents(upTo("2024-01-10"), store, 0L) == "append-initial")
+    assert(DateStore.appendEvents(upTo("2024-01-10"), store, 0L, Some("cpA"))
+      == "append-initial")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(store, ".fence-2"),
-      s"ingest-1@99999-${java.util.UUID.randomUUID()}".getBytes("UTF-8"))
+      s"ingest-cpA-1@99999-${java.util.UUID.randomUUID()}".getBytes("UTF-8"))
     ageFence(store, 2L, StoreDirs.restartFenceMs + 60000L)
     // the zombie is mid-write: a FRESH file under .staging-2 proves a
     // writer is alive whatever the fence age says — reclaiming here
@@ -305,7 +307,7 @@ class Round11Spec extends SparkSpec {
     java.nio.file.Files.write(stage.resolve("part-00000"), "x".getBytes("UTF-8"))
     val batch = ev.filter(to_date(col("ts")) === lit("2024-01-10")).localCheckpoint()
     val z = intercept[IllegalStateException] {
-      DateStore.appendEvents(batch, store, 1L)
+      DateStore.appendEvents(batch, store, 1L, Some("cpA"))
     }
     assert(z.getMessage.contains("staging writes younger"), z.getMessage)
     // once the staging goes quiet past the lease too, the reclaim lands
@@ -313,7 +315,7 @@ class Round11Spec extends SparkSpec {
       System.currentTimeMillis() - StoreDirs.restartFenceMs - 60000L)
     java.nio.file.Files.setLastModifiedTime(stage, oldTs)
     java.nio.file.Files.setLastModifiedTime(stage.resolve("part-00000"), oldTs)
-    assert(DateStore.appendEvents(batch, store, 1L) == "append")
+    assert(DateStore.appendEvents(batch, store, 1L, Some("cpA")) == "append")
   }
 
   test("LabelStore and IvfStore fences: a held generation refuses the second maintainer before any index write") {

@@ -174,7 +174,8 @@ class Round12Spec extends SparkSpec {
     // geometry stamped at creation; later batches run WITHOUT the confs
     // set and must honor the recorded counts, not the session defaults
     assert(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(store, ".geometry")) == "bandBuckets=8 sigBuckets=4")
+      java.nio.file.Paths.get(store, ".geometry"))
+      == "bandBuckets=8 sigBuckets=4 obatchEpoch=1")
     BandStore.admitBatch(frame(b1), 1L, store, s"$root/out")
     assert(admittedIn(s"$root/out", 1L) == admittedIn(s"$rootD/out", 1L),
       "bucket geometry must never change an admission decision")
@@ -273,8 +274,9 @@ class Round12Spec extends SparkSpec {
     java.nio.file.Files.delete(java.nio.file.Paths.get(store, ".geometry"))
     withConf(BandStore.BandBucketsConf -> "8", BandStore.SigBucketsConf -> "4") {
       val g = BandStore.ensureGeometry(spark, store)
-      assert(g == BandStore.Geometry(64, 16),
-        "a store with batches must be pinned to the defaults its rows were written under")
+      assert(g == BandStore.Geometry(64, 16, 0),
+        "a store with batches must be pinned to the defaults its rows were " +
+          "written under — and to the conservative schema epoch")
     }
   }
 

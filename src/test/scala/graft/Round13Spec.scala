@@ -1,0 +1,202 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 regressions — the ADVICE r12 findings:
+  * the eviction gate on pre-`__obatch` stores (medium: an upgrade must
+  * neither throw on a legacy store nor silently hide re-admitted docs in
+  * a mixed one), the upsert store's sibling geometry surviving store
+  * deletion, and the same-stream short lease granted on a bare
+  * un-scoped `ingest-<batchId>` prefix.
+  */
+class Round13Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // ADVICE r12 (medium): a store written BEFORE the __obatch column
+  // existed must stay readable, maskable, and compactable — the gate
+  // falls back to the partition __batch for legacy rows (exact for any
+  // never-compacted row) and the first compaction migrates them.
+  // ---------------------------------------------------------------
+
+  /** Rewrite a bands/sigs tree without its `__obatch` column and restamp
+    * the geometry file without the epoch key — byte-level simulation of
+    * a store produced by the pre-upgrade engine.
+    */
+  private def downgradeStore(store: String): Unit = {
+    import graft.streaming.BandStore
+    def strip(dir: String, bucketCol: String): Unit = {
+      val legacy = spark.read.parquet(dir).drop("__obatch")
+        .localCheckpoint()
+      val f = new java.io.File(dir)
+      def del(x: java.io.File): Unit = {
+        Option(x.listFiles()).getOrElse(Array.empty).foreach(del); x.delete()
+      }
+      del(f)
+      legacy.write.partitionBy("__batch", bucketCol).parquet(dir)
+    }
+    strip(BandStore.bandsDir(store), "__bb")
+    strip(BandStore.sigsDir(store), "__db")
+    // the original stamp went through ChecksumFileSystem — drop its CRC
+    // sidecar before rewriting the file directly, or reads see a
+    // checksum mismatch instead of the downgraded content
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(store, "..geometry.crc"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(store, ".geometry"),
+      "bandBuckets=64 sigBuckets=16")
+  }
+
+  test("BandStore: a pre-__obatch store reads, masks, and compacts — legacy rows rank by their partition batch and the compaction migrates them") {
+    import graft.streaming.BandStore
+    val root = tmpDir("r13-legacy")
+    val store = s"$root/store"
+    val admitted = s"$root/admitted"
+    def text(tag: String, i: Int) =
+      (0 until 25).map(j => s"${tag}_w${i}_$j").mkString(" ")
+    def frame(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    def admittedIn(b: Long): Set[Long] = spark.read.parquet(admitted)
+      .filter(col("__batch") === b)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    BandStore.importCorpus(frame((0 until 20).map(i => (i.toLong, text("a", i)))), 0L, store)
+    downgradeStore(store)
+    assert(BandStore.ensureGeometry(spark, store).obatchEpoch == 0,
+      "the downgraded store must read as the conservative schema epoch")
+
+    // a tombstone over the legacy rows: doc 3 retired at batch 1
+    BandStore.evictDocs(Seq(3L).toDF("doc_id"), 1L, store)
+    // the legacy gate must MASK doc 3's legacy rows (its partition batch
+    // 0 < tombstone 1) — the pre-fix code threw AnalysisException here
+    // (__obatch unresolvable on the legacy schema)
+    BandStore.admitBatch(frame(Seq((100L, text("a", 3)))), 2L, store, admitted)
+    assert(admittedIn(2L) == Set(100L),
+      "an evicted legacy doc must stop vetoing — the gate must rank " +
+        "legacy rows by their partition batch, not throw")
+    // …while every retained legacy doc keeps vetoing (mixed store now:
+    // legacy batch-0 files next to post-upgrade batch-2 files)
+    BandStore.admitBatch(frame(Seq((101L, text("a", 5)))), 3L, store, admitted)
+    assert(admittedIn(3L).isEmpty, "a retained legacy doc must keep vetoing")
+    // the RE-ADMITTED doc's post-upgrade rows (__obatch=2 > tombstone 1)
+    // must veto a later copy even though the store is mixed — the
+    // pre-fix null-fails-the-gate hazard on exactly this shape
+    BandStore.admitBatch(frame(Seq((102L, text("a", 3)))), 4L, store, admitted)
+    assert(admittedIn(4L).isEmpty,
+      "a re-admitted doc's rows must outrank the old tombstone in a mixed store")
+
+    // compaction folds legacy + post-upgrade batches without throwing
+    // and MIGRATES the rank: every surviving row carries a non-null
+    // __obatch afterwards — legacy rows at their true batch
+    BandStore.compactStore(spark, store, minLiveBatch = 5L)
+    val sigs = spark.read.parquet(BandStore.sigsDir(store))
+    assert(sigs.filter(col("__obatch").isNull).count() == 0,
+      "compaction must stamp every surviving row's rank")
+    assert(sigs.filter(col("doc_id") === 5L).select("__obatch").head.getLong(0) == 0L,
+      "a legacy row's migrated rank is its original (partition) batch")
+    assert(sigs.filter(col("doc_id") === 100L).select("__obatch").head.getLong(0) == 2L,
+      "a post-upgrade row's rank rides through the mixed compaction verbatim")
+    assert(sigs.filter(col("doc_id") === 3L).count() == 0,
+      "the absorbed tombstone must drop the evicted legacy rows")
+    // decisions unchanged after the migration
+    BandStore.admitBatch(frame(Seq((103L, text("a", 3)), (104L, text("q", 1)))),
+      5L, store, admitted)
+    assert(admittedIn(5L) == Set(104L),
+      "post-migration: the re-admitted doc still vetoes, fresh text admits")
+  }
+
+  // ---------------------------------------------------------------
+  // ADVICE r12 (low): a store deleted and recreated at the same path
+  // must take the CURRENT confs — the sibling geometry file survives
+  // store deletion and must not be inherited.
+  // ---------------------------------------------------------------
+
+  test("upsert-store geometry: deleting the store retires its recorded geometry — a recreated store takes the current confs") {
+    import graft.sources.Sinks
+    val root = tmpDir("r13-ugeo-recreate")
+    val store = s"$root/store"
+    def geoFile = java.nio.file.Paths.get(root, ".store.geometry")
+    withConf(Sinks.UpsertBucketsConf -> "4") {
+      Sinks.upsertByKey(
+        (0L until 40L).map(i => (i, i, s"v$i")).toDF("off", "id", "v"),
+        "id", "off", store)
+    }
+    assert(java.nio.file.Files.readString(geoFile) == "upsertBuckets=4")
+    // the store dies; its sibling geometry file survives by layout
+    def del(x: java.io.File): Unit = {
+      Option(x.listFiles()).getOrElse(Array.empty).foreach(del); x.delete()
+    }
+    del(new java.io.File(store))
+    assert(java.nio.file.Files.exists(geoFile),
+      "precondition: the sibling survives store deletion — that is the hazard")
+    // a recreated store under a DIFFERENT conf must stamp fresh, not
+    // inherit the dead store's count
+    withConf(Sinks.UpsertBucketsConf -> "8") {
+      Sinks.upsertByKey(
+        (0L until 40L).map(i => (i, i, s"w$i")).toDF("off", "id", "v"),
+        "id", "off", store)
+    }
+    assert(java.nio.file.Files.readString(geoFile) == "upsertBuckets=8",
+      "a fresh store must take the current confs, not the dead store's record")
+    val buckets = new java.io.File(store).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__bucket=")).map(_.getName)
+    assert(buckets.length > 4 && buckets.length <= 8,
+      s"the recreated layout must be 8-bucket: ${buckets.toSeq.sorted}")
+    // and with NO conf set, a recreated store falls back to the default
+    del(new java.io.File(store))
+    Sinks.upsertByKey(Seq((1L, 1L, "x")).toDF("off", "id", "v"), "id", "off", store)
+    assert(java.nio.file.Files.readString(geoFile)
+      == s"upsertBuckets=${Sinks.UpsertBuckets}",
+      "an unconfigured fresh store must take the default, not the record")
+  }
+
+  // ---------------------------------------------------------------
+  // ADVICE r12 (low): the same-stream SHORT lease must require a
+  // checkpoint-scoped owner prefix — the bare `ingest-<batchId>` form is
+  // just a batch counter two unrelated streams can share, so a prefix
+  // match there proves nothing and keeps the full foreign lease.
+  // ---------------------------------------------------------------
+
+  test("StoreDirs.acquireGen: a bare ingest-<batchId> prefix match keeps the full lease; only a checkpoint-scoped prefix earns the restart lease") {
+    import graft.operators.StoreDirs
+    import org.apache.hadoop.fs.Path
+    val rootDir = tmpDir("r13-fence-scope")
+    val root = new Path(rootDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def plant(k: Long, content: String, ageMs: Long): Unit = {
+      val p = java.nio.file.Paths.get(rootDir, s".fence-$k")
+      java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ageMs))
+    }
+    val age = StoreDirs.restartFenceMs + 60000L // past restart, inside full
+    // bare form: two unrelated batch-counter streams share `ingest-1` —
+    // a foreign live writer's fence must hold for the FULL lease
+    plant(1L, s"ingest-1@99999-${java.util.UUID.randomUUID()}", age)
+    val e = intercept[IllegalStateException] {
+      StoreDirs.acquireGen(fs, root, 1L, owner = Some("ingest-1"))
+    }
+    assert(e.getMessage.contains("held by a live writer"), e.getMessage)
+    // checkpoint-scoped form at the same age: only the stream's own
+    // incarnations can share the prefix — the restart lease applies
+    plant(2L, s"ingest-cpA-1@99999-${java.util.UUID.randomUUID()}", age)
+    StoreDirs.acquireGen(fs, root, 2L, owner = Some("ingest-cpA-1"))
+    assert(new java.io.File(rootDir, ".fence-2").exists(),
+      "the scoped same-stream claim must have reclaimed and re-fenced")
+    // and a scoped prefix MISMATCH stays foreign at that age
+    plant(3L, s"ingest-cpB-1@99999-${java.util.UUID.randomUUID()}", age)
+    val e2 = intercept[IllegalStateException] {
+      StoreDirs.acquireGen(fs, root, 3L, owner = Some("ingest-cpA-1"))
+    }
+    assert(e2.getMessage.contains("held by a live writer"), e2.getMessage)
+  }
+}
