@@ -4,8 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val spark = Sessions.withMaster(SparkSession.builder(), s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -66,7 +65,10 @@ object Bench {
     // dedup-family queries. Deliberate and stable across every recorded
     // round: the per-query `samples` array carries the cold pass-1 time,
     // so both costs are in the artifact and cross-round comparisons stay
-    // like-for-like.
+    // like-for-like. Since r13 the stage caches are query-scoped
+    // registry entries (graft.operators.Caches) that Verify releases per
+    // query; the bench deliberately does NOT call releaseScoped mid-run,
+    // preserving exactly this recorded warm methodology.
     for (_ <- 1 to runs; (name, fn) <- ordered) {
       val t0 = System.nanoTime()
       val ok =
@@ -97,8 +99,21 @@ object Bench {
     }.mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // query-surface vs lifecycle-gate subtotals (VERDICT r12 #3): the
+    // gates are ~half the wall total by design — one combined number
+    // hides a query regression behind gate noise and vice versa, so the
+    // 2x budget is tracked against BOTH. The per-key flag is the
+    // `gate_keys` list (membership in SparkEntry.lifecycleGates).
+    val (gateRes, queryRes) =
+      results.partition { case (k, _) => SparkEntry.lifecycleGates(k) }
+    val totalQueries = queryRes.values.sum
+    val totalGates = gateRes.values.sum
+    val gateKeys = gateRes.keys.toSeq.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val subtotals =
+      s""""total_queries":$totalQueries,"total_gates":$totalGates,"gate_keys":$gateKeys"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","samples":$samplesJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$subtotals,"queries":$qs,"errors":$errJson,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","samples":$samplesJson}"""
     // the JSON line is the contract; also land it as a file so the result
     // stays machine-readable even if log interleaving mangles the tail
     try {
@@ -120,7 +135,9 @@ object Bench {
     // map must not be mistaken for the full surface.
     val slowest = results.toSeq.sortBy(-_._2).take(8)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // subtotals only — the gate-key list lives in the full line/file;
+    // the trailer must stay inside a ~2 KB tail
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":$errJson,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","slowest":$slowest,"queries_file":"target/bench.json"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"total_queries":$totalQueries,"total_gates":$totalGates,"errors":$errJson,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","slowest":$slowest,"queries_file":"target/bench.json"}""")
   }
 }

@@ -14,6 +14,27 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q1Revenue(spark, "/root/testdata/sf0.001")
 
+  /** Store-LIFECYCLE verification lanes among [[queries]] — rows whose
+    * timed work is dominated by building/maintaining a persistent store
+    * in-query (split-build + maintain + read must hash-equal
+    * from-scratch) or by the from-scratch equivalent of one, each with a
+    * separately-gated fast production twin (`x3_ann_ivf_served`,
+    * `dag_corpus_build_stored`) or being the production loop itself.
+    * The bench reports their subtotal separately from the pure
+    * query-compute surface: the gates are ~half the wall total by
+    * design, and one combined number lets gate noise hide a real query
+    * regression (and vice versa).
+    */
+  val lifecycleGates: Set[String] = Set(
+    "s11_date_rollup", "s11_date_evolve", "s11_date_dpp", "s11_date_ingest",
+    "x3_ann_ivf_store", "x3_ann_ivf_inc", "x3_ann_ivf_del",
+    "x3_ann_ivf_ingest", "x3_ann_ivf_served",
+    "x2_labels_incremental", "x2_labels_delete",
+    "x2_evict_readmit", "x2_incremental",
+    "dag_corpus_build", "dag_corpus_build_stored",
+    "l5_upsert_last_wins", "dag_kafka_validate_enrich_upsert",
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_revenue_agg" -> (Relational.q1Revenue _),

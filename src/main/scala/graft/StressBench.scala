@@ -131,6 +131,26 @@ object StressBench {
     n
   }
 
+  /** Candidate-stage accounting for the auto-geometry embedding arm
+    * (VERDICT r12 #2): at the sizing law's geometry for the measured
+    * corpus, the CAPPED banded candidate count vs the all-pairs product —
+    * the measured prune ratio whose analytic floor (≥5×,
+    * [[graft.operators.Dedup.lshBeatsBrute]]) licensed the banded arm.
+    * Returns (geometry, candidatePairs, allPairs, prune).
+    */
+  private def embCandStats(spark: SparkSession, dir: String): (String, Long, Long, Double) = {
+    import graft.operators.{Dedup, Similarity}
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val (b, p) = Dedup.embeddingGeometry(n)
+    val cap = Dedup.bucketCap(spark, n)
+    val e = Similarity.bandedCorpus(spark, dir, b, p)
+    val bb = e.select(col("vec_id"), posexplode(col("bands")).as(Seq("band", "bh")))
+    val cand = Dedup.cappedSelfPairs(bb, "vec_id", cap, "a", "b").count()
+    val allPairs = n * (n - 1) / 2
+    (s"${b}x$p", cand, allPairs, if (cand == 0) Double.PositiveInfinity
+      else allPairs.toDouble / cand)
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft-stress"
@@ -160,6 +180,41 @@ object StressBench {
     val bigOut = s"$work/x10"
     replicate(spark, baseDir, baseOut, 1)
     replicate(spark, baseDir, bigOut, copies)
+
+    // isolated embedding-LSH drive (VERDICT r12 #2): the full suite's
+    // embauto x10 cell single-sampled 21.7 s in r12 vs 8.35 s in r11
+    // with no code change to that path — this mode reproduces JUST the
+    // planted-embedding phases on a fresh JVM, multi-sampled, with the
+    // candidate-stage accounting that the one wall number can't show.
+    // Recorded STRESS artifacts never set this.
+    if (sys.env.contains("SPARK_GRAFT_STRESS_EMB_ONLY")) {
+      val embBase = s"$work/embplant-base"
+      val embBig = s"$work/embplant-x10"
+      val plantedBase = plantEmbeddings(spark, baseOut, embBase)
+      val plantedBig = plantEmbeddings(spark, bigOut, embBig)
+      def sample(dir: String): (Double, Long) = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val rows = graft.operators.Dedup.x2EmbeddingLshAuto(spark, dir).count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      // interleaved, 3 passes — the Bench discipline: contention must
+      // span the whole run to bias a cell
+      val passes = (1 to 3).map { _ => (sample(embBase), sample(embBig)) }
+      val (bg, bCand, bAll, bPrune) = embCandStats(spark, embBase)
+      val (xg, xCand, xAll, xPrune) = embCandStats(spark, embBig)
+      def arr(f: ((Double, Long), (Double, Long)) => Double) =
+        passes.map { case (b, x) => math.round(f(b, x) * 1000) / 1000.0 }.mkString("[", ",", "]")
+      println(
+        f"""{"stress":"emb-only","planted_base":$plantedBase,"planted_x10":$plantedBig,""" +
+        f""""base_secs":${arr((b, _) => b._1)},"x10_secs":${arr((_, x) => x._1)},""" +
+        f""""base_pairs":${passes.head._1._2},"x10_pairs":${passes.head._2._2},""" +
+        f""""base_geom":"$bg","base_cand":$bCand,"base_allpairs":$bAll,"base_prune":$bPrune%.1f,""" +
+        f""""x10_geom":"$xg","x10_cand":$xCand,"x10_allpairs":$xAll,"x10_prune":$xPrune%.1f,""" +
+        f""""loadavg_start":"$loadStart","loadavg_end":"$loadavg"}""")
+      spark.stop()
+      return
+    }
 
     val queries = Seq("x2_minhash_lsh", "x2_incremental", "x2_dup_clusters",
       "x2_embedding_lsh")
@@ -208,19 +263,45 @@ object StressBench {
     val admStore = s"$work/admstore"
     val admOut = s"$work/admout"
     val allDocs = spark.read.parquet(s"$bigOut/documents.parquet").persist()
-    val perBatch = allDocs.count() / 10
+    // soak knob (VERDICT r12 #7): the 10-batch default proves the
+    // plateau; SPARK_GRAFT_STRESS_ADMIT_BATCHES=50..100 (with
+    // ADMIT_ONLY) drives the long tail that a 10-batch window could
+    // hide a second-order growth term behind
+    val admBatches = sys.env.getOrElse("SPARK_GRAFT_STRESS_ADMIT_BATCHES", "10").toInt
+    val perBatch = allDocs.count() / admBatches
     // the range slicing below assumes ids contiguous from 0 — on a gapped
     // corpus (e.g. an already-deduped one passed as baseDir) it would
-    // silently drop every doc past 10*perBatch and undercount `admitted`
+    // silently drop every doc past admBatches*perBatch and undercount
+    // `admitted`
     require(allDocs.agg(max(col("doc_id"))).head.getLong(0) == allDocs.count() - 1,
       "admission slicing requires contiguous doc_ids from 0")
-    val admSecs = (0 until 10).map { b =>
+    val admSecs = (0 until admBatches).map { b =>
       val batch = allDocs.filter(col("doc_id") >= b * perBatch && col("doc_id") < (b + 1) * perBatch)
       val t0 = System.nanoTime()
       graft.streaming.BandStore.admitBatch(batch, b.toLong, admStore, admOut)
       (System.nanoTime() - t0) / 1e9
     }
     allDocs.unpersist()
+
+    // soak exit: a 50-100-batch ADMIT_ONLY run wants the long per-batch
+    // curve plus the store's physical footprint, not the boiler loop —
+    // print and stop here. Store size = file count + bytes under the
+    // three trees (the small-files tax needsCompaction gauges).
+    if (sys.env.contains("SPARK_GRAFT_STRESS_ADMIT_ONLY") && admBatches != 10) {
+      def du(dir: String): (Long, Long) = {
+        val root = new java.io.File(dir)
+        def walk(f: java.io.File): (Long, Long) =
+          if (f.isFile) (1L, f.length())
+          else Option(f.listFiles()).getOrElse(Array.empty)
+            .map(walk).foldLeft((0L, 0L)) { case ((c1, b1), (c2, b2)) => (c1 + c2, b1 + b2) }
+        if (!root.exists()) (0L, 0L) else walk(root)
+      }
+      val (nFiles, nBytes) = du(admStore)
+      val gauge = graft.streaming.BandStore.needsCompaction(spark, admStore)
+      println(s"""{"stress":"admit-soak","batches":$admBatches,"admission_batch_secs":[${admSecs.map(s => math.round(s * 1000) / 1000.0).mkString(",")}],"admitted":${spark.read.parquet(admOut).count()},"store_files":$nFiles,"store_bytes":$nBytes,"needs_compaction":$gauge,"loadavg_start":"$loadStart","loadavg_end":"$loadavg"}""")
+      spark.stop()
+      return
+    }
 
     // --- planted boilerplate corpus (VERDICT r7 item 1): ~30% identical
     // docs; the guard must keep candidate count and wall time bounded ---
@@ -280,6 +361,11 @@ object StressBench {
     }
     val (abSec, abRows) = timeEmbAuto(embBase)
     val (axSec, axRows) = timeEmbAuto(embBig)
+    // second interleaved sample of the x10 cell (VERDICT r12 #2): the
+    // r12 artifact's single 21.7 s sample was unadjudicable from the
+    // artifact alone — with two samples a contention burst shows as one
+    // inflated sample among normal ones
+    val (axSec2, _) = timeEmbAuto(embBig)
     def geomOf(dir: String): String = {
       val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
       val (b, p) = graft.operators.Dedup.embeddingGeometry(n)
@@ -290,6 +376,11 @@ object StressBench {
       s"${b}x$p:$arm"
     }
     val (abGeom, axGeom) = (geomOf(embBase), geomOf(embBig))
+    // candidate-stage accounting for the banded x10 arm: the measured
+    // prune ratio whose analytic >=5x floor licensed the banded plan —
+    // a wall-time jump with the prune intact is environment, a collapsed
+    // prune is a real sizing-law failure
+    val (_, axCand, axAll, axPrune) = embCandStats(spark, embBig)
 
     // --- the end-to-end composite at scale (r7 item 5): the heaviest
     // real-user query measured whole, not inferred from its parts — on
@@ -685,7 +776,8 @@ object StressBench {
       f""""base_sec":$ebSec%.3f,"base_pairs":$ebRows,"x10_sec":$exSec%.3f,"x10_pairs":$exRows,""" +
       f""""time_ratio":${exSec / ebSec}%.2f,"pair_ratio":${exRows.toDouble / math.max(ebRows, 1)}%.2f},""" +
       f""""embauto":{"base_geom":"$abGeom","x10_geom":"$axGeom",""" +
-      f""""base_sec":$abSec%.3f,"base_pairs":$abRows,"x10_sec":$axSec%.3f,"x10_pairs":$axRows,""" +
+      f""""base_sec":$abSec%.3f,"base_pairs":$abRows,"x10_sec":$axSec%.3f,"x10_sec2":$axSec2%.3f,"x10_pairs":$axRows,""" +
+      f""""x10_cand":$axCand,"x10_allpairs":$axAll,"x10_prune":$axPrune%.1f,"prune_floor":5,""" +
       f""""time_ratio":${axSec / abSec}%.2f,"pair_ratio":${axRows.toDouble / math.max(abRows, 1)}%.2f},""" +
       f""""corpus_build":{"base_sec":$cbBaseSec%.3f,"base_rows":$cbBaseRows,""" +
       f""""x10_sec":$cbX10Sec%.3f,"x10_rows":$cbX10Rows,"time_ratio":${cbX10Sec / cbBaseSec}%.2f,""" +

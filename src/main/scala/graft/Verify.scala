@@ -15,8 +15,9 @@ object Verify {
     require(unknownQ.isEmpty,
       s"unknown query name(s): ${unknownQ.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides (e.g. local-cluster[4,8,4096] — real
+    // separate executor JVMs, the serialization-boundary run)
+    val spark = Sessions.withMaster(SparkSession.builder(), s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -33,6 +34,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // per-query cache scope: no oracle query leaves stage caches
+      // registered for the session (Caches scaladoc; VERDICT r12 #4)
+      graft.operators.Caches.releaseScoped()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

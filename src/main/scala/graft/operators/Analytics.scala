@@ -871,12 +871,12 @@ object Analytics {
     // CacheManager's plan-dedup (the bandedCorpus note).
     val s1 = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-      .persist()
+      .transform(Caches.scoped)
     val s2 = ev.filter(col("event_type") === "click")
       .join(s1, "user_id")
       .filter(col("ts") > col("t1") && col("ts") <= col("t1") + expr("INTERVAL 12 HOURS"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-      .persist()
+      .transform(Caches.scoped)
     val s3 = ev.filter(col("event_type") === "purchase")
       .join(s2, "user_id")
       .filter(col("ts") > col("t2") && col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))

@@ -73,7 +73,8 @@ object Dedup {
   def x2Jaccard(s: SparkSession, dir: String): DataFrame = {
     // shingling feeds both self-join sides plus the two size lookups —
     // persist so the transform runs once per doc, not four times
-    val ds = docShingles(s, dir).persist()
+    // (query-scoped: the harness releases it, Caches.releaseScoped)
+    val ds = Caches.scoped(docShingles(s, dir))
     // join on the 8-byte shingle hash, not the shingle text: same
     // intersection counts (64-bit collisions are negligible) at a
     // fraction of the shuffle width and key-compare cost
@@ -461,8 +462,10 @@ object Dedup {
                                      // overflow-branch persist hook: callers with a
                                      // bounded cache scope (the streaming admission
                                      // loop's release-on-exit keep()) pass theirs so
-                                     // the cached frame cannot outlive the batch
-                                     persistFn: DataFrame => DataFrame = _.persist()): DataFrame = {
+                                     // the cached frame cannot outlive the batch;
+                                     // the default routes query paths through the
+                                     // harness-released registry
+                                     persistFn: DataFrame => DataFrame = Caches.scoped): DataFrame = {
     val stats = bands.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__bmin"))
     // adaptive, like the exact pre-collapse: one scalar aggregate over
@@ -612,7 +615,7 @@ object Dedup {
       case None => d
         .select(col("doc_id"), shingles(col("text")).as("sh"))
         .withColumn("sig", minhashSig)
-    }).persist()
+    }).transform(Caches.scoped)
     def verify(cand: DataFrame, sig: DataFrame): DataFrame = cand
       .join(sig.select(col("doc_id"), col("sh").as("sh_a")), col("rep_a") === col("doc_id")).drop("doc_id")
       .join(sig.select(col("doc_id"), col("sh").as("sh_b")), col("rep_b") === col("doc_id")).drop("doc_id")
@@ -634,7 +637,7 @@ object Dedup {
     } else {
       // doc → exact-group key; feeds the collapse, the within-group
       // expansion, and the cross-group expansion
-      val memb = docs.select(col("doc_id"), textKey.as("th")).persist()
+      val memb = Caches.scoped(docs.select(col("doc_id"), textKey.as("th")))
       val reps = memb.groupBy(col("th")).agg(min(col("doc_id")).as("doc_id"))
       val sig = signed(docs.join(reps.select(col("doc_id")), Seq("doc_id"), "left_semi"))
       val bands = sig.select(col("doc_id"), posexplode(expr(bandSql)).as(Seq("band", "bh")))
@@ -706,7 +709,7 @@ object Dedup {
     *     one row per template per bucket, not k².
     */
   def x2SimHash(s: SparkSession, dir: String): DataFrame = {
-    val fp = portableFp(s, dir).persist()
+    val fp = Caches.scoped(portableFp(s, dir))
     val gate = Tables.documents(s, dir)
       .select(col("doc_id"), (simhashSig === simhashSigHof).as("native_eq_hof"))
     // Boilerplate-skew guard, EXACT form: identical texts have identical
@@ -998,7 +1001,7 @@ object Dedup {
     }
 
     if (!hasDupVecs) {
-      val e = corpusOf().persist()
+      val e = Caches.scoped(corpusOf())
       pairsOver(e, "vec_a", "vec_b").orderBy("vec_a", "vec_b")
     } else {
       // collapse to min-vec_id representatives: identical vectors share
@@ -1009,11 +1012,10 @@ object Dedup {
       // by banding would have been missed at doc granularity too — the
       // subset-of-exact contract is preserved while a k-copy template
       // costs one row per band bucket instead of k²
-      val memb = e0.select(col("vec_id"), vecKey.as("vk")).persist()
+      val memb = Caches.scoped(e0.select(col("vec_id"), vecKey.as("vk")))
       val reps = memb.groupBy(col("vk")).agg(min(col("vec_id")).as("vec_id"))
-      val e = corpusOf()
-        .join(reps.select(col("vec_id")), Seq("vec_id"), "left_semi")
-        .persist()
+      val e = Caches.scoped(corpusOf()
+        .join(reps.select(col("vec_id")), Seq("vec_id"), "left_semi"))
       val verified = pairsOver(e, "rep_a", "rep_b")
       val grp = memb.join(reps.select(col("vk"), col("vec_id").as("rep_id")), Seq("vk"))
         .select(col("vec_id"), col("rep_id"))
@@ -1149,8 +1151,8 @@ object Dedup {
       .select(col("doc_id"), col("text"))
     // per-side exact pre-collapse (X1 first — the dag_training_prep
     // ordering): group key = 8-byte text digest
-    val memb = docs.select(col("doc_id"), textKey.as("th"),
-      (col("doc_id") % 5 === 0).as("is_batch")).persist()
+    val memb = Caches.scoped(docs.select(col("doc_id"), textKey.as("th"),
+      (col("doc_id") % 5 === 0).as("is_batch")))
     // adaptive, as in x2MinHashLsh: measure whether any (text, side)
     // group holds more than one doc; if not, the collapse semi-join and
     // the group re-expansion are identities and are skipped (memb stays
@@ -1172,7 +1174,7 @@ object Dedup {
     val sig = signable
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .withColumn("sig", minhashSig)
-      .persist()
+      .transform(Caches.scoped)
     def bandsOf(df: DataFrame, idAs: String): DataFrame =
       df.select(col("doc_id").as(idAs), posexplode(expr(bandSql)).as(Seq("band", "bh")))
     val corpus = sig.filter(col("doc_id") % 5 =!= 0)

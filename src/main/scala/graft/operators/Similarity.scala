@@ -130,14 +130,15 @@ object Similarity {
     * defaults to the cosine-0.5 fixture regime; the near-dup regime
     * passes narrower-bucket geometry (see [[Dedup.x2EmbeddingLshAt]]).
     *
-    * On the `.persist()`s in this family with no paired unpersist: the
-    * CacheManager keys cache entries by LOGICAL PLAN, so repeated calls
-    * of one entry point re-reference ONE entry (the benign "already
-    * cached" warnings) — session cache growth is bounded by the distinct
-    * (query, dir, geometry) set, not by call count. Unpersisting before
-    * return isn't possible without materializing (localCheckpoint),
-    * which would destroy the executed plans PlanSpec pins for these
-    * queries.
+    * On the stage caches in this family: they are registered through
+    * [[Caches.scoped]] and released at the session owner's query
+    * boundary (r13). Unpersisting before return isn't possible without
+    * materializing (localCheckpoint), which would destroy the executed
+    * plans PlanSpec pins for these queries — so the release hook lives
+    * in the harness, and between releases growth stays bounded by the
+    * CacheManager's logical-plan dedup (repeated calls of one entry
+    * point re-reference ONE entry — the benign "already cached"
+    * warnings).
     */
   private[graft] def bandedCorpus(s: SparkSession, dir: String,
                                   nBands: Int = LshBands,
@@ -152,7 +153,7 @@ object Similarity {
     * force is quantified by the oracle-twinned [[x3AnnRecall]].
     */
   def x3AnnLsh(s: SparkSession, dir: String): DataFrame =
-    annTopK(bandedCorpus(s, dir).persist())
+    annTopK(Caches.scoped(bandedCorpus(s, dir)))
 
   /** The banded-LSH ANN top-k at a caller-chosen query-set width — the
     * hook for driving the FULL ANN pipeline at high group cardinality
@@ -160,7 +161,7 @@ object Similarity {
     * TopKPerGroupExec sorter fallback instead of growing hash state).
     */
   private[graft] def annTopKAll(s: SparkSession, dir: String, maxQ: Long): DataFrame =
-    annTopK(bandedCorpus(s, dir).persist(), maxQ)
+    annTopK(Caches.scoped(bandedCorpus(s, dir)), maxQ)
 
   /** Banded-LSH top-5 over a prepared (vec_id, e, norm, bands) corpus. */
   private def annTopK(e: DataFrame, maxQ: Long = 10L): DataFrame = {
@@ -193,7 +194,7 @@ object Similarity {
   def x3AnnRecall(s: SparkSession, dir: String): DataFrame = {
     // one persisted banded corpus feeds BOTH pipelines — the parquet
     // scan, norms, and signatures are computed once for the whole query
-    val corpus = bandedCorpus(s, dir).persist()
+    val corpus = Caches.scoped(bandedCorpus(s, dir))
     val exact = bruteTopK(corpus).select(col("q_id"), col("vec_id"))
     val ann = annTopK(corpus).select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
     exact.join(ann, Seq("q_id", "vec_id"), "left")
@@ -285,7 +286,7 @@ object Similarity {
       // query; the twin carries the identical guard
       .withColumn("q8", expr(
         "transform(e, x -> cast(round(CASE WHEN ma = 0D THEN 0D ELSE x * 127.0D / ma END, 0) as tinyint))"))
-      .persist()
+      .transform(Caches.scoped)
     val queries = corpus.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("q8").as("qq8"),
         col("ma").as("qma"), col("norm").as("qnorm"))
@@ -350,7 +351,7 @@ object Similarity {
     * and broadcasts.
     */
   def x3AnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = normed(s, dir).persist()
+    val e = Caches.scoped(normed(s, dir))
     val (refined, lists) = ivfIndex(e)
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("norm").as("qnorm"))
@@ -437,7 +438,7 @@ object Similarity {
       .groupBy(col("c_id"))
       .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
       .select(col("c_id"), expr("transform(dm, x -> x.m)").as("ce"))
-      .persist()
+      .transform(Caches.scoped)
 
     val lists = ivfAssign(e, refined) // inverted lists: (cell) -> vectors
     (refined, lists)

@@ -245,7 +245,8 @@ object TextAnalysis {
     // No paired unpersist (the result is lazy): session cache growth is
     // bounded by the CacheManager's logical-plan dedup — repeated calls
     // re-reference ONE entry (the Similarity.bandedCorpus note).
-    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")).persist()
+    val tf = Caches.scoped(
+      terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
@@ -297,9 +298,9 @@ object TextAnalysis {
             concat_ws(" ", element_at(col("toks"), i),
               element_at(col("toks"), i + 1)).as("bg")))).as("e"))
       .select(col("doc_id"), col("e.w1").as("w1"), col("e.bg").as("bg"))
-      // feeds both count aggregates and the scoring join; no paired
-      // unpersist — bounded by plan-dedup (the x4TfIdf note above)
-      .persist()
+      // feeds both count aggregates and the scoring join; released at
+      // the harness's query boundary (Caches.releaseScoped)
+      .transform(graft.operators.Caches.scoped)
     val cb = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
     val cp = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("cp"))
     bigrams.join(cb, Seq("bg")).join(cp, Seq("w1"))

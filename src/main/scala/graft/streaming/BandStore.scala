@@ -333,6 +333,40 @@ object BandStore {
       .parquet(dir)
   }
 
+  /** Batch-count threshold at which [[needsCompaction]] fires
+    * (`spark.graft.band.compactAfterBatches`, default 64): each
+    * micro-batch adds up to bandBuckets+sigBuckets+1 leaf directories,
+    * so at the default geometry 64 batches ≈ 5k leaves — the point
+    * where LISTING (not data) starts to dominate the probe's cost on a
+    * filesystem-backed store. A session conf, not store geometry: the
+    * cadence is an operational choice, re-tunable per deployment.
+    */
+  val CompactAfterBatchesConf = "spark.graft.band.compactAfterBatches"
+
+  /** Maintenance gauge (VERDICT r12 #6): true when any of the store's
+    * trees holds at least the configured number of `__batch=` partition
+    * directories — the small-files/listing tax [[compactStore]] exists
+    * to bound, REPORTED by the store instead of guessed by the
+    * operator. Compaction folds every eligible batch into one base
+    * generation per tree, so the gauge resets after a compact and the
+    * loop "admit → gauge → quiesced compact" self-schedules. Cost: one
+    * directory listing per tree — O(batch dirs), the very quantity
+    * being measured, and far cheaper than the probe scan that pays the
+    * tax.
+    */
+  def needsCompaction(spark: SparkSession, storeDir: String): Boolean = {
+    val threshold = spark.conf.get(CompactAfterBatchesConf, "64").toInt
+    def batchDirs(dir: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(st =>
+        st.isDirectory && st.getPath.getName.startsWith("__batch="))
+    }
+    Seq(bandsDir(storeDir), sigsDir(storeDir), evictedDir(storeDir))
+      .exists(batchDirs(_) >= threshold)
+  }
+
   /** Batch id of the FIRST compacted base generation. Base generations
     * are negative and strictly decreasing (−1, −2, …) so they can never
     * collide with a live micro-batch id (≥ 0) and probes'

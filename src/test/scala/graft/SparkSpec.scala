@@ -6,8 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session for all suites (one JVM, Test/fork := true). */
 object TestSession {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
+    // SPARK_GRAFT_MASTER lets the plan-pin suites run under
+    // local-cluster[n,c,m] — the cross-JVM serialization check
+    val s = Sessions.withMaster(SparkSession.builder(), "local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
