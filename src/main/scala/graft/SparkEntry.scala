@@ -32,7 +32,6 @@ object SparkEntry {
     "x2_labels_incremental", "x2_labels_delete",
     "x2_evict_readmit", "x2_incremental",
     "dag_corpus_build", "dag_corpus_build_stored",
-    "l5_upsert_last_wins", "dag_kafka_validate_enrich_upsert",
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

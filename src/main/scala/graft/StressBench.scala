@@ -170,6 +170,11 @@ object StressBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // SPARK_GRAFT_DEBUG_TIMING=true prints the admission loop's
+      // per-stage [admit-timing] lines — the soak-drift attribution
+      // hook (a -D on the sbt CLI never reaches the forked run JVM)
+      .config("spark.graft.debug.timing",
+        sys.env.getOrElse("SPARK_GRAFT_DEBUG_TIMING", "false"))
       .withExtensions(e => new graft.functions.GraftExtensions()(e))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
