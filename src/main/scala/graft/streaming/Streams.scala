@@ -186,6 +186,16 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         BandStore.admitBatch(batch, batchId, storeDir, admittedDir)
+        // maintenance surfacing (VERDICT r12 #6): the store reports when
+        // its small-files tax justifies a quiesced compact — the sink
+        // never compacts ITSELF (compaction's watermark contract wants
+        // the checkpoint committed and the stream quiesced), it tells
+        // the operator. One listing per tree, trivial next to the batch.
+        if (BandStore.needsCompaction(batch.sparkSession, storeDir))
+          org.slf4j.LoggerFactory.getLogger("graft.streaming.Streams").warn(
+            s"dedupAdmitSink: $storeDir passed the compaction threshold " +
+              s"(spark.graft.band.compactAfterBatches) at batch $batchId — " +
+              "run BandStore.compactStore at the next quiesce")
         ()
       }
       .start()
