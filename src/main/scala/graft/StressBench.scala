@@ -147,8 +147,10 @@ object StressBench {
     val bb = e.select(col("vec_id"), posexplode(col("bands")).as(Seq("band", "bh")))
     val cand = Dedup.cappedSelfPairs(bb, "vec_id", cap, "a", "b").count()
     val allPairs = n * (n - 1) / 2
-    (s"${b}x$p", cand, allPairs, if (cand == 0) Double.PositiveInfinity
-      else allPairs.toDouble / cand)
+    // max(cand, 1): a zero candidate count must not print Infinity —
+    // the %.1f interpolation would emit a bare `Infinity` token and the
+    // whole artifact line stops being JSON
+    (s"${b}x$p", cand, allPairs, allPairs.toDouble / math.max(cand, 1L))
   }
 
   def main(args: Array[String]): Unit = {

@@ -32,13 +32,20 @@ import org.apache.spark.sql.DataFrame
   */
 object Caches {
 
-  private val reg = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  // keyed by the CANONICALIZED analyzed plan — the same identity the
+  // CacheManager dedups on. A plain append-per-call registry would grow
+  // without bound in any session that never releases (the bench's
+  // deliberate warm mode, a library consumer looping one entry point):
+  // persist() is a plan-dedup no-op there, so the registry must be too.
+  private val reg = scala.collection.mutable.LinkedHashMap
+    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]
 
   /** Persist `df` under the query-scope registry. Synchronized: some
     * query paths materialize stage frames from overlapped futures.
     */
   private[graft] def scoped(df: DataFrame): DataFrame = {
-    reg.synchronized { reg += df }
+    val key = df.queryExecution.analyzed.canonicalized
+    reg.synchronized { if (!reg.contains(key)) reg(key) = df }
     df.persist()
   }
 
@@ -48,7 +55,7 @@ object Caches {
     * fail a healthy query that already returned.
     */
   def releaseScoped(): Unit = {
-    val all = reg.synchronized { val l = reg.toList; reg.clear(); l }
+    val all = reg.synchronized { val l = reg.values.toList; reg.clear(); l }
     all.foreach(df => try df.unpersist() catch { case _: Throwable => () })
   }
 

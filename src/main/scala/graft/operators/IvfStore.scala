@@ -626,9 +626,12 @@ object IvfStore {
       val dgPath = new Path(digestsDir(storeDir))
       val gen0 = gens.lastOption.filter(_ => fsOf(s, dgPath).exists(dgPath))
       if (gen0.isEmpty) {
-        // same owner token as the append lane below: a hard crash between
-        // the initial build's fence-claim and its publish must not lock
-        // the stream's own replay of batch 0 out for a whole lease
+        // same owner token as the append lane below: an in-process
+        // replay of batch 0 reclaims its own debris via the exact
+        // process token (zero lease); a RESTARTED driver gets the short
+        // restart lease only when ownerScope carries the checkpoint —
+        // the bare ingest-<batchId> form waits the full foreign lease
+        // (ADVICE r12: a bare batch counter proves no stream identity)
         buildVecs(cleaned, storeDir, ingestId = Some(streamBatchId),
           owner = Some(ownerScope.fold(s"ingest-$streamBatchId")(cp =>
             s"ingest-$cp-$streamBatchId")))
@@ -662,10 +665,12 @@ object IvfStore {
       val fpAfter = gen.fp ^ xIn ^ xOut
       // both lanes below (retrain-from-store and frozen-centroid append)
       // write batch `next` — claim it once, before either's first write.
-      // The owner token lets a crash-replay of THIS micro-batch reclaim
-      // its own fence debris immediately instead of crash-looping for a
-      // lease (micro-batches of one stream serialize through the
-      // checkpoint, so no live competitor can share the token).
+      // The owner token lets an IN-PROCESS crash-replay of this
+      // micro-batch reclaim its own fence debris immediately (exact
+      // process token, zero lease); a restarted driver process earns the
+      // short restart lease only when ownerScope carries the checkpoint
+      // — the bare ingest-<batchId> form waits the full foreign lease
+      // (ADVICE r12).
       val fenceRoot = new Path(storeDir)
       val fenceFs = fsOf(s, fenceRoot)
       StoreDirs.withGenFence(fenceFs, fenceRoot, next,

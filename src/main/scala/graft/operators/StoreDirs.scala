@@ -137,7 +137,19 @@ private[graft] object StoreDirs {
                      // (the upsert store: its first write wipes the
                      // whole path) keep the file as a dot-SIBLING
                      // instead, immune to overwrites and compact swaps
-                     fileAt: Option[org.apache.hadoop.fs.Path] = None): Map[String, Int] = {
+                     fileAt: Option[org.apache.hadoop.fs.Path] = None,
+                     // force = stamp UNCONDITIONALLY (atomic replace of
+                     // any existing file) — the provably-fresh-store
+                     // path, where an existing record describes a dead
+                     // predecessor. A delete-then-stamp here would open
+                     // a crash window with bucketed data and NO record
+                     // (next reader pins the legacy DEFAULTS and
+                     // mis-prunes); the rename replaces in one step, so
+                     // the file is never absent. Racing fresh writers
+                     // land last-writer-wins — identical bytes unless
+                     // they run different confs on one store, which no
+                     // ordering could make coherent anyway.
+                     force: Boolean = false): Map[String, Int] = {
     val p = fileAt.getOrElse(new org.apache.hadoop.fs.Path(root, ".geometry"))
     def read(): Option[Map[String, Int]] =
       if (!fs.exists(p)) None
@@ -148,22 +160,59 @@ private[graft] object StoreDirs {
           case Array(k, v) => k -> v.toInt
         }.toMap)
       }
-    read().getOrElse {
+    def stamp(): Map[String, Int] = {
       val g = if (legacy) defaults else confValues
       // only the bucket counts must be positive — epoch-style markers
       // (e.g. BandStore's obatchEpoch) legitimately carry 0
       require(g.forall { case (k, v) => v > 0 || !k.toLowerCase.contains("bucket") },
         s"bucket counts must be positive: $g")
-      fs.mkdirs(p.getParent)
+      restamp(fs, p, g, replace = force)
+      read().getOrElse(g.toMap)
+    }
+    if (force) stamp() else read().getOrElse(stamp())
+  }
+
+  /** Write a geometry record by temp-file + rename.
+    *
+    * `replace = false` (the first-stamp path): Hadoop's rename REFUSES
+    * an existing destination here, which is exactly the wanted
+    * first-writer-wins — a loser's rename fails and the winner's full
+    * content stands, never a torn file.
+    *
+    * `replace = true` (force-restamp / epoch upgrade): the record must
+    * be REPLACED with no window where the file is absent (a crash in a
+    * delete-then-stamp gap would leave bucketed data with no record and
+    * the next reader pinned to the legacy defaults). On `file:` schemes
+    * this is NIO `ATOMIC_MOVE + REPLACE_EXISTING` — a true atomic
+    * replace — with the Checksum sidecar dropped FIRST so a stale CRC
+    * can never fail reads of the new content (a read in the gap sees
+    * the old content unverified, which is coherent). Non-local
+    * filesystems fall back to delete+rename and accept the microscopic
+    * gap (object stores replace atomically on plain create anyway).
+    */
+  private[graft] def restamp(fs: org.apache.hadoop.fs.FileSystem,
+                             p: org.apache.hadoop.fs.Path,
+                             g: Seq[(String, Int)],
+                             replace: Boolean = false): Unit = {
+    fs.mkdirs(p.getParent)
+    val bytes = g.map { case (k, v) => s"$k=$v" }.mkString(" ").getBytes("UTF-8")
+    if (replace && fs.getScheme == "file") {
+      val dst = Paths.get(p.toUri.getPath)
+      val tmp = dst.resolveSibling(s"${p.getName}.tmp-${java.util.UUID.randomUUID}")
+      Files.write(tmp, bytes)
+      Files.deleteIfExists(dst.resolveSibling(s".${p.getName}.crc"))
+      Files.move(tmp, dst,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
       // tmp sits next to the final file (same parent) so the publishing
       // rename never crosses directories
       val tmp = new org.apache.hadoop.fs.Path(p.getParent,
         s"${p.getName}.tmp-${java.util.UUID.randomUUID}")
       val out = fs.create(tmp, true)
-      try out.write(g.map { case (k, v) => s"$k=$v" }.mkString(" ").getBytes("UTF-8"))
-      finally out.close()
+      try out.write(bytes) finally out.close()
+      if (replace) fs.delete(p, false)
       if (!fs.rename(tmp, p)) fs.delete(tmp, true) // lost the race: winner stands
-      read().getOrElse(g.toMap)
     }
   }
 

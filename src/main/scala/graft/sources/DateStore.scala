@@ -332,8 +332,11 @@ object DateStore {
     // the ingest fence: micro-batches of ONE stream serialize through
     // the checkpoint, but a corpus-driven maintainer racing the stream
     // (or a second stream on one store) is the same interleave hazard.
-    // The owner token lets a crash-replay of THIS batch reclaim its own
-    // fence debris immediately instead of crash-looping for a lease.
+    // The owner token lets an IN-PROCESS crash-replay of this batch
+    // reclaim its own fence debris immediately (exact process token,
+    // zero lease); a restarted driver process earns the short restart
+    // lease only when ownerScope carries the checkpoint — the bare
+    // ingest-<batchId> form waits the full foreign lease (ADVICE r12).
     val fenceRoot = new Path(storeDir)
     val fenceFs = fsOf(s, fenceRoot)
     StoreDirs.withGenFence(fenceFs, fenceRoot, next,

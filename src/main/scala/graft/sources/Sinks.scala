@@ -76,16 +76,18 @@ object Sinks {
     // deleted and recreated at the same path must take the current
     // confs, not silently inherit the dead store's recorded bucket
     // count (ADVICE r12). With the store provably absent/empty the
-    // sibling describes nothing — drop it before stamping. Racing
-    // first-batch writers both land here (both see !hasBuckets), so the
-    // delete-then-stamp stays first-writer-wins on the fresh file.
-    if (!hasBuckets) fs.delete(sibling, false)
+    // sibling describes nothing — FORCE-stamp over it (atomic rename
+    // replace; see StoreDirs.ensureGeometry's force note for why a
+    // delete-then-stamp would instead open a crash window that leaves
+    // bucketed data with no record, mis-pinning the next reader to the
+    // legacy defaults).
     graft.operators.StoreDirs.ensureGeometry(
       fs, storePath, legacy = hasBuckets,
       defaults = Seq("upsertBuckets" -> UpsertBuckets),
       confValues = Seq("upsertBuckets" ->
         spark.conf.get(UpsertBucketsConf, UpsertBuckets.toString).toInt),
-      fileAt = Some(sibling)
+      fileAt = Some(sibling),
+      force = !hasBuckets
     )("upsertBuckets")
   }
 

@@ -571,6 +571,28 @@ object BandStore {
           }
         }
       }
+      // EPOCH UPGRADE: a FULL quiesced compaction of a legacy (epoch-0)
+      // store has just migrated every surviving row's `__obatch`, so the
+      // store is uniformly post-upgrade — restamp the epoch so probes
+      // stop paying the per-batch schema-merge tax forever (the only
+      // other escape is an importCorpus rebuild). Guarded by reading the
+      // trees back: the lone-legacy-base no-op early return above leaves
+      // un-migrated rows in place, and such a tree's schema (one base,
+      // all files alike) still lacks the column — the check is exact.
+      // Partial compactions never upgrade: legacy batches may survive
+      // above minLiveBatch.
+      def treeUniform(dir: String): Boolean =
+        !hasBatches(spark, dir) ||
+          spark.read.parquet(dir).columns.contains("__obatch")
+      if (minLiveBatch == Long.MaxValue && g.obatchEpoch == 0 &&
+          treeUniform(bandsDir(storeDir)) && treeUniform(sigsDir(storeDir))) {
+        val p = new org.apache.hadoop.fs.Path(storeDir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        graft.operators.StoreDirs.restamp(fs,
+          new org.apache.hadoop.fs.Path(storeDir, ".geometry"),
+          Seq("bandBuckets" -> g.bandBuckets, "sigBuckets" -> g.sigBuckets,
+            "obatchEpoch" -> 1), replace = true)
+      }
     } finally absorb.foreach(_.unpersist())
   }
 
@@ -586,9 +608,14 @@ object BandStore {
     */
   private[graft] def probeScan(spark: SparkSession, storeDir: String,
                                touchedBb: Seq[Int], batchId: Long,
-                               evOpt: Option[Option[DataFrame]] = None): DataFrame =
+                               evOpt: Option[Option[DataFrame]] = None,
+                               // the admission loop passes its
+                               // already-read Geometry — one geometry
+                               // file read per batch, not two
+                               gOpt: Option[Geometry] = None): DataFrame =
     maskEvicted(
-      readTree(spark, bandsDir(storeDir), ensureGeometry(spark, storeDir))
+      readTree(spark, bandsDir(storeDir),
+          gOpt.getOrElse(ensureGeometry(spark, storeDir)))
         .filter(col("__bb").isin(touchedBb: _*) && col("__batch") =!= batchId),
       evOpt.getOrElse(evictions(spark, storeDir)))
       .select(col("band"), col("bh"), col("doc_id").as("peer_id"))
@@ -740,7 +767,7 @@ object BandStore {
           // cached volume IS the touched-bucket occupancy the admission
           // cost model already charges for scanning, and MEMORY_AND_DISK
           // spills rather than evicting the executors at scale.
-          val probe = keep(probeScan(spark, storeDir, touched, batchId, Some(ev)))
+          val probe = keep(probeScan(spark, storeDir, touched, batchId, Some(ev), Some(g)))
           probeCache = Some(probe)
           // hot-bucket guard, bipartite form: cap the STORE side of each
           // (band, bh) bucket — an over-cap bucket contributes only its

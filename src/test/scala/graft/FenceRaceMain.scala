@@ -41,7 +41,12 @@ object FenceRaceMain {
       val out =
         try s"ok:${graft.operators.LabelStore.ensureCurrentIncremental(spark, corpusDir, storeDir)}"
         catch {
-          case e: IllegalStateException => s"conflict:${e.getMessage.take(120)}"
+          // both adjudicated loud-loss classes: the fence's
+          // IllegalStateException ("concurrent writer") AND the publish
+          // CAS's require — an IllegalArgumentException ("store
+          // advanced") — are legitimate race outcomes, not crashes
+          case e @ (_: IllegalStateException | _: IllegalArgumentException) =>
+            s"conflict:${Option(e.getMessage).getOrElse("").take(120)}"
         }
       write(outcomeFile, out)
     } catch {

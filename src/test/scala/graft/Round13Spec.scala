@@ -112,6 +112,24 @@ class Round13Spec extends SparkSpec {
       5L, store, admitted)
     assert(admittedIn(5L) == Set(104L),
       "post-migration: the re-admitted doc still vetoes, fresh text admits")
+    // the PARTIAL compact above must NOT have upgraded the epoch (legacy
+    // batches can survive above minLiveBatch in general)…
+    assert(BandStore.ensureGeometry(spark, store).obatchEpoch == 0,
+      "a partial compaction must not upgrade the schema epoch")
+    // …but a FULL quiesced compaction has provably migrated every row —
+    // the epoch upgrades and probes drop the schema-merge tax for good
+    BandStore.compactStore(spark, store)
+    assert(BandStore.ensureGeometry(spark, store).obatchEpoch == 1,
+      "a full compaction of a fully-migrated store must upgrade the epoch")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(store, ".geometry"))
+      == "bandBuckets=64 sigBuckets=16 obatchEpoch=1",
+      "the upgrade must preserve the recorded bucket geometry")
+    // and decisions are unchanged on the now plain-read store
+    BandStore.admitBatch(frame(Seq((105L, text("a", 5)), (106L, text("z", 9)))),
+      6L, store, admitted)
+    assert(admittedIn(6L) == Set(106L),
+      "post-upgrade: retained docs veto, fresh text admits")
   }
 
   // ---------------------------------------------------------------
@@ -282,7 +300,13 @@ class Round13Spec extends SparkSpec {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(go), "go")
       val mine =
         try Right(LabelStore.ensureCurrentIncremental(spark, dir, store))
-        catch { case e: IllegalStateException => Left(e.getMessage) }
+        catch {
+          // fence conflicts are IllegalStateException; the publish CAS's
+          // "store advanced" require is IllegalArgumentException — both
+          // are the loud-loss outcomes this test adjudicates
+          case e @ (_: IllegalStateException | _: IllegalArgumentException) =>
+            Left(e.getMessage)
+        }
       assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
         "subprocess did not finish")
       assert(proc.exitValue() == 0, s"subprocess crashed — ${readLog(log)}")
