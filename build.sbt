@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// pass the forked run's stdout through RAW: sbt's default LoggedOutput
+// prefixes every line with `[info] `, which broke the driver's parse of
+// Bench's final JSON line four rounds running (VERDICT r13 #4)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -26,6 +26,13 @@ object Bench {
     // valid-looking artifact benchmarking nothing
     val unknown = args.toSet.diff(SparkEntry.queries.keySet)
     require(unknown.isEmpty, s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    // lifecycleGates is a hand-maintained key list (ADVICE r13): a
+    // renamed or removed query key would silently shift the
+    // total_queries/total_gates subtotals the 2x budget is tracked
+    // against — fail loudly instead
+    val drifted = SparkEntry.lifecycleGates.diff(SparkEntry.queries.keySet)
+    require(drifted.isEmpty,
+      s"lifecycleGates names unknown queries: ${drifted.toSeq.sorted.mkString(", ")}")
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
@@ -137,7 +144,19 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // subtotals only — the gate-key list lives in the full line/file;
     // the trailer must stay inside a ~2 KB tail
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"total_queries":$totalQueries,"total_gates":$totalGates,"errors":$errJson,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","slowest":$slowest,"queries_file":"target/bench.json"}""")
+    val trailer =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"total_queries":$totalQueries,"total_gates":$totalGates,"errors":$errJson,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","slowest":$slowest,"queries_file":"target/bench.json"}"""
+    // four rounds of driver artifacts read `parsed: null` because sbt's
+    // logger decorated every stdout line with `[info] ` (VERDICT r13
+    // #4/What's-wrong #3). Two fixes land together: build.sbt now sets
+    // `outputStrategy := StdoutOutput` so the forked run's stdout passes
+    // through raw, and the trailer ALSO lands at a sentinel path so the
+    // result stays machine-readable however the launcher mangles stdout.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_trailer.json"), trailer + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench_trailer.json: $e")
+    }
+    println(trailer)
   }
 }

@@ -57,5 +57,14 @@ object Sessions {
     else withM
       .config("spark.executor.extraClassPath", sys.props("java.class.path"))
       .config("spark.executor.extraJavaOptions", jdk17Opens)
+      // bound the relaunch churn (VERDICT r13): at teardown a Worker can
+      // keep relaunching executors that die against the stopping driver —
+      // an observed `Application ... failed 299 times` storm that would
+      // equally mask a REAL crash-looping executor mid-run. Standalone's
+      // app-removal counter only fires with no executor running, so a
+      // deliberate single-executor kill (the chaos tests) never trips a
+      // healthy app; 10 consecutive no-survivor failures means the app is
+      // genuinely unschedulable and should fail loudly, not loop.
+      .config("spark.deploy.maxExecutorRetries", "10")
   }
 }

@@ -42,11 +42,20 @@ object Caches {
 
   /** Persist `df` under the query-scope registry. Synchronized: some
     * query paths materialize stage frames from overlapped futures.
+    * The persist() runs INSIDE the lock (ADVICE r13): registered-then-
+    * persisted-outside let a releaseScoped() interleave between the two,
+    * unpersisting a not-yet-cached frame and leaving the late persist
+    * registered nowhere — undrainable. persist() only marks the plan in
+    * the CacheManager (lazy, no job), so holding the lock across it is
+    * cheap, and release/persist can no longer cross.
     */
   private[graft] def scoped(df: DataFrame): DataFrame = {
     val key = df.queryExecution.analyzed.canonicalized
-    reg.synchronized { if (!reg.contains(key)) reg(key) = df }
-    df.persist()
+    reg.synchronized {
+      df.persist()
+      if (!reg.contains(key)) reg(key) = df
+    }
+    df
   }
 
   /** Release every cache registered since the last call — the

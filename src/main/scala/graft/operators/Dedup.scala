@@ -1289,7 +1289,14 @@ object Dedup {
               Seq("doc_id"), "left_semi"), multi)
           }
         val sig = keep(BandStore.signDocs(repDocs))
-        val bands = BandStore.explodeBands(sig, "doc_id")
+        // keep()-materialized (ADVICE r13): the sanity aggregate below
+        // plus the self-join's two sides would otherwise each re-explode
+        // the bands from the cached sig — three scans for one frame. One
+        // cached explode serves all three; the aggregate itself stays
+        // EAGER by design: this builder is eager end-to-end (it runs
+        // store admission in-line), and the bound exists to fail loudly
+        // BEFORE the quadratic join, not after.
+        val bands = keep(BandStore.explodeBands(sig, "doc_id"))
         // EXACT pairs, not cappedSelfPairs (ADVICE r11): the DuckDB twin
         // computes the in-batch drop set by exact all-pairs Jaccard, so a
         // hot band bucket past the cap would make the Spark-side drops a

@@ -151,15 +151,7 @@ private[graft] object StoreDirs {
                      // ordering could make coherent anyway.
                      force: Boolean = false): Map[String, Int] = {
     val p = fileAt.getOrElse(new org.apache.hadoop.fs.Path(root, ".geometry"))
-    def read(): Option[Map[String, Int]] =
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        Some(s.trim.split("\\s+").map(_.split("=", 2)).collect {
-          case Array(k, v) => k -> v.toInt
-        }.toMap)
-      }
+    def read(): Option[Map[String, Int]] = readRecord(fs, p)
     def stamp(): Map[String, Int] = {
       val g = if (legacy) defaults else confValues
       // only the bucket counts must be positive — epoch-style markers
@@ -171,6 +163,21 @@ private[graft] object StoreDirs {
     }
     if (force) stamp() else read().getOrElse(stamp())
   }
+
+  /** Read a geometry record without stamping — the re-read/verify hook
+    * for racing-first-writer convergence ([[graft.sources.Sinks]]'s
+    * initial-write path, ADVICE r13). None = file absent.
+    */
+  private[graft] def readRecord(fs: org.apache.hadoop.fs.FileSystem,
+                                p: org.apache.hadoop.fs.Path): Option[Map[String, Int]] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      Some(s.trim.split("\\s+").map(_.split("=", 2)).collect {
+        case Array(k, v) => k -> v.toInt
+      }.toMap)
+    }
 
   /** Write a geometry record by temp-file + rename.
     *
@@ -187,8 +194,16 @@ private[graft] object StoreDirs {
     * replace — with the Checksum sidecar dropped FIRST so a stale CRC
     * can never fail reads of the new content (a read in the gap sees
     * the old content unverified, which is coherent). Non-local
-    * filesystems fall back to delete+rename and accept the microscopic
-    * gap (object stores replace atomically on plain create anyway).
+    * filesystems write through `fs.create(p, overwrite = true)` directly
+    * (ADVICE r13): on object stores the new object becomes visible
+    * atomically on close, so the record is NEVER absent — the previous
+    * delete-then-rename fallback reopened exactly the record-absent
+    * crash window the force path exists to close (a crash in its gap
+    * left bucketed data with no record and the next reader pinned to
+    * the legacy defaults). On HDFS the overwrite-create truncates first
+    * — a reader in that microscopic window sees a partial record and
+    * fails its parse loudly rather than mis-pruning, and the writer's
+    * close completes the record.
     */
   private[graft] def restamp(fs: org.apache.hadoop.fs.FileSystem,
                              p: org.apache.hadoop.fs.Path,
@@ -204,6 +219,11 @@ private[graft] object StoreDirs {
       Files.move(tmp, dst,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else if (replace) {
+      // non-local replace: plain overwrite-create — no step where the
+      // record is absent (see the scaladoc)
+      val out = fs.create(p, true)
+      try out.write(bytes) finally out.close()
     } else {
       // tmp sits next to the final file (same parent) so the publishing
       // rename never crosses directories
@@ -211,7 +231,6 @@ private[graft] object StoreDirs {
         s"${p.getName}.tmp-${java.util.UUID.randomUUID}")
       val out = fs.create(tmp, true)
       try out.write(bytes) finally out.close()
-      if (replace) fs.delete(p, false)
       if (!fs.rename(tmp, p)) fs.delete(tmp, true) // lost the race: winner stands
     }
   }

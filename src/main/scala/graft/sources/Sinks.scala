@@ -72,22 +72,41 @@ object Sinks {
     // file inside it would not survive either
     val sibling = new org.apache.hadoop.fs.Path(
       path.getParent, s".${path.getName}.geometry")
+    val conf = spark.conf.get(UpsertBucketsConf, UpsertBuckets.toString).toInt
     // …but a sibling equally survives deleting the STORE: a store
     // deleted and recreated at the same path must take the current
     // confs, not silently inherit the dead store's recorded bucket
     // count (ADVICE r12). With the store provably absent/empty the
-    // sibling describes nothing — FORCE-stamp over it (atomic rename
-    // replace; see StoreDirs.ensureGeometry's force note for why a
-    // delete-then-stamp would instead open a crash window that leaves
-    // bucketed data with no record, mis-pinning the next reader to the
-    // legacy defaults).
+    // sibling describes nothing… UNLESS a racing first writer just
+    // stamped it (ADVICE r13: an unconditional force-restamp here made
+    // fresh-store geometry last-writer-wins — two racers with different
+    // confs could leave the surviving Overwrite layout disagreeing with
+    // the surviving record, mis-pruning every later merge). The two
+    // cases separate on the record's AGE, the codebase's standard lease
+    // inference: a record younger than [[graft.operators.StoreDirs
+    // .restartFenceMs]] is presumed a LIVE racing first writer — ADOPT
+    // it, so racers converge on one count whatever the stamp order; an
+    // older one is dead-predecessor debris — force-restamp (atomic
+    // replace; a delete-then-stamp would open a crash window that
+    // leaves bucketed data with no record, mis-pinning the next reader
+    // to the legacy defaults). Same-value records adopt trivially.
+    // Residual (documented lease trade): a recreate under a DIFFERENT
+    // conf within one lease of the dead store's last stamp adopts the
+    // dead count — safe (record and layout still agree), just not the
+    // session's conf; rebuild after the lease or into a fresh path.
+    val existing = graft.operators.StoreDirs.readRecord(fs, sibling)
+      .flatMap(_.get("upsertBuckets"))
+    val recordAge =
+      try System.currentTimeMillis() - fs.getFileStatus(sibling).getModificationTime
+      catch { case _: java.io.IOException => Long.MaxValue }
+    val force = !hasBuckets && existing.exists(_ != conf) &&
+      recordAge >= graft.operators.StoreDirs.restartFenceMs
     graft.operators.StoreDirs.ensureGeometry(
       fs, storePath, legacy = hasBuckets,
       defaults = Seq("upsertBuckets" -> UpsertBuckets),
-      confValues = Seq("upsertBuckets" ->
-        spark.conf.get(UpsertBucketsConf, UpsertBuckets.toString).toInt),
+      confValues = Seq("upsertBuckets" -> conf),
       fileAt = Some(sibling),
-      force = !hasBuckets
+      force = force
     )("upsertBuckets")
   }
 
@@ -124,12 +143,43 @@ object Sinks {
     // leaves only _SUCCESS — reading that as a store would fail schema
     // inference); anything else present but unreadable propagates as an
     // error instead of silently discarding the store
-    val hasBuckets = fs.exists(path) &&
+    def bucketDirsPresent(): Boolean = fs.exists(path) &&
       fs.listStatus(path).exists(st => st.isDirectory && st.getPath.getName.startsWith("__bucket="))
-    val nBuckets = upsertGeometry(spark, storePath, hasBuckets)
+    val hasBuckets = bucketDirsPresent()
+    val nStamped = upsertGeometry(spark, storePath, hasBuckets)
+    // Racing FIRST writers (ADVICE r13): with the store provably fresh,
+    // upsertGeometry force-stamps, so two racers with different
+    // `upsertBuckets` confs can interleave stamp/read such that the
+    // surviving record disagrees with the surviving data layout — and a
+    // later merge would pmod-prune with the wrong count, silently
+    // missing existing keys. Convergence protocol:
+    //   1. bucket the data by the record READ BACK immediately before
+    //      the write, not by what THIS writer stamped — racers that
+    //      stamped in either order then both land on the last stamp;
+    //   2. re-detect bucket dirs right before the initial write — a
+    //      racer's data that appeared since the existence check routes
+    //      this writer to the merge path against it instead of wiping it;
+    //   3. VERIFY after the initial write: if the record moved between
+    //      our read-back and the write landing (the one interleaving
+    //      1-2 can't close), fail LOUDLY naming the repair — two
+    //      first writers racing different confs onto one store is
+    //      unserializable intent, and the loud loser is what prevents a
+    //      silently mis-pruning store.
+    val geomFile = new org.apache.hadoop.fs.Path(
+      path.getParent, s".${path.getName}.geometry")
+    def recordedBuckets(): Int =
+      graft.operators.StoreDirs.readRecord(fs, geomFile)
+        .flatMap(_.get("upsertBuckets")).getOrElse(nStamped)
+    val nBuckets = if (hasBuckets) nStamped else recordedBuckets()
     val withBucket = latest.withColumn("__bucket", bucketOf(key, nBuckets))
-    if (!hasBuckets) {
+    if (!hasBuckets && !bucketDirsPresent()) {
       withBucket.write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(storePath)
+      val nAfter = recordedBuckets()
+      if (nAfter != nBuckets) throw new IllegalStateException(
+        s"racing initial writers with different bucket confs on $storePath: " +
+          s"this writer landed $nBuckets-bucket data but the surviving geometry " +
+          s"record says $nAfter — the store's record and layout may disagree; " +
+          "rebuild the store under one conf")
       return
     }
     val touched = withBucket.select(col("__bucket")).distinct()

@@ -189,7 +189,18 @@ class Round13Spec extends SparkSpec {
     }
     del(new java.io.File(store))
     assert(java.nio.file.Files.exists(geoFile),
-      "precondition: the sibling survives store deletion — that is the hazard")
+      "precondition: the sibling survives store deletion — that is the hazard"
+    )
+    // r14 lease semantics (ADVICE r13): a dead record is only
+    // force-replaced once it is OLDER than the restart lease — a fresh
+    // different-value record is presumed a racing live first writer and
+    // ADOPTED (the convergence that stops racers leaving record/layout
+    // disagreeing). Age the debris past the lease, as a real recreate
+    // would be.
+    def ageRecord(): Unit = java.nio.file.Files.setLastModifiedTime(geoFile,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - graft.operators.StoreDirs.restartFenceMs - 60000L))
+    ageRecord()
     // a recreated store under a DIFFERENT conf must stamp fresh, not
     // inherit the dead store's count
     withConf(Sinks.UpsertBucketsConf -> "8") {
@@ -205,6 +216,7 @@ class Round13Spec extends SparkSpec {
       s"the recreated layout must be 8-bucket: ${buckets.toSeq.sorted}")
     // and with NO conf set, a recreated store falls back to the default
     del(new java.io.File(store))
+    ageRecord()
     Sinks.upsertByKey(Seq((1L, 1L, "x")).toDF("off", "id", "v"), "id", "off", store)
     assert(java.nio.file.Files.readString(geoFile)
       == s"upsertBuckets=${Sinks.UpsertBuckets}",
