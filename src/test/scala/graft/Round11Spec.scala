@@ -363,25 +363,38 @@ class Round11Spec extends SparkSpec {
   // UnsafeExternalSorter the memory-pressure path uses).
   // ---------------------------------------------------------------
 
-  /** The two forced-spill pins below carry fixture-JVM calibration: the
-    * thresholds/row counts were sized so the single 8 GiB local[4] test
-    * JVM spills without OOMing on spill-reader buffers and sorter pages
-    * (see the inline notes). A `local-cluster` run gives each executor
-    * 4 GiB and 8 concurrent tasks — the same forcing constants OOM it
-    * (exit 52, measured r13), killing the executor and with it the
-    * test's localCheckpoint blocks. That is test calibration, not an
-    * engine gap: cross-memory-topology spill EQUALITY is SpillStress's
-    * claim (2 GiB vs 8 GiB bit-identical checksums, re-proven each
-    * round), so under local-cluster these two cancel with this reason
-    * instead of failing on fixture constants.
+  /** The forced-spill pins' constants, derived from the RUNNING
+    * topology's memory shape instead of the 8 GiB local[4] fixture they
+    * were originally calibrated to (VERDICT r13 #3: the fixture
+    * constants OOM'd a 1 GiB-heap local-cluster executor — exit 52 —
+    * so the pins `assume()`-canceled there, leaving the suite at 228+2
+    * under local-cluster). Per-task memory is MEASURED where the tasks
+    * run: the smallest executor heap (a real job — under local-cluster
+    * that is the child JVM's heap, not the driver's) divided by the
+    * topology's task slots per executor. Every forcing constant scales
+    * linearly with that ratio against the fixture's 2 GiB/task
+    * reference, clamped to [1/32, 1] — at scale 1 these are exactly the
+    * constants every prior recorded round ran.
     */
-  private def assumeFixtureJvm(): Unit =
-    assume(!spark.sparkContext.master.startsWith("local-cluster"),
-      "forced-spill constants are calibrated to the single fixture JVM; " +
-        "topology-spanning spill equality is SpillStress's claim")
+  private lazy val spillScale: Double = {
+    val heapMin = spark.range(0, 64, 1, 64).rdd
+      .map(_ => Runtime.getRuntime.maxMemory).min()
+    val m = spark.sparkContext.master
+    val slots = m match {
+      case s if s.startsWith("local-cluster") =>
+        // local-cluster[n, coresPerWorker, memPerWorkerMB]
+        s.stripPrefix("local-cluster[").stripSuffix("]").split(",")(1).trim.toInt
+      case s if s.startsWith("local[") =>
+        val n = s.stripPrefix("local[").stripSuffix("]")
+        if (n == "*") Runtime.getRuntime.availableProcessors() else n.toInt
+      case _ => spark.conf.getOption("spark.executor.cores").map(_.toInt).getOrElse(1)
+    }
+    val perTask = heapMin.toDouble / slots
+    val fixturePerTask = 2.0 * 1024 * 1024 * 1024 // 8 GiB local[4]
+    math.min(1.0, math.max(1.0 / 32, perTask / fixturePerTask))
+  }
 
   test("forced spill: SMJ buffered side and window buffer spill to disk; results equal the in-memory run") {
-    assumeFixtureJvm()
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     import java.util.concurrent.atomic.AtomicLong
     val disk = new AtomicLong
@@ -389,12 +402,17 @@ class Round11Spec extends SparkSpec {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
         if (e.taskMetrics != null) disk.addAndGet(e.taskMetrics.diskBytesSpilled)
     }
-    // ~3k buffered rows per join key and per window partition — far
-    // past the forced thresholds below. The streamed join side carries
+    // ~3k buffered rows per join key and per window partition at scale 1
+    // — far past the forced thresholds below; rows and thresholds both
+    // shrink with the per-task memory so smaller executors still spill
+    // (group size stays well past the spill threshold at every scale)
+    // without OOMing on reader buffers. The streamed join side carries
     // ONE row per key so the buffered side still buffers whole per-key
     // groups while the join OUTPUT stays batch-sized (a many×many key
     // would fan out quadratically and genuinely OOM the fixture JVM).
-    val df = spark.range(200000L)
+    val nRows = math.max(20000L, (200000L * spillScale).toLong)
+    val inMemThreshold = math.max(64, (256 * spillScale).toInt)
+    val df = spark.range(nRows)
       .select((col("id") % 64).as("k"), col("id").as("v")).localCheckpoint()
     def smjChecksum(): Double = {
       val a = df.select(col("k")).distinct().withColumn("va", col("k") * 7 + 1)
@@ -411,13 +429,14 @@ class Round11Spec extends SparkSpec {
     }
     val confs = Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1", // SMJ, not broadcast
-      // ~6 forced spill segments per 3k-row group: real disk spill
+      // a handful of forced spill segments per group: real disk spill
       // without hundreds of tiny segments (each spill reader buffers
-      // ~1 MB — threshold 64 OOM'd the fixture JVM on reader buffers)
-      "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold" -> "256",
-      "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "512",
-      "spark.sql.windowExec.buffer.in.memory.threshold" -> "256",
-      "spark.sql.windowExec.buffer.spill.threshold" -> "512")
+      // ~1 MB — an unscaled threshold 64 at 3k-row groups OOM'd the
+      // fixture JVM on reader buffers, hence the floor)
+      "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold" -> inMemThreshold.toString,
+      "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> (2 * inMemThreshold).toString,
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> inMemThreshold.toString,
+      "spark.sql.windowExec.buffer.spill.threshold" -> (2 * inMemThreshold).toString)
     val (smjBase, winBase) = (smjChecksum(), windowChecksum())
     spark.sparkContext.addSparkListener(listener)
     try {
@@ -436,9 +455,11 @@ class Round11Spec extends SparkSpec {
   }
 
   test("forced hash-agg fallback to sort-based aggregation equals the hash-path result") {
-    assumeFixtureJvm()
-    val df = spark.range(100000L).select(
-      (col("id") % 9973).as("g"), col("id").as("v")).localCheckpoint()
+    // same memory-shape scaling as the SMJ/window pin; ~10 rows per
+    // group at every scale so the fallback sorter sees real groups
+    val nRows = math.max(20000L, (100000L * spillScale).toLong)
+    val df = spark.range(nRows).select(
+      (col("id") % (nRows / 10)).as("g"), col("id").as("v")).localCheckpoint()
     def aggChecksum(): Long = {
       val g = df.groupBy(col("g")).agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
       g.agg(sum(col("s") % 1000003 + col("n"))).head.getLong(0)
