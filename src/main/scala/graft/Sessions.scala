@@ -50,8 +50,14 @@ object Sessions {
     * drags a packaging step into every run; the processes share one
     * machine, so the literal classpath is the honest transport.
     */
-  def withMaster(b: SparkSession.Builder, default: String): SparkSession.Builder = {
-    val m = master(default)
+  def withMaster(b: SparkSession.Builder, default: String): SparkSession.Builder =
+    withExactMaster(b, master(default))
+
+  /** [[withMaster]] minus the env override — for harnesses whose claim
+    * IS the topology (the executor-kill chaos main must run a real
+    * multi-process cluster whatever the suite's master is).
+    */
+  def withExactMaster(b: SparkSession.Builder, m: String): SparkSession.Builder = {
     val withM = b.master(m)
     if (!m.startsWith("local-cluster")) withM
     else withM

@@ -382,6 +382,26 @@ object BandStore {
   def compactStore(spark: SparkSession, storeDir: String): Unit =
     compactStore(spark, storeDir, Long.MaxValue)
 
+  /** Close the gauge's loop (VERDICT r13 #2): run the quiesced full
+    * compaction iff [[needsCompaction]] fires, returning the pause cost
+    * in seconds (None = gauge quiet, nothing ran). At 100 TB an
+    * unbounded admission stream must SELF-maintain — the gauge reported
+    * the small-files tax since r12 but nothing acted on it. Call only
+    * from a quiesce point (between drains, checkpoint fully committed:
+    * [[graft.streaming.Streams.dedupAdmitDrain]] calls it after
+    * AvailableNow termination, when every batch is committed by
+    * construction; a batch-loop caller owns the same guarantee
+    * trivially) — the full compact folds EVERY batch, so a replayable
+    * batch id must not exist when it runs.
+    */
+  def compactIfNeeded(spark: SparkSession, storeDir: String): Option[Double] =
+    if (!needsCompaction(spark, storeDir)) None
+    else {
+      val t0 = System.nanoTime()
+      compactStore(spark, storeDir)
+      Some((System.nanoTime() - t0) / 1e9)
+    }
+
   /** Maintenance: merge the per-batch partition trees of every batch id
     * `< minLiveBatch` (prior base generations included) into ONE new base
     * generation per bucket. Every micro-batch adds up to [[BandBuckets]]

@@ -200,6 +200,26 @@ object Streams {
       }
       .start()
 
+  /** T11 self-maintaining form (VERDICT r13 #2): drain the admission
+    * stream with its AvailableNow trigger, then — at exactly the quiesce
+    * point compaction's watermark contract wants — run the quiesced full
+    * compact iff the store's gauge fires. After `awaitTermination` of an
+    * AvailableNow drain every batch is committed, so no batch id is
+    * replayable and the full compact is safe by construction; the next
+    * drain's probes read the folded base generation transparently
+    * (base ids are negative, live batch ids never collide). This is the
+    * loop an unbounded 100 TB admission stream runs forever: admit →
+    * gauge → compact → resume, with the small-files tax paid in bounded
+    * quiesced pauses instead of growing per-probe listing cost.
+    * Returns the compaction pause in seconds (None = gauge quiet).
+    */
+  def dedupAdmitDrain(stream: DataFrame, storeDir: String, admittedDir: String,
+                      checkpoint: String): Option[Double] = {
+    val q = dedupAdmitSink(stream, storeDir, admittedDir, checkpoint)
+    q.awaitTermination()
+    BandStore.compactIfNeeded(stream.sparkSession, storeDir)
+  }
+
   /** T13 [EXT] — streaming LABEL maintenance: the full document→labels
     * lifecycle as one sink (the log-driven story for the
     * [[graft.operators.LabelStore]], by composition). Each micro-batch

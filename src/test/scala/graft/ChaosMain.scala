@@ -1,0 +1,245 @@
+package graft
+
+import java.util.concurrent.TimeUnit
+import java.util.concurrent.atomic.AtomicInteger
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerExecutorRemoved, SparkListenerTaskStart}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Executor-loss fault injection (VERDICT r13 next-round #1): crossing a
+  * JVM boundary was proven in round 13; SURVIVING the loss of one is the
+  * actual cluster-resilience claim behind every 100 TB statement, and no
+  * run had ever exercised it. This main boots its own
+  * `local-cluster[3,4,1536]` (three REAL executor JVMs, children of this
+  * process), then:
+  *
+  *   (a) kills one executor JVM (`destroyForcibly` — a hard SIGKILL,
+  *       indistinguishable from a node crash) MID-FLIGHT through a heavy
+  *       oracle query. Task retry + shuffle refetch must reproduce the
+  *       EXACT baseline digest, and the listener bus must carry the
+  *       executor-removed event (the kill verifiably happened).
+  *   (b) kills one executor MID-WRITE through a LabelStore incremental
+  *       maintenance call. The generation protocol must either complete
+  *       (task retry absorbed the loss) or lose LOUDLY (a lost
+  *       localCheckpoint block / aborted job surfaces as an exception —
+  *       never a torn generation): afterwards the store must hold unique
+  *       generation numbers, a bounded retry must converge, and the
+  *       final labels must hash-equal a from-scratch build of the same
+  *       corpus — the executor-death sibling of round 13's two-driver
+  *       fence race.
+  *
+  * Run as a subprocess by Round14Spec (its own cluster must not collide
+  * with the suite's shared session). Writes one JSON line to args(1) and
+  * exits 0 on success; any assertion failure exits nonzero with the
+  * message on stdout (captured to the spec's log file).
+  *
+  * A kill that lands after the victim phase already finished proves
+  * nothing — each phase verifies the work was still in flight when the
+  * kill landed and retries the whole phase (fresh store) up to 3 times
+  * otherwise, failing loudly if it can never land one.
+  */
+object ChaosMain {
+
+  private implicit val ec: ExecutionContext = ExecutionContext.global
+
+  private def executorJvms(): Seq[ProcessHandle] = {
+    import scala.jdk.CollectionConverters._
+    val all = ProcessHandle.current().descendants().iterator().asScala.toSeq
+    // the executor command line carries the full test classpath — far
+    // past what /proc-backed ProcessHandle.Info reliably returns — so
+    // the class-name match is a preference, not the gate: in THIS
+    // process tree the Master and Workers are in-process threads
+    // (LocalSparkCluster), making every java child an executor JVM
+    val named = all.filter(p => p.info().commandLine()
+      .map(c => c.contains("CoarseGrainedExecutorBackend")).orElse(false))
+    if (named.nonEmpty) named
+    else all.filter(p => p.info().command().map(_.endsWith("java")).orElse(false))
+  }
+
+  private def digest(df: DataFrame): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    df.collect().map(_.toString).sorted.foreach(r => md.update(r.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outPath = args(1)
+    val spark = Sessions.withExactMaster(SparkSession.builder(), "local-cluster[3,4,1536]")
+      .appName("graft-chaos")
+      .config("spark.sql.shuffle.partitions", "12")
+      .config("spark.executor.memory", "1g")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(e => new graft.functions.GraftExtensions()(e))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val removed = new AtomicInteger
+    val tasksStarted = new AtomicInteger
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onExecutorRemoved(e: SparkListenerExecutorRemoved): Unit =
+        removed.incrementAndGet()
+      override def onTaskStart(t: SparkListenerTaskStart): Unit =
+        tasksStarted.incrementAndGet()
+    })
+
+    // cluster warm-up: a job wide enough that all three executors must
+    // register before any phase is timed or killed
+    spark.range(0, 48, 1, 48).count()
+
+    def require(cond: Boolean, msg: => String): Unit =
+      if (!cond) { println(s"CHAOS FAIL: $msg"); spark.stop(); sys.exit(1) }
+
+    /** Run `work` in a future, kill one executor once `minTasks` of its
+      * tasks have started and it is still in flight; returns
+      * (result, killLandedMidFlight, killedPid).
+      */
+    def killDuring[A](minTasks: Int)(work: => A): (A, Boolean, Long) = {
+      tasksStarted.set(0)
+      val fut = Future(work)
+      val deadline = System.currentTimeMillis() + 120000L
+      while (tasksStarted.get() < minTasks && !fut.isCompleted &&
+             System.currentTimeMillis() < deadline) Thread.sleep(5)
+      var pid = -1L
+      var landed = false
+      if (!fut.isCompleted) executorJvms().headOption.foreach { v =>
+        pid = v.pid()
+        v.destroyForcibly() // SIGKILL, returns immediately
+        // "landed" = the signal went out while the work was STILL in
+        // flight — checked before the blocking exit-wait, which could
+        // otherwise outlast the victim phase and mask a too-late kill
+        landed = !fut.isCompleted
+        v.onExit().get(30, TimeUnit.SECONDS)
+      }
+      (Await.result(fut, 10.minutes), landed, pid)
+    }
+
+    // ---------------------------------------------------------------
+    // (a) heavy oracle query: exact digest across an executor loss.
+    // q9 is the suite's heaviest pure-dataflow TPC-H plan (no
+    // localCheckpoint — a lost pinned block is NON-recomputable by
+    // design and belongs to phase (b)'s loud-loss class). At sf0.1 it
+    // finishes too fast for a kill to reliably land inside (a
+    // self-union would NOT stretch it — ReuseExchange collapses
+    // identical branches), so the chaos data dir carries lineitem
+    // inflated ×8 (rows duplicated — join fan-out and aggregates scale
+    // deterministically, the digest stays exact) with the other tables
+    // symlinked; one execution then spans many seconds of multi-stage
+    // shuffle work.
+    // ---------------------------------------------------------------
+    val work = java.nio.file.Files.createTempDirectory("graft-chaos").toString
+    val chaosData = s"$work/data"
+    new java.io.File(chaosData).mkdirs()
+    new java.io.File(sfDir).listFiles().filter(_.getName.endsWith(".parquet"))
+      .filter(_.getName != "lineitem.parquet")
+      .foreach(f => java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(chaosData, f.getName), f.toPath))
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    (1 to 8).map(_ => li).reduce(_ unionByName _).repartition(24)
+      .write.mode("overwrite").parquet(s"$chaosData/lineitem.parquet")
+    val q = () => graft.operators.Analytics.q9ProfitShape(spark, chaosData)
+    val baseDigest = digest(q())
+    var queryLanded = false
+    var queryPid = -1L
+    var queryDigest = ""
+    var attempts = 0
+    while (!queryLanded && attempts < 3) {
+      attempts += 1
+      val removedBefore = removed.get()
+      val (d, landed, pid) = killDuring(4)(digest(q()))
+      queryDigest = d
+      queryLanded = landed
+      queryPid = pid
+      if (landed) {
+        // the kill must be VISIBLE on the listener bus, not inferred
+        val evDeadline = System.currentTimeMillis() + 30000L
+        while (removed.get() == removedBefore &&
+               System.currentTimeMillis() < evDeadline) Thread.sleep(50)
+        require(removed.get() > removedBefore,
+          "killed an executor but no SparkListenerExecutorRemoved arrived")
+      }
+    }
+    require(queryLanded, s"could not land a mid-query kill in $attempts attempts")
+    require(queryDigest == baseDigest,
+      s"post-kill query digest diverged: $queryDigest vs $baseDigest")
+
+    // ---------------------------------------------------------------
+    // (b) store maintenance: kill mid-write, never a torn generation
+    // ---------------------------------------------------------------
+    import graft.operators.LabelStore
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus0 = s"$work/corpus0"
+    val corpus1 = s"$work/corpus1"
+    docs.filter(col("doc_id") % 10 =!= 7).repartition(12)
+      .write.mode("overwrite").parquet(s"$corpus0/documents.parquet")
+    docs.repartition(12)
+      .write.mode("overwrite").parquet(s"$corpus1/documents.parquet")
+
+    var storeLanded = false
+    var storeOutcome = ""
+    var storePid = -1L
+    var store = ""
+    attempts = 0
+    while (!storeLanded && attempts < 3) {
+      attempts += 1
+      store = s"$work/store-$attempts"
+      LabelStore.build(spark, corpus0, store)
+      val removedBefore = removed.get()
+      val (out, landed, pid) = killDuring(4) {
+        try Right(LabelStore.ensureCurrentIncremental(spark, corpus1, store))
+        catch { case e: Exception => Left(e.toString.take(400)) }
+      }
+      storeLanded = landed
+      storePid = pid
+      storeOutcome = out.fold(m => s"loud:$m", m => s"ok:$m")
+      if (landed) {
+        val evDeadline = System.currentTimeMillis() + 30000L
+        while (removed.get() == removedBefore &&
+               System.currentTimeMillis() < evDeadline) Thread.sleep(50)
+        require(removed.get() > removedBefore,
+          "killed an executor mid-maintenance but no executor-removed event arrived")
+      }
+    }
+    require(storeLanded, s"could not land a mid-maintenance kill in $attempts attempts")
+    require(storeOutcome.startsWith("ok:") || storeOutcome.startsWith("loud:"),
+      s"unclassified maintenance outcome: $storeOutcome")
+
+    // never torn: generation numbers unique whatever the outcome
+    val gens = Option(new java.io.File(store).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith("gen=")).toSeq
+      .map(_.stripPrefix("gen=").takeWhile(_ != '_').toLong)
+    require(gens.distinct.size == gens.size, s"duplicate generations after kill: $gens")
+
+    // a bounded retry converges from whatever state the kill left
+    var retries = 0
+    var retried = ""
+    while (retried == "" && retries < 3) {
+      retries += 1
+      try retried = LabelStore.ensureCurrentIncremental(spark, corpus1, store)
+      catch { case _: Exception if retries < 3 => Thread.sleep(1000) }
+    }
+    require(Set("noop", "incremental", "full").contains(retried),
+      s"retry after kill did not converge: '$retried'")
+
+    // and the surviving store hash-equals a from-scratch build
+    val fresh = s"$work/store-fresh"
+    LabelStore.build(spark, corpus1, fresh)
+    val survived = digest(LabelStore.read(spark, store))
+    val scratch = digest(LabelStore.read(spark, fresh))
+    require(survived == scratch,
+      s"post-kill store labels diverged from from-scratch: $survived vs $scratch")
+
+    val line =
+      s"""{"query_kill_pid":$queryPid,"query_digest_equal":true,""" +
+      s""""store_kill_pid":$storePid,"store_outcome":"${storeOutcome.replace("\"", "'")}",""" +
+      s""""store_retry":"$retried","store_equal":true,"executor_removed_events":${removed.get()}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line)
+    println(line)
+    spark.stop()
+  }
+}
