@@ -153,6 +153,175 @@ object StressBench {
     (s"${b}x$p", cand, allPairs, allPairs.toDouble / math.max(cand, 1L))
   }
 
+  /** File count + total bytes under a store tree — the small-files tax
+    * the `needsCompaction` gauge reports, measured directly.
+    */
+  private def du(dir: String): (Long, Long) = {
+    val root = new java.io.File(dir)
+    def walk(f: java.io.File): (Long, Long) =
+      if (f.isFile) (1L, f.length())
+      else Option(f.listFiles()).getOrElse(Array.empty)
+        .map(walk).foldLeft((0L, 0L)) { case ((c1, b1), (c2, b2)) => (c1 + c2, b1 + b2) }
+    if (!root.exists()) (0L, 0L) else walk(root)
+  }
+
+  /** The IVF maintain+serve lifecycle at a configurable vector scale
+    * (VERDICT r13 #5: the second decade). `ivfCopies` replicas of the
+    * ×N embeddings corpus are built through the same sign-flip law
+    * (cross-replica cosine ≈ 0, within-replica cosines preserved), then
+    * the full cycle runs against it: full train, 9/10 build + frozen-
+    * centroid append, 0.1% tombstone delete, three log-driven ingest
+    * batches, a restate, and a brute-force-grounded recall@5 check over
+    * the LIVE rows. Returns the artifact's JSON fragments
+    * (`"ivf_inc"`, `"ivf_del"`, `"vec_ingest"`). Default 50 copies of
+    * the ×10 corpus = the recorded 1M-vector point; 50 copies of a ×50
+    * corpus (or SPARK_GRAFT_STRESS_IVF_COPIES=250 on ×10) = 5M.
+    */
+  private def ivfScaleCycle(spark: SparkSession, bigOut: String,
+                            work: String, ivfCopies: Int): String = {
+    // --- incremental IVF maintenance (X3c''): at the x10 corpus's 20k
+    // vectors both paths are fixed-overhead-bound, so the asymptotic
+    // separation (append = O(delta · nlist) assignment vs re-train =
+    // TWO O(corpus · nlist) passes + full list rewrite) is measured on
+    // a ×500 embeddings corpus (1M vecs — same sign-flip replication,
+    // cross-replica cosine ≈ 0): build on 9/10, append the last tenth.
+    // At 1M the full build's Lloyd refinement alone shuffles 64M
+    // (cell, dim) rows; the append pays none of it ---
+    val embScale = s"$work/ivf-scale"
+    locally {
+      val emb = spark.read.parquet(s"$bigOut/embeddings.parquet")
+      val nV = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+      // replica id as a COLUMN (one broadcast cross join), not one plan
+      // branch per copy — a 250-way unionByName of lambda transforms is
+      // an analyzer stress test, not a data one. `j * 977 + __rep` is
+      // long arithmetic here (the old literal path hashed ints), so the
+      // ±1 patterns differ from pre-r14 corpora in VALUE but not in LAW:
+      // deterministic per (replica, dim), cross-replica cosine ≈ 0
+      emb.crossJoin(broadcast(spark.range(0, ivfCopies).select(col("id").as("__rep"))))
+        .select((col("vec_id") + col("__rep") * nV).as("vec_id"),
+          when(col("__rep") === 0, col("embedding"))
+            .otherwise(expr("""transform(embedding, (v, j) ->
+                              |  CAST(v * (CAST(pmod(xxhash64(j * 977 + __rep), 2) AS DOUBLE) * 2.0 - 1.0) AS FLOAT))"""
+              .stripMargin)).as("embedding"),
+          col("label"))
+        .repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(s"$embScale/embeddings.parquet")
+    }
+    val ivfIncStore = s"$work/ivfstore-inc"
+    val scaleVecs = spark.read.parquet(s"$embScale/embeddings.parquet")
+    val scaleVecCount = scaleVecs.count()
+    // self-contained across runs: the ingest phase below records a
+    // micro-batch-id floor that SURVIVES rebuilds by design (replay
+    // safety across mixed maintenance), so a reused work dir would skip
+    // this run's fixed batch ids — start from a clean store
+    locally {
+      val p = new org.apache.hadoop.fs.Path(s"$work/ivfstore-scale")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val tIvfFull = System.nanoTime()
+    graft.operators.IvfStore.build(spark, embScale, s"$work/ivfstore-scale")
+    val ivfScaleBuildSec = (System.nanoTime() - tIvfFull) / 1e9
+    val tIvfIncB = System.nanoTime()
+    graft.operators.IvfStore.buildVecs(scaleVecs.filter(col("vec_id") % 10 =!= 7), ivfIncStore)
+    val ivfIncBuildSec = (System.nanoTime() - tIvfIncB) / 1e9
+    val tIvfIncA = System.nanoTime()
+    val ivfIncMode = graft.operators.IvfStore.ensureCurrentIncremental(spark, embScale, ivfIncStore)
+    val ivfIncAppendSec = (System.nanoTime() - tIvfIncA) / 1e9
+    require(ivfIncMode == "incremental", s"expected the incremental path, ran '$ivfIncMode'")
+    require(!graft.operators.IvfStore.ensureCurrent(spark, embScale, ivfIncStore),
+      "append must leave the store fingerprint-current")
+    val ivfIncAppended = scaleVecs.filter(col("vec_id") % 10 === 7).count()
+
+    // --- incremental IVF DELETE (X3c'''', round 10): a 0.1% takedown
+    // against the 1M-vector store. The tombstone path pays one digest
+    // classification pass plus a NARROW id scan of the lists (vec_id +
+    // partition column, no vector data) — it must cost a small fraction
+    // of the full re-train (ivfScaleBuildSec), which is what every
+    // delete used to pay ---
+    val ivfDelCorpus = scaleVecs.filter(col("vec_id") % 1000 =!= 3)
+    val ivfDeleted = scaleVecCount - ivfDelCorpus.count()
+    val tIvfDel = System.nanoTime()
+    val ivfDelMode = graft.operators.IvfStore.ensureIncrementalVecs(
+      ivfDelCorpus, s"$work/ivfstore-scale")
+    val ivfDelSec = (System.nanoTime() - tIvfDel) / 1e9
+    require(ivfDelMode == "incremental-delete", s"expected the delete path, ran '$ivfDelMode'")
+
+    // --- log-driven vector UPSERT at 1M scale (round-10 §16): three
+    // 10k micro-batches of new vectors, then a 1k re-embed restate,
+    // against the 1M store the delete phase just served. Per-batch cost
+    // = one narrow digest classification pass + delta-only assignment —
+    // it must stay a small fraction of the full re-train, and flat
+    // across batches ---
+    val vecIngestSecs = (0 until 3).map { b =>
+      val batch = scaleVecs.filter(col("vec_id") % 100 === b)
+        .withColumn("vec_id", col("vec_id") + 100000000L + b.toLong * 10000000L)
+      val t0 = System.nanoTime()
+      val m = graft.operators.IvfStore.appendVectors(
+        batch, s"$work/ivfstore-scale", 1000L + b)
+      require(m == "ingest", s"vector ingest batch $b ran '$m'")
+      (System.nanoTime() - t0) / 1e9
+    }
+    // % 1000 alone: divisibility by 1000 implies the % 100 === 0 batch-0
+    // membership, so every remapped id here restates a just-ingested one
+    val reBatch = scaleVecs.filter(col("vec_id") % 1000 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000000L)
+      .withColumn("embedding", expr("transform(embedding, x -> CAST(x * 2.0 AS FLOAT))"))
+    val vecRestated = reBatch.count()
+    val tVecRe = System.nanoTime()
+    val vecReMode = graft.operators.IvfStore.appendVectors(
+      reBatch, s"$work/ivfstore-scale", 2000L)
+    val vecRestateSec = (System.nanoTime() - tVecRe) / 1e9
+    require(vecReMode == "ingest", s"vector restate ran '$vecReMode'")
+
+    // --- ANN recall at the 1M scale (VERDICT r10 item 5): the fixture
+    // pins recall@5 ≥ 0.85 only at sf0.01/sf0.1; the 1M store above has
+    // now absorbed a 0.1% delete, three 10k frozen-centroid ingests and
+    // a 1k restate — exactly the train-once-add-forever policy whose
+    // recall decay was an assumption, not a number. Ground truth is
+    // brute-force cosine top-5 over the LIVE store rows (deletes and
+    // ingests applied), so the measurement covers what a probe could
+    // possibly return; the floor asserted is the fixture LlmOpsSpec
+    // floor (0.8 mean). A measured drop below it is the re-train
+    // trigger this policy owes its users ---
+    val scaleStore = s"$work/ivfstore-scale"
+    val tRecall = System.nanoTime()
+    val (qcScale, prunedLists) = graft.operators.IvfStore.probeInputs(
+      spark, embScale, scaleStore, maxQueryId = 24L)
+    val annScale = graft.operators.Similarity.ivfScore(prunedLists, qcScale)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    val liveScale = graft.operators.IvfStore.liveVectors(spark, scaleStore)
+    val queriesScale = qcScale.select(col("q_id"), col("qe"), col("qnorm")).distinct()
+    val dot = graft.functions.VectorFunctions.dotF64 _
+    val exactScored = liveScale.crossJoin(broadcast(queriesScale))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        round(dot(col("qe"), col("e")) / (col("qnorm") * col("norm")), 6))
+      .select(col("q_id"), col("vec_id"), col("cosine"))
+    val exactScale = graft.plans.TopKPerGroup.topKRanked(exactScored,
+        Seq(col("q_id")), Seq(col("cosine").desc, col("vec_id")), 5, "rank")
+      .select(col("q_id"), col("vec_id"))
+    val recallRow = exactScale.join(annScale, Seq("q_id", "vec_id"), "left")
+      .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .head
+    val recallAt5 = recallRow.getLong(1).toDouble / recallRow.getLong(0)
+    val recallSec = (System.nanoTime() - tRecall) / 1e9
+    require(recallAt5 >= 0.8,
+      f"1M-store recall@5 $recallAt5%.3f fell below the 0.8 floor — " +
+        "frozen-centroid decay: re-train the store")
+
+    f""""ivf_inc":{"corpus_vecs":$scaleVecCount,"base_build_sec":$ivfIncBuildSec%.3f,""" +
+    f""""append_sec":$ivfIncAppendSec%.3f,"appended_vecs":$ivfIncAppended,""" +
+    f""""full_build_sec":$ivfScaleBuildSec%.3f},""" +
+    f""""ivf_del":{"deleted":$ivfDeleted,"sec":$ivfDelSec%.3f,""" +
+    f""""full_build_sec":$ivfScaleBuildSec%.3f},""" +
+    s""""vec_ingest":{"base_vecs":$scaleVecCount,""" +
+    s""""upsert_secs":${vecIngestSecs.map(s => f"$s%.3f").mkString("[", ",", "]")},""" +
+    f""""restated":$vecRestated,"restate_sec":$vecRestateSec%.3f,""" +
+    f""""full_build_sec":$ivfScaleBuildSec%.3f,""" +
+    f""""recall_at_5":$recallAt5%.4f,"recall_floor":0.8,"recall_sec":$recallSec%.3f}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft-stress"
@@ -165,7 +334,13 @@ object StressBench {
         .split("\\s+").take(3).mkString(",")
       catch { case _: Throwable => "" }
     val loadStart = loadavg
-    val copies = 10
+    // corpus scale knob (VERDICT r13 #5): the default ×10 derived corpus
+    // proved flat-to-one-decade; SPARK_GRAFT_STRESS_COPIES=50 drives the
+    // second decade (250k docs / 100k vecs at sf0.1 base) through the
+    // SAME replication law — cross-replica Jaccard and cosine stay ≈ 0,
+    // so true pair counts scale linearly and any superlinear runtime is
+    // the engine's, not the corpus's
+    val copies = sys.env.getOrElse("SPARK_GRAFT_STRESS_COPIES", "10").toInt
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -223,6 +398,21 @@ object StressBench {
       return
     }
 
+    // isolated IVF lifecycle drive (VERDICT r13 #5): the full suite pays
+    // ~15 min of unrelated phases before the vector store — this mode
+    // runs JUST the maintain+serve cycle on a fresh JVM at a chosen
+    // scale (COPIES × IVF_COPIES × 2000 vecs at sf0.1: 10×50=1M, the
+    // recorded point; 50×50 or 10×250 = 5M, the second decade).
+    // Recorded STRESS artifacts carry the in-suite run; this one's line
+    // is recorded alongside it, labeled.
+    if (sys.env.contains("SPARK_GRAFT_STRESS_IVF_ONLY")) {
+      val ivfCopies = sys.env.getOrElse("SPARK_GRAFT_STRESS_IVF_COPIES", "50").toInt
+      val j = ivfScaleCycle(spark, bigOut, work, ivfCopies)
+      println(s"""{"stress":"ivf-scale","copies":$copies,"ivf_copies":$ivfCopies,$j,"loadavg_start":"$loadStart","loadavg_end":"$loadavg"}""")
+      spark.stop()
+      return
+    }
+
     val queries = Seq("x2_minhash_lsh", "x2_incremental", "x2_dup_clusters",
       "x2_embedding_lsh")
     def timeOne(name: String, dir: String): (Double, Long) = {
@@ -231,10 +421,21 @@ object StressBench {
       val rows = SparkEntry.queries(name)(spark, dir).count()
       ((System.nanoTime() - t0) / 1e9, rows)
     }
+    // soak knob (VERDICT r12 #7): the 10-batch default proves the
+    // plateau; SPARK_GRAFT_STRESS_ADMIT_BATCHES=50..100 (with
+    // ADMIT_ONLY) drives the long tail that a 10-batch window could
+    // hide a second-order growth term behind
+    val admBatches = sys.env.getOrElse("SPARK_GRAFT_STRESS_ADMIT_BATCHES", "10").toInt
+    // a LONG soak measures the store's growth law, not the JVM-state
+    // interaction the 10-batch escape hatch exists for — skip the query
+    // preamble so an 80-batch ×50 run spends its wall on the claim
+    // (isolatePhase() already severs the preamble's cache state either
+    // way, so the curves are comparable across both shapes)
+    val longSoak = sys.env.contains("SPARK_GRAFT_STRESS_ADMIT_ONLY") && admBatches != 10
     // interleaved best-of-2, the Bench r8 discipline: a contention window
     // must span BOTH full passes to bias any single cell, and pass-2
     // disagreement vs pass-1 is visible in the log
-    val passes = (1 to 2).map { p =>
+    val passes = if (longSoak) Seq.empty else (1 to 2).map { p =>
       queries.map { name =>
         val (bs, br) = timeOne(name, baseOut)
         val (xs, xr) = timeOne(name, bigOut)
@@ -242,7 +443,7 @@ object StressBench {
         name -> (bs, xs, br, xr)
       }.toMap
     }
-    val stats = queries.map { name =>
+    val stats = if (longSoak) Seq.empty else queries.map { name =>
       val cells = passes.map(_(name))
       name -> (cells.map(_._1).min, cells.map(_._2).min,
         cells.head._3, cells.head._4)
@@ -270,11 +471,6 @@ object StressBench {
     val admStore = s"$work/admstore"
     val admOut = s"$work/admout"
     val allDocs = spark.read.parquet(s"$bigOut/documents.parquet").persist()
-    // soak knob (VERDICT r12 #7): the 10-batch default proves the
-    // plateau; SPARK_GRAFT_STRESS_ADMIT_BATCHES=50..100 (with
-    // ADMIT_ONLY) drives the long tail that a 10-batch window could
-    // hide a second-order growth term behind
-    val admBatches = sys.env.getOrElse("SPARK_GRAFT_STRESS_ADMIT_BATCHES", "10").toInt
     val perBatch = allDocs.count() / admBatches
     // the range slicing below assumes ids contiguous from 0 — on a gapped
     // corpus (e.g. an already-deduped one passed as baseDir) it would
@@ -282,30 +478,40 @@ object StressBench {
     // `admitted`
     require(allDocs.agg(max(col("doc_id"))).head.getLong(0) == allDocs.count() - 1,
       "admission slicing requires contiguous doc_ids from 0")
+    // the production quiesce point, mirrored (round 14): every batch is
+    // committed when admitBatch returns, so the gauge-driven full
+    // compact is safe here exactly as at dedupAdmitDrain's exit. The
+    // pause is recorded SEPARATELY from the admission wall so the
+    // per-batch curve stays comparable across rounds and the artifact
+    // carries the recovery shape: batch times climb with the
+    // small-files tax, the compact fires past the 64-batch threshold,
+    // and post-compact batches must fall back onto the early curve
+    val admCompactions = scala.collection.mutable.ArrayBuffer.empty[String]
     val admSecs = (0 until admBatches).map { b =>
       val batch = allDocs.filter(col("doc_id") >= b * perBatch && col("doc_id") < (b + 1) * perBatch)
       val t0 = System.nanoTime()
       graft.streaming.BandStore.admitBatch(batch, b.toLong, admStore, admOut)
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (graft.streaming.BandStore.needsCompaction(spark, admStore)) {
+        val (fb, bb) = du(admStore)
+        graft.streaming.BandStore.compactIfNeeded(spark, admStore).foreach { pause =>
+          val (fa, ba) = du(admStore)
+          admCompactions += f"""{"batch":$b,"pause_sec":$pause%.3f,"files_before":$fb,"files_after":$fa,"bytes_before":$bb,"bytes_after":$ba}"""
+        }
+      }
+      sec
     }
     allDocs.unpersist()
+    val admCompactJson = admCompactions.mkString("[", ",", "]")
 
     // soak exit: a 50-100-batch ADMIT_ONLY run wants the long per-batch
     // curve plus the store's physical footprint, not the boiler loop —
     // print and stop here. Store size = file count + bytes under the
     // three trees (the small-files tax needsCompaction gauges).
-    if (sys.env.contains("SPARK_GRAFT_STRESS_ADMIT_ONLY") && admBatches != 10) {
-      def du(dir: String): (Long, Long) = {
-        val root = new java.io.File(dir)
-        def walk(f: java.io.File): (Long, Long) =
-          if (f.isFile) (1L, f.length())
-          else Option(f.listFiles()).getOrElse(Array.empty)
-            .map(walk).foldLeft((0L, 0L)) { case ((c1, b1), (c2, b2)) => (c1 + c2, b1 + b2) }
-        if (!root.exists()) (0L, 0L) else walk(root)
-      }
+    if (longSoak) {
       val (nFiles, nBytes) = du(admStore)
       val gauge = graft.streaming.BandStore.needsCompaction(spark, admStore)
-      println(s"""{"stress":"admit-soak","batches":$admBatches,"admission_batch_secs":[${admSecs.map(s => math.round(s * 1000) / 1000.0).mkString(",")}],"admitted":${spark.read.parquet(admOut).count()},"store_files":$nFiles,"store_bytes":$nBytes,"needs_compaction":$gauge,"loadavg_start":"$loadStart","loadavg_end":"$loadavg"}""")
+      println(s"""{"stress":"admit-soak","copies":$copies,"batches":$admBatches,"docs_per_batch":$perBatch,"admission_batch_secs":[${admSecs.map(s => math.round(s * 1000) / 1000.0).mkString(",")}],"compactions":$admCompactJson,"admitted":${spark.read.parquet(admOut).count()},"store_files":$nFiles,"store_bytes":$nBytes,"needs_compaction":$gauge,"loadavg_start":"$loadStart","loadavg_end":"$loadavg"}""")
       spark.stop()
       return
     }
@@ -482,132 +688,8 @@ object StressBench {
     require(ivfProbe.exceptAll(ivfDirect).isEmpty && ivfProbeRows == ivfDirectRows,
       "store-served IVF probe diverged from the self-contained query")
 
-    // --- incremental IVF maintenance (X3c''): at the x10 corpus's 20k
-    // vectors both paths are fixed-overhead-bound, so the asymptotic
-    // separation (append = O(delta · nlist) assignment vs re-train =
-    // TWO O(corpus · nlist) passes + full list rewrite) is measured on
-    // a ×500 embeddings corpus (1M vecs — same sign-flip replication,
-    // cross-replica cosine ≈ 0): build on 9/10, append the last tenth.
-    // At 1M the full build's Lloyd refinement alone shuffles 64M
-    // (cell, dim) rows; the append pays none of it ---
-    val embScale = s"$work/ivf-scale"
-    locally {
-      val emb = spark.read.parquet(s"$bigOut/embeddings.parquet")
-      val nV = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
-      (0 until 50).map { i =>
-        val flipped =
-          if (i == 0) col("embedding")
-          else expr(s"""transform(embedding, (v, j) ->
-                       |  CAST(v * (CAST(pmod(xxhash64(j * 977 + $i), 2) AS DOUBLE) * 2.0 - 1.0) AS FLOAT))"""
-            .stripMargin)
-        emb.select((col("vec_id") + lit(i * nV)).as("vec_id"),
-          flipped.as("embedding"), col("label"))
-      }.reduce(_ unionByName _)
-        .repartition(32)
-        .write.mode(SaveMode.Overwrite).parquet(s"$embScale/embeddings.parquet")
-    }
-    val ivfIncStore = s"$work/ivfstore-inc"
-    val scaleVecs = spark.read.parquet(s"$embScale/embeddings.parquet")
-    val scaleVecCount = scaleVecs.count()
-    // self-contained across runs: the ingest phase below records a
-    // micro-batch-id floor that SURVIVES rebuilds by design (replay
-    // safety across mixed maintenance), so a reused work dir would skip
-    // this run's fixed batch ids — start from a clean store
-    locally {
-      val p = new org.apache.hadoop.fs.Path(s"$work/ivfstore-scale")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
-    val tIvfFull = System.nanoTime()
-    graft.operators.IvfStore.build(spark, embScale, s"$work/ivfstore-scale")
-    val ivfScaleBuildSec = (System.nanoTime() - tIvfFull) / 1e9
-    val tIvfIncB = System.nanoTime()
-    graft.operators.IvfStore.buildVecs(scaleVecs.filter(col("vec_id") % 10 =!= 7), ivfIncStore)
-    val ivfIncBuildSec = (System.nanoTime() - tIvfIncB) / 1e9
-    val tIvfIncA = System.nanoTime()
-    val ivfIncMode = graft.operators.IvfStore.ensureCurrentIncremental(spark, embScale, ivfIncStore)
-    val ivfIncAppendSec = (System.nanoTime() - tIvfIncA) / 1e9
-    require(ivfIncMode == "incremental", s"expected the incremental path, ran '$ivfIncMode'")
-    require(!graft.operators.IvfStore.ensureCurrent(spark, embScale, ivfIncStore),
-      "append must leave the store fingerprint-current")
-    val ivfIncAppended = scaleVecs.filter(col("vec_id") % 10 === 7).count()
-
-    // --- incremental IVF DELETE (X3c'''', round 10): a 0.1% takedown
-    // against the 1M-vector store. The tombstone path pays one digest
-    // classification pass plus a NARROW id scan of the lists (vec_id +
-    // partition column, no vector data) — it must cost a small fraction
-    // of the full re-train (ivfScaleBuildSec), which is what every
-    // delete used to pay ---
-    val ivfDelCorpus = scaleVecs.filter(col("vec_id") % 1000 =!= 3)
-    val ivfDeleted = scaleVecCount - ivfDelCorpus.count()
-    val tIvfDel = System.nanoTime()
-    val ivfDelMode = graft.operators.IvfStore.ensureIncrementalVecs(
-      ivfDelCorpus, s"$work/ivfstore-scale")
-    val ivfDelSec = (System.nanoTime() - tIvfDel) / 1e9
-    require(ivfDelMode == "incremental-delete", s"expected the delete path, ran '$ivfDelMode'")
-
-    // --- log-driven vector UPSERT at 1M scale (round-10 §16): three
-    // 10k micro-batches of new vectors, then a 1k re-embed restate,
-    // against the 1M store the delete phase just served. Per-batch cost
-    // = one narrow digest classification pass + delta-only assignment —
-    // it must stay a small fraction of the full re-train, and flat
-    // across batches ---
-    val vecIngestSecs = (0 until 3).map { b =>
-      val batch = scaleVecs.filter(col("vec_id") % 100 === b)
-        .withColumn("vec_id", col("vec_id") + 100000000L + b.toLong * 10000000L)
-      val t0 = System.nanoTime()
-      val m = graft.operators.IvfStore.appendVectors(
-        batch, s"$work/ivfstore-scale", 1000L + b)
-      require(m == "ingest", s"vector ingest batch $b ran '$m'")
-      (System.nanoTime() - t0) / 1e9
-    }
-    // % 1000 alone: divisibility by 1000 implies the % 100 === 0 batch-0
-    // membership, so every remapped id here restates a just-ingested one
-    val reBatch = scaleVecs.filter(col("vec_id") % 1000 === 0)
-      .withColumn("vec_id", col("vec_id") + 100000000L)
-      .withColumn("embedding", expr("transform(embedding, x -> CAST(x * 2.0 AS FLOAT))"))
-    val vecRestated = reBatch.count()
-    val tVecRe = System.nanoTime()
-    val vecReMode = graft.operators.IvfStore.appendVectors(
-      reBatch, s"$work/ivfstore-scale", 2000L)
-    val vecRestateSec = (System.nanoTime() - tVecRe) / 1e9
-    require(vecReMode == "ingest", s"vector restate ran '$vecReMode'")
-
-    // --- ANN recall at the 1M scale (VERDICT r10 item 5): the fixture
-    // pins recall@5 ≥ 0.85 only at sf0.01/sf0.1; the 1M store above has
-    // now absorbed a 0.1% delete, three 10k frozen-centroid ingests and
-    // a 1k restate — exactly the train-once-add-forever policy whose
-    // recall decay was an assumption, not a number. Ground truth is
-    // brute-force cosine top-5 over the LIVE store rows (deletes and
-    // ingests applied), so the measurement covers what a probe could
-    // possibly return; the floor asserted is the fixture LlmOpsSpec
-    // floor (0.8 mean). A measured drop below it is the re-train
-    // trigger this policy owes its users ---
-    val scaleStore = s"$work/ivfstore-scale"
-    val tRecall = System.nanoTime()
-    val (qcScale, prunedLists) = graft.operators.IvfStore.probeInputs(
-      spark, embScale, scaleStore, maxQueryId = 24L)
-    val annScale = graft.operators.Similarity.ivfScore(prunedLists, qcScale)
-      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
-    val liveScale = graft.operators.IvfStore.liveVectors(spark, scaleStore)
-    val queriesScale = qcScale.select(col("q_id"), col("qe"), col("qnorm")).distinct()
-    val dot = graft.functions.VectorFunctions.dotF64 _
-    val exactScored = liveScale.crossJoin(broadcast(queriesScale))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine",
-        round(dot(col("qe"), col("e")) / (col("qnorm") * col("norm")), 6))
-      .select(col("q_id"), col("vec_id"), col("cosine"))
-    val exactScale = graft.plans.TopKPerGroup.topKRanked(exactScored,
-        Seq(col("q_id")), Seq(col("cosine").desc, col("vec_id")), 5, "rank")
-      .select(col("q_id"), col("vec_id"))
-    val recallRow = exactScale.join(annScale, Seq("q_id", "vec_id"), "left")
-      .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-      .head
-    val recallAt5 = recallRow.getLong(1).toDouble / recallRow.getLong(0)
-    val recallSec = (System.nanoTime() - tRecall) / 1e9
-    require(recallAt5 >= 0.8,
-      f"1M-store recall@5 $recallAt5%.3f fell below the 0.8 floor — " +
-        "frozen-centroid decay: re-train the store")
+    val ivfScaleJson = ivfScaleCycle(spark, bigOut, work,
+      sys.env.getOrElse("SPARK_GRAFT_STRESS_IVF_COPIES", "50").toInt)
 
     // --- log-driven date-store ingestion (round-10 §15): per-batch
     // cost must track the BATCH (a new day) or the touched DAY (a late
@@ -770,7 +852,7 @@ object StressBench {
     }.mkString("{", ",", "}")
     val admJson = admSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
     val boilAdmJson = boilAdmSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
-    println(s"""{"stress":"dedup10x","loadavg_start":"$loadStart","loadavg_end":"$loadavg","copies":$copies,""" +
+    println(s"""{"stress":"dedup${copies}x","loadavg_start":"$loadStart","loadavg_end":"$loadavg","copies":$copies,"compactions":$admCompactJson,""" +
       s""""base_docs":${cnt(baseOut, "documents")},"x10_docs":${cnt(bigOut, "documents")},""" +
       s""""base_vecs":${cnt(baseOut, "embeddings")},"x10_vecs":${cnt(bigOut, "embeddings")},""" +
       s""""admission_batch_secs":$admJson,""" +
@@ -794,18 +876,9 @@ object StressBench {
       f""""appended_docs":$incAppendedDocs,"full_build_sec":$storeBuildSec%.3f},""" +
       f""""ivf_store":{"direct_sec":$ivfDirectSec%.3f,"build_sec":$ivfBuildSec%.3f,""" +
       f""""probe_sec":$ivfProbeSec%.3f,"rows":$ivfProbeRows},""" +
-      f""""ivf_inc":{"corpus_vecs":$scaleVecCount,"base_build_sec":$ivfIncBuildSec%.3f,""" +
-      f""""append_sec":$ivfIncAppendSec%.3f,"appended_vecs":$ivfIncAppended,""" +
-      f""""full_build_sec":$ivfScaleBuildSec%.3f},""" +
+      s"""$ivfScaleJson,""" +
       f""""label_del":{"deleted_1":$labelDel1,"sec_1":$labelDelSec1%.3f,""" +
       f""""deleted_2":$labelDel2,"sec_2":$labelDelSec2%.3f,"full_build_sec":$storeBuildSec%.3f},""" +
-      f""""ivf_del":{"deleted":$ivfDeleted,"sec":$ivfDelSec%.3f,""" +
-      f""""full_build_sec":$ivfScaleBuildSec%.3f},""" +
-      s""""vec_ingest":{"base_vecs":$scaleVecCount,""" +
-      s""""upsert_secs":${vecIngestSecs.map(s => f"$s%.3f").mkString("[", ",", "]")},""" +
-      f""""restated":$vecRestated,"restate_sec":$vecRestateSec%.3f,""" +
-      f""""full_build_sec":$ivfScaleBuildSec%.3f,""" +
-      f""""recall_at_5":$recallAt5%.4f,"recall_floor":0.8,"recall_sec":$recallSec%.3f},""" +
       s""""date_ingest":{"day_rows":$dayRows,""" +
       s""""new_day_secs":${ingestNewSecs.map(s => f"$s%.3f").mkString("[", ",", "]")},""" +
       s""""restate_secs":${ingestRestateSecs.map(s => f"$s%.3f").mkString("[", ",", "]")},""" +
