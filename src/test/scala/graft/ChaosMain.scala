@@ -30,6 +30,11 @@ import org.apache.spark.sql.functions._
   *       final labels must hash-equal a from-scratch build of the same
   *       corpus — the executor-death sibling of round 13's two-driver
   *       fence race.
+  *   (c) the same discipline for the OTHER maintenance protocol: kills
+  *       one executor mid-way through an IvfStore incremental append.
+  *       Unique generations, bounded retry convergence, and the
+  *       surviving index bit-equal (live set AND probe results) to a
+  *       no-kill control that ran the identical build→append sequence.
   *
   * Run as a subprocess by Round14Spec (its own cluster must not collide
   * with the suite's shared session). Writes one JSON line to args(1) and
@@ -234,10 +239,101 @@ object ChaosMain {
     require(survived == scratch,
       s"post-kill store labels diverged from from-scratch: $survived vs $scratch")
 
+    // ---------------------------------------------------------------
+    // (c) the vector store, same discipline: kill mid-way through an
+    // IvfStore incremental append (VERDICT r13 #1 named BOTH store
+    // maintenance paths; (b) covered LabelStore). Equality target: a
+    // NO-KILL CONTROL store that ran the identical build→append
+    // sequence — a from-scratch rebuild would train fresh centroids and
+    // legitimately differ, but the incremental path is deterministic
+    // given (base subset, delta), so the survivor must match the
+    // control bit-for-bit, in what it serves (liveVectors) and in what
+    // a probe returns.
+    // ---------------------------------------------------------------
+    import graft.operators.IvfStore
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nVecs = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+    // ×8 inflation (the lineitem trick): distinct ids, same vectors —
+    // at sf0.1's native 2k vectors the append finishes before a kill
+    // can land; 16k gives the delta-classify + assign + publish chain
+    // several seconds of multi-stage work
+    val embBig = (0 until 8).map(i =>
+        emb.select((col("vec_id") + lit(i * nVecs)).as("vec_id"),
+          col("embedding"), col("label")))
+      .reduce(_ unionByName _).repartition(24)
+    val corpusV0 = s"$work/vcorpus0"
+    val corpusV1 = s"$work/vcorpus1"
+    embBig.filter(col("vec_id") % 10 =!= 7)
+      .write.mode("overwrite").parquet(s"$corpusV0/embeddings.parquet")
+    embBig.write.mode("overwrite").parquet(s"$corpusV1/embeddings.parquet")
+
+    val vControl = s"$work/vstore-control"
+    IvfStore.build(spark, corpusV0, vControl)
+    val ctrlMode = IvfStore.ensureCurrentIncremental(spark, corpusV1, vControl)
+    require(ctrlMode == "incremental",
+      s"control IVF maintenance did not take the append path: '$ctrlMode'")
+
+    var ivfLanded = false
+    var ivfOutcome = ""
+    var ivfPid = -1L
+    var vstore = ""
+    attempts = 0
+    while (!ivfLanded && attempts < 3) {
+      attempts += 1
+      vstore = s"$work/vstore-$attempts"
+      IvfStore.build(spark, corpusV0, vstore)
+      val removedBefore = removed.get()
+      val (out, landed, pid) = killDuring(4) {
+        try Right(IvfStore.ensureCurrentIncremental(spark, corpusV1, vstore))
+        catch { case e: Exception => Left(e.toString.take(400)) }
+      }
+      ivfLanded = landed
+      ivfPid = pid
+      ivfOutcome = out.fold(m => s"loud:$m", m => s"ok:$m")
+      if (landed) {
+        val evDeadline = System.currentTimeMillis() + 30000L
+        while (removed.get() == removedBefore &&
+               System.currentTimeMillis() < evDeadline) Thread.sleep(50)
+        require(removed.get() > removedBefore,
+          "killed an executor mid-IVF-maintenance but no executor-removed event arrived")
+      }
+    }
+    require(ivfLanded, s"could not land a mid-IVF-maintenance kill in $attempts attempts")
+
+    // never torn: generation ks unique whatever the outcome
+    val vgens = Option(new java.io.File(vstore).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith("gen=")).toSeq
+      .map(_.stripPrefix("gen=").takeWhile(_ != '_').toLong)
+    require(vgens.distinct.size == vgens.size,
+      s"duplicate IVF generations after kill: $vgens")
+
+    var ivfRetries = 0
+    var ivfRetried = ""
+    while (ivfRetried == "" && ivfRetries < 3) {
+      ivfRetries += 1
+      try ivfRetried = IvfStore.ensureCurrentIncremental(spark, corpusV1, vstore)
+      catch { case _: Exception if ivfRetries < 3 => Thread.sleep(1000) }
+    }
+    require(Set("noop", "incremental").contains(ivfRetried),
+      s"IVF retry after kill did not converge on the append path: '$ivfRetried'")
+
+    val liveCols = Seq("vec_id", "e", "norm", "c_id").map(col)
+    val vSurvived = digest(IvfStore.liveVectors(spark, vstore).select(liveCols: _*))
+    val vCtrl = digest(IvfStore.liveVectors(spark, vControl).select(liveCols: _*))
+    require(vSurvived == vCtrl,
+      s"post-kill IVF live set diverged from the no-kill control: $vSurvived vs $vCtrl")
+    val vProbe = digest(IvfStore.probe(spark, corpusV1, vstore))
+    val vProbeCtrl = digest(IvfStore.probe(spark, corpusV1, vControl))
+    require(vProbe == vProbeCtrl,
+      s"post-kill IVF probe diverged from the no-kill control: $vProbe vs $vProbeCtrl")
+
     val line =
       s"""{"query_kill_pid":$queryPid,"query_digest_equal":true,""" +
       s""""store_kill_pid":$storePid,"store_outcome":"${storeOutcome.replace("\"", "'")}",""" +
-      s""""store_retry":"$retried","store_equal":true,"executor_removed_events":${removed.get()}}"""
+      s""""store_retry":"$retried","store_equal":true,""" +
+      s""""ivf_kill_pid":$ivfPid,"ivf_outcome":"${ivfOutcome.replace("\"", "'")}",""" +
+      s""""ivf_retry":"$ivfRetried","ivf_equal":true,""" +
+      s""""executor_removed_events":${removed.get()}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line)
     println(line)
     spark.stop()

@@ -149,7 +149,7 @@ class Round14Spec extends SparkSpec {
   // executor-death sibling of round 13's two-driver fence race.
   // ---------------------------------------------------------------
 
-  test("chaos: an executor JVM killed mid-query and mid-store-write — exact digest, no torn generation, converged store") {
+  test("chaos: an executor JVM killed mid-query, mid-LabelStore-write, and mid-IvfStore-append — exact digests, no torn generations, converged stores") {
     val root = tmpDir("r14-chaos")
     val outcome = s"$root/outcome.json"
     val log = new java.io.File(s"$root/chaos.log")
@@ -176,18 +176,20 @@ class Round14Spec extends SparkSpec {
     pb.environment().put("SPARK_SCALA_VERSION", "2.13")
     val proc = pb.start()
     try {
-      assert(proc.waitFor(600, java.util.concurrent.TimeUnit.SECONDS),
+      assert(proc.waitFor(900, java.util.concurrent.TimeUnit.SECONDS),
         s"chaos run timed out — ${tail(log)}")
       assert(proc.exitValue() == 0, s"chaos run failed — ${tail(log)}")
       val line = java.nio.file.Files.readString(java.nio.file.Paths.get(outcome))
       assert(line.contains("\"query_digest_equal\":true"), line)
       assert(line.contains("\"store_equal\":true"), line)
+      assert(line.contains("\"ivf_equal\":true"), line)
       // the kills verifiably happened and were observed on the bus
       val events = "\"executor_removed_events\":(\\d+)".r
         .findFirstMatchIn(line).map(_.group(1).toInt).getOrElse(0)
-      assert(events >= 2, s"expected ≥2 executor-removed events, got $events: $line")
+      assert(events >= 3, s"expected ≥3 executor-removed events, got $events: $line")
       assert(!line.contains("\"query_kill_pid\":-1") &&
-        !line.contains("\"store_kill_pid\":-1"), line)
+        !line.contains("\"store_kill_pid\":-1") &&
+        !line.contains("\"ivf_kill_pid\":-1"), line)
     } finally {
       if (proc.isAlive) proc.destroyForcibly()
     }
