@@ -35,6 +35,17 @@ import org.apache.spark.sql.functions._
   *       Unique generations, bounded retry convergence, and the
   *       surviving index bit-equal (live set AND probe results) to a
   *       no-kill control that ran the identical build→append sequence.
+  *   (d) the T11 PRODUCTION LOOP under executor death: kills one
+  *       executor mid-way through a `dedupAdmitDrain` of a multi-batch
+  *       AvailableNow stream (`maxFilesPerTrigger=1` forces one
+  *       micro-batch per file, so the kill lands between committed
+  *       batches with more still to come). The drain either absorbs the
+  *       loss (task retry inside `foreachBatch`) or terminates loudly
+  *       (StreamingQueryException) — and a RE-DRAIN from the same
+  *       checkpoint must converge: exactly-once replay over the
+  *       idempotent per-batch store overwrite means the final admitted
+  *       set equals a no-kill control's on identical input, byte for
+  *       byte, whichever class occurred.
   *
   * Run as a subprocess by Round14Spec (its own cluster must not collide
   * with the suite's shared session). Writes one JSON line to args(1) and
@@ -327,12 +338,100 @@ object ChaosMain {
     require(vProbe == vProbeCtrl,
       s"post-kill IVF probe diverged from the no-kill control: $vProbe vs $vProbeCtrl")
 
+    // ---------------------------------------------------------------
+    // (d) the streaming admission loop: kill mid-drain, re-drain from
+    // the same checkpoint, admitted set equals the no-kill control
+    // ---------------------------------------------------------------
+    import graft.streaming.Streams
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def docLine(id: Long): String = {
+      // every 5th doc duplicates an earlier one's text, so the kill
+      // lands on real veto work (store probe + in-batch pre-filter),
+      // not just pass-through admission
+      val base = if (id % 5 == 4) id - 4 else id
+      val words = (0 until 25).map(j => s"w${base}_$j").mkString(" ")
+      s"""{"doc_id":$id,"text":"$words"}"""
+    }
+    def writeTopic(dir: String): Unit = {
+      new java.io.File(dir).mkdirs()
+      (0 until 6).foreach { f =>
+        val ids = (f * 500L) until (f * 500L + 500L)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$dir/b$f.json"),
+          ids.map(docLine).mkString("\n"))
+      }
+    }
+    def drainSrc(topic: String) = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").json(topic)
+    def admittedSet(dir: String): Set[Long] =
+      spark.read.parquet(dir).select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val ctrlTopic = s"$work/drain-ctrl-topic"
+    writeTopic(ctrlTopic)
+    Streams.dedupAdmitDrain(drainSrc(ctrlTopic), s"$work/drain-ctrl-store",
+      s"$work/drain-ctrl-admitted", s"$work/drain-ctrl-ckpt")
+    val ctrlAdmitted = admittedSet(s"$work/drain-ctrl-admitted")
+    require(ctrlAdmitted.nonEmpty, "control drain admitted nothing")
+
+    var drainLanded = false
+    var drainOutcome = ""
+    var drainPid = -1L
+    var drainRoot = ""
+    attempts = 0
+    while (!drainLanded && attempts < 3) {
+      attempts += 1
+      drainRoot = s"$work/drain-$attempts"
+      val topic = s"$drainRoot/topic"
+      writeTopic(topic)
+      val removedBefore = removed.get()
+      val (out, landed, pid) = killDuring(4) {
+        try Right(Streams.dedupAdmitDrain(drainSrc(topic), s"$drainRoot/store",
+          s"$drainRoot/admitted", s"$drainRoot/ckpt"))
+        catch { case e: Exception => Left(e.toString.take(400)) }
+      }
+      drainLanded = landed
+      drainPid = pid
+      drainOutcome = out.fold(m => s"loud:$m", _ => "ok")
+      if (landed) {
+        val evDeadline = System.currentTimeMillis() + 30000L
+        while (removed.get() == removedBefore &&
+               System.currentTimeMillis() < evDeadline) Thread.sleep(50)
+        require(removed.get() > removedBefore,
+          "killed an executor mid-drain but no executor-removed event arrived")
+      }
+    }
+    require(drainLanded, s"could not land a mid-drain kill in $attempts attempts")
+
+    // converge: a re-drain from the SAME checkpoint replays at most the
+    // uncommitted batch into the idempotent per-batch overwrite; after
+    // it, the admitted set must equal the control's exactly
+    var drainRetries = 0
+    var drainConverged = false
+    while (!drainConverged && drainRetries < 3) {
+      drainRetries += 1
+      try {
+        Streams.dedupAdmitDrain(drainSrc(s"$drainRoot/topic"), s"$drainRoot/store",
+          s"$drainRoot/admitted", s"$drainRoot/ckpt")
+        drainConverged = true
+      } catch { case _: Exception if drainRetries < 3 => Thread.sleep(1000) }
+    }
+    require(drainConverged, "re-drain after kill did not converge in 3 attempts")
+    val chaosAdmitted = admittedSet(s"$drainRoot/admitted")
+    require(chaosAdmitted == ctrlAdmitted,
+      s"post-kill admitted set diverged from the no-kill control: " +
+        s"${(chaosAdmitted -- ctrlAdmitted).take(5)} extra, " +
+        s"${(ctrlAdmitted -- chaosAdmitted).take(5)} missing")
+
     val line =
       s"""{"query_kill_pid":$queryPid,"query_digest_equal":true,""" +
       s""""store_kill_pid":$storePid,"store_outcome":"${storeOutcome.replace("\"", "'")}",""" +
       s""""store_retry":"$retried","store_equal":true,""" +
       s""""ivf_kill_pid":$ivfPid,"ivf_outcome":"${ivfOutcome.replace("\"", "'")}",""" +
       s""""ivf_retry":"$ivfRetried","ivf_equal":true,""" +
+      s""""drain_kill_pid":$drainPid,"drain_outcome":"${drainOutcome.replace("\"", "'")}",""" +
+      s""""drain_equal":true,""" +
       s""""executor_removed_events":${removed.get()}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line)
     println(line)

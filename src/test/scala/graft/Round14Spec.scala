@@ -149,7 +149,7 @@ class Round14Spec extends SparkSpec {
   // executor-death sibling of round 13's two-driver fence race.
   // ---------------------------------------------------------------
 
-  test("chaos: an executor JVM killed mid-query, mid-LabelStore-write, and mid-IvfStore-append — exact digests, no torn generations, converged stores") {
+  test("chaos: an executor JVM killed mid-query, mid-LabelStore-write, mid-IvfStore-append, and mid-admission-drain — exact digests, no torn generations, converged stores") {
     val root = tmpDir("r14-chaos")
     val outcome = s"$root/outcome.json"
     val log = new java.io.File(s"$root/chaos.log")
@@ -183,13 +183,15 @@ class Round14Spec extends SparkSpec {
       assert(line.contains("\"query_digest_equal\":true"), line)
       assert(line.contains("\"store_equal\":true"), line)
       assert(line.contains("\"ivf_equal\":true"), line)
+      assert(line.contains("\"drain_equal\":true"), line)
       // the kills verifiably happened and were observed on the bus
       val events = "\"executor_removed_events\":(\\d+)".r
         .findFirstMatchIn(line).map(_.group(1).toInt).getOrElse(0)
-      assert(events >= 3, s"expected ≥3 executor-removed events, got $events: $line")
+      assert(events >= 4, s"expected ≥4 executor-removed events, got $events: $line")
       assert(!line.contains("\"query_kill_pid\":-1") &&
         !line.contains("\"store_kill_pid\":-1") &&
-        !line.contains("\"ivf_kill_pid\":-1"), line)
+        !line.contains("\"ivf_kill_pid\":-1") &&
+        !line.contains("\"drain_kill_pid\":-1"), line)
     } finally {
       if (proc.isAlive) proc.destroyForcibly()
     }
