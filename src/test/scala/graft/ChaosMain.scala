@@ -35,6 +35,14 @@ import org.apache.spark.sql.functions._
   *       Unique generations, bounded retry convergence, and the
   *       surviving index bit-equal (live set AND probe results) to a
   *       no-kill control that ran the identical build→append sequence.
+  *   (e) the DOUBLE kill: destroys two of the three executors at once
+  *       mid-LabelStore-maintenance. With `localCheckpoint` replication
+  *       at 1, losing two JVMs makes pinned-block loss likely — the
+  *       LOUD class ((b)'s accepted-but-never-observed branch:
+  *       exception, store unchanged, never torn). Whichever class
+  *       lands, the pins are identical: unique generations, bounded
+  *       retry convergence, final labels hash-equal a from-scratch
+  *       build. The observed class is recorded in the outcome line.
   *   (d) the T11 PRODUCTION LOOP under executor death: kills one
   *       executor mid-way through a `dedupAdmitDrain` of a multi-batch
   *       AvailableNow stream (`maxFilesPerTrigger=1` forces one
@@ -111,11 +119,11 @@ object ChaosMain {
     def require(cond: Boolean, msg: => String): Unit =
       if (!cond) { println(s"CHAOS FAIL: $msg"); spark.stop(); sys.exit(1) }
 
-    /** Run `work` in a future, kill one executor once `minTasks` of its
-      * tasks have started and it is still in flight; returns
-      * (result, killLandedMidFlight, killedPid).
+    /** Run `work` in a future, kill `victims` executors once `minTasks`
+      * of its tasks have started and it is still in flight; returns
+      * (result, killLandedMidFlight, firstKilledPid).
       */
-    def killDuring[A](minTasks: Int)(work: => A): (A, Boolean, Long) = {
+    def killDuring[A](minTasks: Int, victims: Int = 1)(work: => A): (A, Boolean, Long) = {
       tasksStarted.set(0)
       val fut = Future(work)
       val deadline = System.currentTimeMillis() + 120000L
@@ -123,14 +131,17 @@ object ChaosMain {
              System.currentTimeMillis() < deadline) Thread.sleep(5)
       var pid = -1L
       var landed = false
-      if (!fut.isCompleted) executorJvms().headOption.foreach { v =>
-        pid = v.pid()
-        v.destroyForcibly() // SIGKILL, returns immediately
-        // "landed" = the signal went out while the work was STILL in
-        // flight — checked before the blocking exit-wait, which could
-        // otherwise outlast the victim phase and mask a too-late kill
-        landed = !fut.isCompleted
-        v.onExit().get(30, TimeUnit.SECONDS)
+      if (!fut.isCompleted) {
+        val vs = executorJvms().take(victims)
+        vs.foreach(_.destroyForcibly()) // SIGKILL, returns immediately
+        if (vs.nonEmpty) {
+          pid = vs.head.pid()
+          // "landed" = the signals went out while the work was STILL in
+          // flight — checked before the blocking exit-wait, which could
+          // otherwise outlast the victim phase and mask a too-late kill
+          landed = !fut.isCompleted
+          vs.foreach(_.onExit().get(30, TimeUnit.SECONDS))
+        }
       }
       (Await.result(fut, 10.minutes), landed, pid)
     }
@@ -249,6 +260,62 @@ object ChaosMain {
     val scratch = digest(LabelStore.read(spark, fresh))
     require(survived == scratch,
       s"post-kill store labels diverged from from-scratch: $survived vs $scratch")
+
+    // ---------------------------------------------------------------
+    // (e) the DOUBLE kill: two of three executors destroyed at once
+    // mid-LabelStore-maintenance — the harshest loss short of losing
+    // the driver, and the likeliest route to the LOUD class (a pinned
+    // localCheckpoint block with replication 1 dies with its JVM and is
+    // non-recomputable by design). Both classes legal; identical pins.
+    // ---------------------------------------------------------------
+    var dblLanded = false
+    var dblOutcome = ""
+    var dblPid = -1L
+    var dblStore = ""
+    attempts = 0
+    while (!dblLanded && attempts < 3) {
+      attempts += 1
+      dblStore = s"$work/store-dbl-$attempts"
+      LabelStore.build(spark, corpus0, dblStore)
+      val removedBefore = removed.get()
+      val (out, landed, pid) = killDuring(4, victims = 2) {
+        try Right(LabelStore.ensureCurrentIncremental(spark, corpus1, dblStore))
+        catch { case e: Exception => Left(e.toString.take(400)) }
+      }
+      dblLanded = landed
+      dblPid = pid
+      dblOutcome = out.fold(m => s"loud:$m", m => s"ok:$m")
+      if (landed) {
+        val evDeadline = System.currentTimeMillis() + 30000L
+        while (removed.get() < removedBefore + 2 &&
+               System.currentTimeMillis() < evDeadline) Thread.sleep(50)
+        require(removed.get() >= removedBefore + 2,
+          "double-killed executors but fewer than 2 executor-removed events arrived")
+      }
+    }
+    require(dblLanded, s"could not land a double kill in $attempts attempts")
+
+    val dblGens = Option(new java.io.File(dblStore).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith("gen=")).toSeq
+      .map(_.stripPrefix("gen=").takeWhile(_ != '_').toLong)
+    require(dblGens.distinct.size == dblGens.size,
+      s"duplicate generations after double kill: $dblGens")
+
+    var dblRetries = 0
+    var dblRetried = ""
+    while (dblRetried == "" && dblRetries < 3) {
+      dblRetries += 1
+      try dblRetried = LabelStore.ensureCurrentIncremental(spark, corpus1, dblStore)
+      catch { case _: Exception if dblRetries < 3 => Thread.sleep(1000) }
+    }
+    require(Set("noop", "incremental", "full").contains(dblRetried),
+      s"retry after double kill did not converge: '$dblRetried'")
+
+    val dblFresh = s"$work/store-dbl-fresh"
+    LabelStore.build(spark, corpus1, dblFresh)
+    require(digest(LabelStore.read(spark, dblStore)) ==
+            digest(LabelStore.read(spark, dblFresh)),
+      "post-double-kill store labels diverged from from-scratch")
 
     // ---------------------------------------------------------------
     // (c) the vector store, same discipline: kill mid-way through an
@@ -432,6 +499,8 @@ object ChaosMain {
       s""""ivf_retry":"$ivfRetried","ivf_equal":true,""" +
       s""""drain_kill_pid":$drainPid,"drain_outcome":"${drainOutcome.replace("\"", "'")}",""" +
       s""""drain_equal":true,""" +
+      s""""dbl_kill_pid":$dblPid,"dbl_outcome":"${dblOutcome.replace("\"", "'")}",""" +
+      s""""dbl_retry":"$dblRetried","dbl_equal":true,""" +
       s""""executor_removed_events":${removed.get()}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line)
     println(line)

@@ -184,14 +184,17 @@ class Round14Spec extends SparkSpec {
       assert(line.contains("\"store_equal\":true"), line)
       assert(line.contains("\"ivf_equal\":true"), line)
       assert(line.contains("\"drain_equal\":true"), line)
-      // the kills verifiably happened and were observed on the bus
+      assert(line.contains("\"dbl_equal\":true"), line)
+      // the kills verifiably happened and were observed on the bus:
+      // ≥6 = four single kills + the double kill's two victims
       val events = "\"executor_removed_events\":(\\d+)".r
         .findFirstMatchIn(line).map(_.group(1).toInt).getOrElse(0)
-      assert(events >= 4, s"expected ≥4 executor-removed events, got $events: $line")
+      assert(events >= 6, s"expected ≥6 executor-removed events, got $events: $line")
       assert(!line.contains("\"query_kill_pid\":-1") &&
         !line.contains("\"store_kill_pid\":-1") &&
         !line.contains("\"ivf_kill_pid\":-1") &&
-        !line.contains("\"drain_kill_pid\":-1"), line)
+        !line.contains("\"drain_kill_pid\":-1") &&
+        !line.contains("\"dbl_kill_pid\":-1"), line)
     } finally {
       if (proc.isAlive) proc.destroyForcibly()
     }
