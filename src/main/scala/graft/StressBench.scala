@@ -355,6 +355,14 @@ object StressBench {
       .withExtensions(e => new graft.functions.GraftExtensions()(e))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // compaction-cadence knob (ROUND14 §9): the soak's between-compaction
+    // slope is the small-files tax curve — a lower threshold trades more
+    // (smaller) quiesced pauses against a flatter per-batch curve. The
+    // default 64 is the production conf; recorded cadence experiments
+    // set e.g. 16 and carry the value in their artifact line via the
+    // compactions array (batch numbers expose the cadence directly).
+    sys.env.get("SPARK_GRAFT_STRESS_COMPACT_AFTER").foreach(v =>
+      spark.conf.set(graft.streaming.BandStore.CompactAfterBatchesConf, v))
 
     // both corpora rebuilt through the same writer so file layout and
     // compression are comparable; base = 1 copy of sf0.1
@@ -511,7 +519,9 @@ object StressBench {
     if (longSoak) {
       val (nFiles, nBytes) = du(admStore)
       val gauge = graft.streaming.BandStore.needsCompaction(spark, admStore)
-      println(s"""{"stress":"admit-soak","copies":$copies,"batches":$admBatches,"docs_per_batch":$perBatch,"admission_batch_secs":[${admSecs.map(s => math.round(s * 1000) / 1000.0).mkString(",")}],"compactions":$admCompactJson,"admitted":${spark.read.parquet(admOut).count()},"store_files":$nFiles,"store_bytes":$nBytes,"needs_compaction":$gauge,"loadavg_start":"$loadStart","loadavg_end":"$loadavg"}""")
+      val cadence = spark.conf.get(
+        graft.streaming.BandStore.CompactAfterBatchesConf, "64")
+      println(s"""{"stress":"admit-soak","copies":$copies,"batches":$admBatches,"docs_per_batch":$perBatch,"compact_after":$cadence,"admission_batch_secs":[${admSecs.map(s => math.round(s * 1000) / 1000.0).mkString(",")}],"compactions":$admCompactJson,"admitted":${spark.read.parquet(admOut).count()},"store_files":$nFiles,"store_bytes":$nBytes,"needs_compaction":$gauge,"loadavg_start":"$loadStart","loadavg_end":"$loadavg"}""")
       spark.stop()
       return
     }
