@@ -43,6 +43,12 @@ import org.apache.spark.sql.functions._
   *       lands, the pins are identical: unique generations, bounded
   *       retry convergence, final labels hash-equal a from-scratch
   *       build. The observed class is recorded in the outcome line.
+  *   (f) the AIMED double kill: six attempts, attempt i double-killing
+  *       right after the i-th maintenance job completes — scanning the
+  *       job boundaries where eager-localCheckpoint blocks exist but
+  *       their consumers have not run, the loud class's natural
+  *       window. The invariants must hold at every landed position;
+  *       the per-class tally is recorded (`aimed_loud`/`aimed_ok`).
   *   (d) the T11 PRODUCTION LOOP under executor death: kills one
   *       executor mid-way through a `dedupAdmitDrain` of a multi-batch
   *       AvailableNow stream (`maxFilesPerTrigger=1` forces one
@@ -105,11 +111,14 @@ object ChaosMain {
 
     val removed = new AtomicInteger
     val tasksStarted = new AtomicInteger
+    val jobsEnded = new AtomicInteger
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onExecutorRemoved(e: SparkListenerExecutorRemoved): Unit =
         removed.incrementAndGet()
       override def onTaskStart(t: SparkListenerTaskStart): Unit =
         tasksStarted.incrementAndGet()
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        jobsEnded.incrementAndGet()
     })
 
     // cluster warm-up: a job wide enough that all three executors must
@@ -139,6 +148,34 @@ object ChaosMain {
           // "landed" = the signals went out while the work was STILL in
           // flight — checked before the blocking exit-wait, which could
           // otherwise outlast the victim phase and mask a too-late kill
+          landed = !fut.isCompleted
+          vs.foreach(_.onExit().get(30, TimeUnit.SECONDS))
+        }
+      }
+      (Await.result(fut, 10.minutes), landed, pid)
+    }
+
+    /** [[killDuring]] aimed at a JOB BOUNDARY instead of a task count:
+      * wait until `minJobs` of the work's jobs have COMPLETED, then kill
+      * `victims` executors. An eager `localCheckpoint` materializes as
+      * its own job, so a kill placed just after job k lands where
+      * truncated-lineage blocks may already exist but their consumers
+      * have not run — the aim most likely to force the loud
+      * (non-recomputable) loss class.
+      */
+    def killAfterJobs[A](minJobs: Int, victims: Int)(work: => A): (A, Boolean, Long) = {
+      jobsEnded.set(0)
+      val fut = Future(work)
+      val deadline = System.currentTimeMillis() + 120000L
+      while (jobsEnded.get() < minJobs && !fut.isCompleted &&
+             System.currentTimeMillis() < deadline) Thread.sleep(2)
+      var pid = -1L
+      var landed = false
+      if (!fut.isCompleted) {
+        val vs = executorJvms().take(victims)
+        vs.foreach(_.destroyForcibly())
+        if (vs.nonEmpty) {
+          pid = vs.head.pid()
           landed = !fut.isCompleted
           vs.foreach(_.onExit().get(30, TimeUnit.SECONDS))
         }
@@ -316,6 +353,56 @@ object ChaosMain {
     require(digest(LabelStore.read(spark, dblStore)) ==
             digest(LabelStore.read(spark, dblFresh)),
       "post-double-kill store labels diverged from from-scratch")
+
+    // ---------------------------------------------------------------
+    // (f) the AIMED double kill: scan the maintenance job sequence for
+    // the loud-loss window. Attempt i kills two executors right after
+    // the i-th job of ensureCurrentIncremental completes — the
+    // positions where an eager localCheckpoint's truncated-lineage
+    // blocks exist but their consuming jobs have not run. Six
+    // positions scanned; EVERY outcome must satisfy the invariants
+    // (never torn, retry converges, hash-equal from-scratch); whether
+    // the loud class was actually observed is recorded, not required —
+    // Spark may absorb even these (e.g. blocks replicated to the
+    // survivor or recomputed before truncation commits).
+    // ---------------------------------------------------------------
+    var aimedLoud = 0
+    var aimedOk = 0
+    var aimedLanded = 0
+    (1 to 6).foreach { pos =>
+      val aStore = s"$work/store-aim-$pos"
+      LabelStore.build(spark, corpus0, aStore)
+      val (out, landed, _) = killAfterJobs(pos, victims = 2) {
+        try Right(LabelStore.ensureCurrentIncremental(spark, corpus1, aStore))
+        catch { case e: Exception => Left(e.toString.take(200)) }
+      }
+      if (landed) {
+        aimedLanded += 1
+        out.fold(_ => aimedLoud += 1, _ => aimedOk += 1)
+        // invariants hold at EVERY aim position, whatever the class
+        val ag = Option(new java.io.File(aStore).listFiles()).getOrElse(Array.empty)
+          .map(_.getName).filter(_.startsWith("gen=")).toSeq
+          .map(_.stripPrefix("gen=").takeWhile(_ != '_').toLong)
+        require(ag.distinct.size == ag.size,
+          s"duplicate generations after aimed kill at job $pos: $ag")
+        var r = ""
+        var n = 0
+        while (r == "" && n < 3) {
+          n += 1
+          try r = LabelStore.ensureCurrentIncremental(spark, corpus1, aStore)
+          catch { case _: Exception if n < 3 => Thread.sleep(1000) }
+        }
+        require(Set("noop", "incremental", "full").contains(r),
+          s"retry after aimed kill at job $pos did not converge: '$r'")
+        val aFresh = s"$work/store-aim-$pos-fresh"
+        LabelStore.build(spark, corpus1, aFresh)
+        require(digest(LabelStore.read(spark, aStore)) ==
+                digest(LabelStore.read(spark, aFresh)),
+          s"aimed kill at job $pos: store diverged from from-scratch")
+      }
+    }
+    require(aimedLanded >= 3,
+      s"only $aimedLanded of 6 aimed kills landed mid-flight — scan inconclusive")
 
     // ---------------------------------------------------------------
     // (c) the vector store, same discipline: kill mid-way through an
@@ -501,6 +588,7 @@ object ChaosMain {
       s""""drain_equal":true,""" +
       s""""dbl_kill_pid":$dblPid,"dbl_outcome":"${dblOutcome.replace("\"", "'")}",""" +
       s""""dbl_retry":"$dblRetried","dbl_equal":true,""" +
+      s""""aimed_landed":$aimedLanded,"aimed_loud":$aimedLoud,"aimed_ok":$aimedOk,""" +
       s""""executor_removed_events":${removed.get()}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line)
     println(line)

@@ -176,7 +176,7 @@ class Round14Spec extends SparkSpec {
     pb.environment().put("SPARK_SCALA_VERSION", "2.13")
     val proc = pb.start()
     try {
-      assert(proc.waitFor(900, java.util.concurrent.TimeUnit.SECONDS),
+      assert(proc.waitFor(1500, java.util.concurrent.TimeUnit.SECONDS),
         s"chaos run timed out — ${tail(log)}")
       assert(proc.exitValue() == 0, s"chaos run failed — ${tail(log)}")
       val line = java.nio.file.Files.readString(java.nio.file.Paths.get(outcome))
@@ -185,11 +185,17 @@ class Round14Spec extends SparkSpec {
       assert(line.contains("\"ivf_equal\":true"), line)
       assert(line.contains("\"drain_equal\":true"), line)
       assert(line.contains("\"dbl_equal\":true"), line)
+      // the aimed-kill scan landed enough positions to mean something
+      val aimedLanded = "\"aimed_landed\":(\\d+)".r
+        .findFirstMatchIn(line).map(_.group(1).toInt).getOrElse(0)
+      assert(aimedLanded >= 3, s"aimed-kill scan landed only $aimedLanded/6: $line")
       // the kills verifiably happened and were observed on the bus:
-      // ≥6 = four single kills + the double kill's two victims
+      // four single kills + the double kill's two victims + two per
+      // landed aimed attempt
       val events = "\"executor_removed_events\":(\\d+)".r
         .findFirstMatchIn(line).map(_.group(1).toInt).getOrElse(0)
-      assert(events >= 6, s"expected ≥6 executor-removed events, got $events: $line")
+      assert(events >= 6 + 2 * aimedLanded,
+        s"expected ≥${6 + 2 * aimedLanded} executor-removed events, got $events: $line")
       assert(!line.contains("\"query_kill_pid\":-1") &&
         !line.contains("\"store_kill_pid\":-1") &&
         !line.contains("\"ivf_kill_pid\":-1") &&
