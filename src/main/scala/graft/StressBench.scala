@@ -457,6 +457,22 @@ object StressBench {
         cells.head._3, cells.head._4)
     }
 
+    // isolated query drive (round 14): the second-decade SOAK proved
+    // admission at ×50, but the four dedup query cells were only ever
+    // measured at ×10 — this mode runs JUST the interleaved query
+    // passes at base and ×COPIES and stops, so a ×50 query point does
+    // not drag the (driver-heap-hungry at 5M vecs) IVF cycle and the
+    // admission/boiler phases behind it. Recorded artifacts label the
+    // line; the ratio divisor is the corpus ratio COPIES.
+    if (sys.env.contains("SPARK_GRAFT_STRESS_QUERIES_ONLY")) {
+      val qJson = stats.map { case (n, (b, x, br, xr)) =>
+        f""""$n":{"base_sec":$b%.3f,"xn_sec":$x%.3f,"ratio":${x / b}%.2f,"base_rows":$br,"xn_rows":$xr}"""
+      }.mkString("{", ",", "}")
+      println(s"""{"stress":"queries-only","copies":$copies,"queries":$qJson,"loadavg_start":"$loadStart","loadavg_end":"$loadavg"}""")
+      spark.stop()
+      return
+    }
+
     // the VERDICT-1 claim measured directly: admit the 10x corpus as 10
     // sequential micro-batches against a growing band store — per-batch
     // wall time must stay FLAT (probe cost is bucket-bounded, never
