@@ -63,14 +63,23 @@ object Sessions {
     else withM
       .config("spark.executor.extraClassPath", sys.props("java.class.path"))
       .config("spark.executor.extraJavaOptions", jdk17Opens)
-      // bound the relaunch churn (VERDICT r13): at teardown a Worker can
-      // keep relaunching executors that die against the stopping driver —
-      // an observed `Application ... failed 299 times` storm that would
-      // equally mask a REAL crash-looping executor mid-run. Standalone's
-      // app-removal counter only fires with no executor running, so a
-      // deliberate single-executor kill (the chaos tests) never trips a
-      // healthy app; 10 consecutive no-survivor failures means the app is
-      // genuinely unschedulable and should fail loudly, not loop.
+      // PIN (not change) standalone's executor-retry bound (VERDICT r13
+      // + round-14 self-review): 10 IS Spark 4.1.2's default — setting
+      // it documents the dependence and guards upstream default drift,
+      // nothing more. What the bound covers, against Master's removal
+      // logic (remove only when the consecutive-failure counter hits
+      // the bound AND no executor is RUNNING): (a) a genuinely
+      // unschedulable app — executors dying at launch, the
+      // missing-SPARK_SCALA_VERSION case — is removed within seconds
+      // (observed in this round's mislaunched run); (b) a deliberate
+      // kill of SOME executors (the chaos tests) never trips a healthy
+      // app, survivors are RUNNING; (c) the r13 teardown storm
+      // (`failed 299 times`) is NOT bounded by ANY value here — each
+      // relaunched executor briefly reaches RUNNING against the
+      // stopping driver, resetting the counter. That churn is
+      // teardown-cosmetic (the app is already stopping) with no
+      // conf-level fix; recorded so nobody "fixes" it by lowering this
+      // value, which only hair-triggers (a).
       .config("spark.deploy.maxExecutorRetries", "10")
   }
 }

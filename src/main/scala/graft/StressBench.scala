@@ -465,6 +465,14 @@ object StressBench {
     // admission/boiler phases behind it. Recorded artifacts label the
     // line; the ratio divisor is the corpus ratio COPIES.
     if (sys.env.contains("SPARK_GRAFT_STRESS_QUERIES_ONLY")) {
+      // env conflict guard: ADMIT_ONLY with a non-default batch count
+      // empties the query passes above — a queries-only artifact built
+      // from that would be the valid-looking-line-benchmarking-nothing
+      // failure mode Bench fails loudly on. Refuse the combination.
+      require(stats.nonEmpty,
+        "SPARK_GRAFT_STRESS_QUERIES_ONLY conflicts with the long-soak env " +
+          "(ADMIT_ONLY + ADMIT_BATCHES != 10): the query passes were skipped, " +
+          "so there is nothing to record — unset one of the two modes")
       val qJson = stats.map { case (n, (b, x, br, xr)) =>
         f""""$n":{"base_sec":$b%.3f,"xn_sec":$x%.3f,"ratio":${x / b}%.2f,"base_rows":$br,"xn_rows":$xr}"""
       }.mkString("{", ",", "}")
@@ -516,12 +524,15 @@ object StressBench {
       val t0 = System.nanoTime()
       graft.streaming.BandStore.admitBatch(batch, b.toLong, admStore, admOut)
       val sec = (System.nanoTime() - t0) / 1e9
+      // gauge once, then compact directly — compactIfNeeded would re-run
+      // the same listing-based gauge this branch just evaluated
       if (graft.streaming.BandStore.needsCompaction(spark, admStore)) {
         val (fb, bb) = du(admStore)
-        graft.streaming.BandStore.compactIfNeeded(spark, admStore).foreach { pause =>
-          val (fa, ba) = du(admStore)
-          admCompactions += f"""{"batch":$b,"pause_sec":$pause%.3f,"files_before":$fb,"files_after":$fa,"bytes_before":$bb,"bytes_after":$ba}"""
-        }
+        val tC = System.nanoTime()
+        graft.streaming.BandStore.compactStore(spark, admStore)
+        val pause = (System.nanoTime() - tC) / 1e9
+        val (fa, ba) = du(admStore)
+        admCompactions += f"""{"batch":$b,"pause_sec":$pause%.3f,"files_before":$fb,"files_after":$fa,"bytes_before":$bb,"bytes_after":$ba}"""
       }
       sec
     }

@@ -174,7 +174,28 @@ private[graft] object StoreDirs {
     else {
       val in = fs.open(p)
       val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      Some(s.trim.split("\\s+").map(_.split("=", 2)).collect {
+      val t = s.trim
+      // Three shapes (see restamp): legacy plain "k=v ..." (atomic-
+      // publish paths — never torn); framed "g2 k=v ... #" (the
+      // non-local overwrite-create replace, where HDFS truncate-then-
+      // write CAN expose a prefix); anything else is a torn frame. The
+      // hazard the frame closes: a truncated "upsertBuckets=16" read
+      // back as "upsertBuckets=1" PARSES as a valid wrong geometry and
+      // silently mis-prunes — a partial record must fail LOUDLY, never
+      // parse. A legacy record always carries '='; a torn frame prefix
+      // ("g", "g2 upsertBuck…" without the terminator, or empty) never
+      // satisfies either branch.
+      val body =
+        if (t.startsWith("g2")) {
+          if (!t.endsWith("#")) throw new IllegalStateException(
+            s"torn geometry record at $p: '$t' — a replace-write was cut " +
+              "short; delete the record (or restore it) before using this store")
+          t.stripPrefix("g2").stripSuffix("#").trim
+        } else if (t.contains("=")) t
+        else throw new IllegalStateException(
+          s"unreadable geometry record at $p: '$t' — neither a legacy " +
+            "record nor a complete framed one; a replace-write was cut short")
+      Some(body.split("\\s+").map(_.split("=", 2)).collect {
         case Array(k, v) => k -> v.toInt
       }.toMap)
     }
@@ -201,9 +222,13 @@ private[graft] object StoreDirs {
     * crash window the force path exists to close (a crash in its gap
     * left bucketed data with no record and the next reader pinned to
     * the legacy defaults). On HDFS the overwrite-create truncates first
-    * — a reader in that microscopic window sees a partial record and
-    * fails its parse loudly rather than mis-pruning, and the writer's
-    * close completes the record.
+    * — so this branch writes a FRAMED record ("g2 … #") and
+    * [[readRecord]] rejects any frame missing its terminator: a reader
+    * in the truncate window (or after a writer crash mid-create, which
+    * leaves the partial content permanently) fails LOUDLY instead of
+    * parsing a numeric prefix as a valid wrong geometry (round-14
+    * self-review: "upsertBuckets=1" is a legal parse of a torn
+    * "upsertBuckets=16" — unframed, that was a silent mis-prune).
     */
   private[graft] def restamp(fs: org.apache.hadoop.fs.FileSystem,
                              p: org.apache.hadoop.fs.Path,
@@ -221,9 +246,17 @@ private[graft] object StoreDirs {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } else if (replace) {
       // non-local replace: plain overwrite-create — no step where the
-      // record is absent (see the scaladoc)
+      // record is absent (see the scaladoc). FRAMED ("g2 … #"): on HDFS
+      // the create truncates before writing, so a concurrent reader (or
+      // a crash mid-write) can expose a PREFIX of the new content — and
+      // an unframed prefix like "upsertBuckets=1" of "…=16" would parse
+      // as a valid wrong geometry and silently mis-prune. With the
+      // frame, readRecord rejects any record missing its terminator
+      // loudly. Object stores never expose partial content (visible
+      // atomically on close), so the frame costs them nothing.
+      val framed = ("g2 " + new String(bytes, "UTF-8") + " #").getBytes("UTF-8")
       val out = fs.create(p, true)
-      try out.write(bytes) finally out.close()
+      try out.write(framed) finally out.close()
     } else {
       // tmp sits next to the final file (same parent) so the publishing
       // rename never crosses directories

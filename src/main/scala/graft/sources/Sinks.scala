@@ -170,18 +170,79 @@ object Sinks {
     def recordedBuckets(): Int =
       graft.operators.StoreDirs.readRecord(fs, geomFile)
         .flatMap(_.get("upsertBuckets")).getOrElse(nStamped)
+    if (!hasBuckets && !bucketDirsPresent()) {
+      // Racing initial writers with the SAME bucket count (round-14
+      // self-review): geometry convergence above is not enough — two
+      // fresh writers that both pass the bucket-dir checks would both
+      // run SaveMode.Overwrite, and the later commit silently wipes the
+      // earlier writer's rows with no record movement for the verify
+      // below to catch. The initial write is therefore gated by an
+      // ATOMIC CLAIM: `fs.create(claim, overwrite=false)` names exactly
+      // one initial writer (atomic on file:/HDFS; on S3A-class stores
+      // create-if-absent is best-effort — the residual there is the
+      // pre-existing documented race, now narrowed to one marker call).
+      // The loser WAITS for the winner's buckets to land and merges
+      // into them instead of overwriting. A claim older than the
+      // restart lease is a dead initial writer's debris — reclaimed.
+      val claim = new org.apache.hadoop.fs.Path(
+        path.getParent, s".${path.getName}.init")
+      def tryClaim(): Boolean =
+        try { fs.create(claim, false).close(); true }
+        catch {
+          // FS implementations disagree on the exact already-exists
+          // exception type — treat any IOException WITH the claim
+          // present as a lost race; anything else is a real error
+          case e: java.io.IOException =>
+            if (!fs.exists(claim)) throw e
+            val age =
+              try System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime
+              catch { case _: java.io.IOException => 0L }
+            if (age >= graft.operators.StoreDirs.restartFenceMs) {
+              fs.delete(claim, false)
+              tryClaim() // second loss means a FRESH claim: returns false
+            } else false
+        }
+      var claimedInit = false
+      var racerLanded = false
+      var waits = 0
+      while (!claimedInit && !racerLanded && waits < 3) {
+        waits += 1
+        if (tryClaim()) claimedInit = true
+        else {
+          val deadline = System.currentTimeMillis() +
+            graft.operators.StoreDirs.restartFenceMs
+          while (!bucketDirsPresent() && System.currentTimeMillis() < deadline)
+            Thread.sleep(100)
+          racerLanded = bucketDirsPresent()
+          // not landed + lease expired → loop; tryClaim reclaims the
+          // dead writer's stale marker and this writer goes initial
+        }
+      }
+      if (claimedInit) {
+        try {
+          val nInit = recordedBuckets()
+          latest.withColumn("__bucket", bucketOf(key, nInit))
+            .write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(storePath)
+          val nAfter = recordedBuckets()
+          if (nAfter != nInit) throw new IllegalStateException(
+            s"racing initial writers with different bucket confs on $storePath: " +
+              s"this writer landed $nInit-bucket data but the surviving geometry " +
+              s"record says $nAfter — the store's record and layout may disagree; " +
+              "rebuild the store under one conf")
+          return
+        } finally fs.delete(claim, false)
+      }
+      if (!racerLanded) throw new IllegalStateException(
+        s"initial write of $storePath: another writer holds the init claim " +
+          s"but produced no store within ${3} leases — claimant crash-looping " +
+          "or stalled; remove the .init marker after verifying no writer is live")
+      // fall through: the racer's store exists — merge into it
+    }
+    // merge path: the store pre-existed, or a racing initial writer just
+    // published it (recordedBuckets() then reads the RACER's stamp — the
+    // count the surviving layout was actually bucketed by)
     val nBuckets = if (hasBuckets) nStamped else recordedBuckets()
     val withBucket = latest.withColumn("__bucket", bucketOf(key, nBuckets))
-    if (!hasBuckets && !bucketDirsPresent()) {
-      withBucket.write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(storePath)
-      val nAfter = recordedBuckets()
-      if (nAfter != nBuckets) throw new IllegalStateException(
-        s"racing initial writers with different bucket confs on $storePath: " +
-          s"this writer landed $nBuckets-bucket data but the surviving geometry " +
-          s"record says $nAfter — the store's record and layout may disagree; " +
-          "rebuild the store under one conf")
-      return
-    }
     val touched = withBucket.select(col("__bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) return

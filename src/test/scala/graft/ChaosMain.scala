@@ -128,11 +128,33 @@ object ChaosMain {
     def require(cond: Boolean, msg: => String): Unit =
       if (!cond) { println(s"CHAOS FAIL: $msg"); spark.stop(); sys.exit(1) }
 
+    /** The listener bus is ASYNCHRONOUS: events from the setup jobs
+      * that ran before a phase (store builds, baseline digests) can
+      * still be draining when the phase resets its counters — stale
+      * increments would satisfy minTasks/minJobs instantly and fire the
+      * kill before the victim work has any tasks in flight (round-14
+      * self-review). Quiesce: wait until both counters have been stable
+      * for 500 ms (the setup jobs are DONE on the main thread — only
+      * their event backlog is in question) before resetting.
+      */
+    def quiesceCounters(): Unit = {
+      val deadline = System.currentTimeMillis() + 30000L
+      var last = (tasksStarted.get(), jobsEnded.get())
+      var stableSince = System.currentTimeMillis()
+      while (System.currentTimeMillis() - stableSince < 500 &&
+             System.currentTimeMillis() < deadline) {
+        Thread.sleep(50)
+        val now = (tasksStarted.get(), jobsEnded.get())
+        if (now != last) { last = now; stableSince = System.currentTimeMillis() }
+      }
+    }
+
     /** Run `work` in a future, kill `victims` executors once `minTasks`
       * of its tasks have started and it is still in flight; returns
       * (result, killLandedMidFlight, firstKilledPid).
       */
     def killDuring[A](minTasks: Int, victims: Int = 1)(work: => A): (A, Boolean, Long) = {
+      quiesceCounters()
       tasksStarted.set(0)
       val fut = Future(work)
       val deadline = System.currentTimeMillis() + 120000L
@@ -164,6 +186,7 @@ object ChaosMain {
       * (non-recomputable) loss class.
       */
     def killAfterJobs[A](minJobs: Int, victims: Int)(work: => A): (A, Boolean, Long) = {
+      quiesceCounters()
       jobsEnded.set(0)
       val fut = Future(work)
       val deadline = System.currentTimeMillis() + 120000L

@@ -494,16 +494,6 @@ class Round10Spec extends SparkSpec {
   // Runtime bloom-filter join (the non-partitioned analogue of DPP)
   // ---------------------------------------------------------------
 
-  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
-    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   test("runtime bloom filter: a selective non-broadcastable dim semi-prunes the fact scan") {
     // DPP needs a partition column; when the selective dim joins the fact
     // on a DATA column and is too big to broadcast, Spark's

@@ -139,16 +139,6 @@ class Round12Spec extends SparkSpec {
   // defaults they were written under.
   // ---------------------------------------------------------------
 
-  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
-    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   test("BandStore geometry: a store created under non-default bucket confs decides identically, prunes on its own counts, and survives compaction and eviction") {
     import graft.streaming.BandStore
     def text(tag: String, i: Int) =

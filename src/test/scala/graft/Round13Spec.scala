@@ -12,16 +12,6 @@ import org.apache.spark.sql.functions._
 class Round13Spec extends SparkSpec {
   import spark.implicits._
 
-  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
-    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   // ---------------------------------------------------------------
   // ADVICE r12 (medium): a store written BEFORE the __obatch column
   // existed must stay readable, maskable, and compactable — the gate

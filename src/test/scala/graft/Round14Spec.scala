@@ -10,16 +10,6 @@ import org.apache.spark.sql.functions._
 class Round14Spec extends SparkSpec {
   import spark.implicits._
 
-  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
-    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   // ---------------------------------------------------------------
   // ADVICE r13 (low): lifecycleGates is a hand-maintained list — a
   // renamed query key must fail loudly, not silently skew the bench's
@@ -97,15 +87,27 @@ class Round14Spec extends SparkSpec {
         .count(f => f.isDirectory && f.getName.startsWith("__batch="))
 
     val pauses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // batch b carries one fresh doc and, from b ≥ 3, one CROSS-BATCH
+    // DUPLICATE of batch b−3's fresh text — so admission decisions are
+    // non-trivial (the store must veto dups whose originals live in
+    // batches the compaction has since folded), and the twin equality
+    // below has teeth: if the fold corrupted the veto state, the two
+    // admitted sets would diverge on exactly these dup docs (round-14
+    // self-review: with all-unique texts the assertion was vacuous)
+    def batchLines(b: Int): String = {
+      val fresh = doc(b * 2L, text("a", b * 2))
+      val second =
+        if (b >= 3) doc(b * 2L + 1, text("a", (b - 3) * 2)) // dup of b-3's fresh
+        else doc(b * 2L + 1, text("a", b * 2 + 1))
+      Seq(fresh, second).mkString("\n")
+    }
     withConf(BandStore.CompactAfterBatchesConf -> "4") {
-      // 6 drains, 2 fresh docs each; the gauge fires once ≥4 __batch=
-      // dirs accumulate in any tree, and the drain's quiesce point must
-      // compact without being told
+      // 6 drains; the gauge fires once ≥4 __batch= dirs accumulate in
+      // any tree, and the drain's quiesce point must compact without
+      // being told
       (0 until 6).foreach { b =>
         java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(s"$topic/b$b.json"),
-          Seq(doc(b * 2L, text("a", b * 2)), doc(b * 2L + 1, text("a", b * 2 + 1)))
-            .mkString("\n"))
+          java.nio.file.Paths.get(s"$topic/b$b.json"), batchLines(b))
         Streams.dedupAdmitDrain(src(), s"$root/store", s"$root/admitted",
           s"$root/ckpt").foreach(pauses += _)
       }
@@ -115,17 +117,29 @@ class Round14Spec extends SparkSpec {
       assert(batchDirs(BandStore.sigsDir(s"$root/store")) < 4,
         s"sigs tree still holds ${batchDirs(BandStore.sigsDir(s"$root/store"))} batch dirs")
 
-      // the twin never compacts (huge threshold): same batches, same
-      // admission decisions — compaction timing must be semantically
+      // the twin never compacts (huge threshold) and consumes ITS OWN
+      // topic written file-by-file, so its micro-batch boundaries match
+      // the primary's exactly (a shared topic would hand the twin's
+      // first drain all six files at once) — same batches, same
+      // admission decisions: compaction timing must be semantically
       // invisible
+      val topic2 = s"$root/topic2"
+      new java.io.File(topic2).mkdirs()
+      def src2() = spark.readStream.schema(docSchema).json(topic2)
       withConf(BandStore.CompactAfterBatchesConf -> "1000000") {
         (0 until 6).foreach { b =>
-          Streams.dedupAdmitDrain(src(), s"$root/store2", s"$root/admitted2",
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$topic2/b$b.json"), batchLines(b))
+          Streams.dedupAdmitDrain(src2(), s"$root/store2", s"$root/admitted2",
             s"$root/ckpt2")
         }
       }
       def admitted(dir: String): Set[Long] =
         spark.read.parquet(dir).select("doc_id").collect().map(_.getLong(0)).toSet
+      // the dup structure actually bit: the cross-batch copies dropped
+      val dupIds = (3 until 6).map(b => b * 2L + 1).toSet
+      assert(dupIds.intersect(admitted(s"$root/admitted")).isEmpty,
+        s"cross-batch duplicates were admitted: ${dupIds.intersect(admitted(s"$root/admitted"))}")
       assert(admitted(s"$root/admitted") == admitted(s"$root/admitted2"),
         "auto-compaction changed the admitted set")
 

@@ -201,16 +201,6 @@ class Round3Spec extends SparkSpec {
 
   // --- binned-range-join optimizer rule --------------------------------------
 
-  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
-    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   private def bandJoinDf() = {
     val pts = spark.range(0, 2000).select(col("id").as("p"))
     val ivs = spark.range(0, 300).select(

@@ -219,16 +219,6 @@ class Round4Spec extends SparkSpec {
 
   // --- binned-range-join guards ---------------------------------------------
 
-  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
-    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   test("BinnedRangeJoinRule: an OOM-scale reversed interval generates zero bins") {
     withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       // lo − hi ≈ 2e10 → unguarded, Sequence DESCENDS and manufactures

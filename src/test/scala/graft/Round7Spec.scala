@@ -13,16 +13,6 @@ import graft.streaming.BandStore
   */
 class Round7Spec extends SparkSpec {
 
-  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
-    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   private def writeDocs(docs: Seq[(Long, String)], dir: String): Unit = {
     import spark.implicits._
     docs.toDF("doc_id", "text")

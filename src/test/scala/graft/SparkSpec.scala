@@ -26,4 +26,19 @@ abstract class SparkSpec extends AnyFunSuite {
   val sfDir = "/root/testdata/sf0.001"
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Run `body` with session confs set, restoring (set-back or unset)
+    * on every exit — the shared session must never leak one suite's
+    * conf into the next. Hoisted here from seven identical per-suite
+    * copies (round-14 self-review).
+    */
+  protected def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
