@@ -177,38 +177,99 @@ object Sinks {
       // run SaveMode.Overwrite, and the later commit silently wipes the
       // earlier writer's rows with no record movement for the verify
       // below to catch. The initial write is therefore gated by an
-      // ATOMIC CLAIM: `fs.create(claim, overwrite=false)` names exactly
-      // one initial writer (atomic on file:/HDFS; on S3A-class stores
-      // create-if-absent is best-effort — the residual there is the
-      // pre-existing documented race, now narrowed to one marker call).
-      // The loser WAITS for the winner's buckets to land and merges
-      // into them instead of overwriting. A claim older than the
-      // restart lease is a dead initial writer's debris — reclaimed.
+      // ATOMIC CLAIM naming exactly one initial writer. On `file:`
+      // schemes the claim goes through NIO `Files.createFile` (true
+      // O_EXCL) — Hadoop's RawLocalFileSystem.create(overwrite=false)
+      // is check-then-create, so two local racers could both pass the
+      // check (ADVICE r14); other schemes keep `fs.create(claim,
+      // false)` (atomic on HDFS; on S3A-class stores create-if-absent
+      // is best-effort — the residual there is the pre-existing
+      // documented race, narrowed to one marker call). The loser WAITS
+      // for the winner's buckets to land and merges into them instead
+      // of overwriting.
       val claim = new org.apache.hadoop.fs.Path(
         path.getParent, s".${path.getName}.init")
+      def createClaim(): Boolean =
+        if (fs.getScheme == "file")
+          try {
+            fs.mkdirs(claim.getParent) // NIO createFile needs the parent
+            java.nio.file.Files.createFile(
+              java.nio.file.Paths.get(claim.toUri.getPath))
+            true
+          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        else
+          try { fs.create(claim, false).close(); true }
+          catch {
+            // FS implementations disagree on the exact already-exists
+            // exception type — treat any IOException WITH the claim
+            // present as a lost race; anything else is a real error
+            case e: java.io.IOException =>
+              if (!fs.exists(claim)) throw e
+              false
+          }
+      // Liveness probe (ADVICE r14): a claim is only DEBRIS if, beyond
+      // being older than the restart lease, the store path shows no
+      // write activity within that lease — a live initial writer whose
+      // bulk Overwrite outlives the lease is still producing its
+      // `_temporary` commit tree, and reclaiming under it would put two
+      // concurrent Overwrite jobs on one path (acquireGen's
+      // stagingActiveWithin discipline, applied to the claim).
+      def writeActiveWithin(ms: Long): Boolean = {
+        def newest(p: org.apache.hadoop.fs.Path): Long =
+          try {
+            val st = fs.getFileStatus(p)
+            if (!st.isDirectory) st.getModificationTime
+            else (st.getModificationTime +:
+              fs.listStatus(p).map(c => newest(c.getPath)).toSeq).max
+          } catch { case _: java.io.IOException => 0L }
+        fs.exists(path) && System.currentTimeMillis() - newest(path) < ms
+      }
+      // Stale-claim reclaim by atomic RENAME to a reclaimer-unique name
+      // (ADVICE r14): exactly one of several concurrent reclaimers wins
+      // the rename — a delete-then-create reclaim would let a slow loser
+      // delete the winner's freshly recreated claim and both proceed as
+      // initial writers (the exact anti-pattern acquireGen's scaladoc
+      // warns against). Only the rename winner recreates the claim.
+      def reclaimStale(): Boolean = {
+        val dst = new org.apache.hadoop.fs.Path(path.getParent,
+          s".${path.getName}.init.reclaim-${java.util.UUID.randomUUID}")
+        val won = try fs.rename(claim, dst)
+                  catch { case _: java.io.IOException => false }
+        if (won) fs.delete(dst, false)
+        won
+      }
+      def claimAge(): Long =
+        try System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime
+        catch { case _: java.io.IOException => 0L }
       def tryClaim(): Boolean =
-        try { fs.create(claim, false).close(); true }
-        catch {
-          // FS implementations disagree on the exact already-exists
-          // exception type — treat any IOException WITH the claim
-          // present as a lost race; anything else is a real error
-          case e: java.io.IOException =>
-            if (!fs.exists(claim)) throw e
-            val age =
-              try System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime
-              catch { case _: java.io.IOException => 0L }
-            if (age >= graft.operators.StoreDirs.restartFenceMs) {
-              fs.delete(claim, false)
-              tryClaim() // second loss means a FRESH claim: returns false
-            } else false
-        }
+        createClaim() || (
+          claimAge() >= graft.operators.StoreDirs.restartFenceMs &&
+            !writeActiveWithin(graft.operators.StoreDirs.restartFenceMs) &&
+            reclaimStale() &&
+            createClaim() // a fresh racer can re-claim first: lost race
+        )
+      val log = org.slf4j.LoggerFactory.getLogger("graft.sources.Sinks")
       var claimedInit = false
       var racerLanded = false
       var waits = 0
-      while (!claimedInit && !racerLanded && waits < 3) {
+      // a holder OBSERVED writing (the liveness probe) earns extra lease
+      // windows up to the full stale lease — a large first batch can
+      // legitimately outlive several restart leases — but an idle holder
+      // exhausts the 3-lease cap and the final throw below names it
+      val hardDeadline = System.currentTimeMillis() +
+        graft.operators.StoreDirs.staleFenceMs
+      while (!claimedInit && !racerLanded &&
+             (waits < 3 ||
+               (writeActiveWithin(graft.operators.StoreDirs.restartFenceMs) &&
+                 System.currentTimeMillis() < hardDeadline))) {
         waits += 1
         if (tryClaim()) claimedInit = true
         else {
+          // per-lease visibility (ADVICE r14): a stalled winner used to
+          // manifest as a silently hung merge until the final throw
+          log.warn(s"initial write of $storePath: waiting on init claim " +
+            s"$claim (lease $waits, claim age ${claimAge() / 1000}s) for a " +
+            "racing initial writer's buckets to land")
           val deadline = System.currentTimeMillis() +
             graft.operators.StoreDirs.restartFenceMs
           while (!bucketDirsPresent() && System.currentTimeMillis() < deadline)
@@ -234,7 +295,7 @@ object Sinks {
       }
       if (!racerLanded) throw new IllegalStateException(
         s"initial write of $storePath: another writer holds the init claim " +
-          s"but produced no store within ${3} leases — claimant crash-looping " +
+          s"but produced no store within $waits leases — claimant crash-looping " +
           "or stalled; remove the .init marker after verifying no writer is live")
       // fall through: the racer's store exists — merge into it
     }

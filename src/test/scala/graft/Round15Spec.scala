@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-15 pins: the init-claim lease hardening (ADVICE r14 — O_EXCL
+  * on file:, rename-based stale reclaim, liveness probe before reclaim,
+  * per-lease wait logging), the sampled IVF training path (VERDICT r14
+  * #1), and the incremental band-store compaction (VERDICT r14 #3).
+  */
+class Round15Spec extends SparkSpec {
+  import spark.implicits._
+
+  /** Set JVM props for the body, restoring on every exit — the fence
+    * leases read sys.props at call time, so tests can shrink them.
+    */
+  private def withProps[A](pairs: (String, String)*)(body: => A): A = {
+    val old = pairs.map { case (k, _) => k -> sys.props.get(k) }
+    pairs.foreach { case (k, v) => sys.props(k) = v }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => sys.props(k) = v
+      case (k, None)    => sys.props.remove(k)
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // ADVICE r14 (medium ×3): the upsert store's init claim. A stale
+  // claim with no write activity is dead debris — reclaimed by atomic
+  // RENAME (one winner among racing reclaimers), and the reclaimer
+  // proceeds as the initial writer. A stale claim WITH fresh write
+  // activity under the store path belongs to a live writer whose bulk
+  // Overwrite outlived the lease — it must never be reclaimed (two
+  // concurrent Overwrites on one path); the waiter fails loudly.
+  // ---------------------------------------------------------------
+
+  test("L5 init claim: stale claim with no store activity is reclaimed by rename; the writer goes initial and leaves no debris") {
+    import graft.sources.Sinks
+    val root = tmpDir("r15-init-stale")
+    val store = s"$root/store"
+    val claim = java.nio.file.Paths.get(root, ".store.init")
+    java.nio.file.Files.createFile(claim)
+    java.nio.file.Files.setLastModifiedTime(claim,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10000))
+    withProps("graft.store.fence.restartMs" -> "500") {
+      Sinks.upsertByKey(Seq((1L, 1L, "a")).toDF("off", "id", "v"), "id", "off", store)
+    }
+    assert(spark.read.parquet(store).count() == 1)
+    assert(!java.nio.file.Files.exists(claim),
+      "the initial writer releases its claim after the write")
+    val debris = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(".store.init.reclaim-"))
+    assert(debris.isEmpty, s"reclaim rename debris left behind: ${debris.toSeq}")
+  }
+
+  test("L5 init claim: a stale claim with RECENT write activity under the store is a live writer's — never reclaimed; the waiter fails loudly") {
+    import graft.sources.Sinks
+    val root = tmpDir("r15-init-live")
+    val store = s"$root/store"
+    val claim = java.nio.file.Paths.get(root, ".store.init")
+    java.nio.file.Files.createFile(claim)
+    java.nio.file.Files.setLastModifiedTime(claim,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10000))
+    // simulate the live winner mid-Overwrite: a _temporary commit tree
+    // under the store path whose newest mtime keeps advancing
+    val tmpTree = java.nio.file.Paths.get(store, "_temporary")
+    java.nio.file.Files.createDirectories(tmpTree)
+    val part = tmpTree.resolve("part-00000")
+    @volatile var touching = true
+    val toucher = new Thread(() => {
+      while (touching) {
+        java.nio.file.Files.writeString(part, System.nanoTime().toString)
+        Thread.sleep(100)
+      }
+    })
+    toucher.setDaemon(true)
+    toucher.start()
+    try {
+      withProps("graft.store.fence.restartMs" -> "300",
+                "graft.store.fence.staleMs" -> "1500") {
+        val e = intercept[IllegalStateException] {
+          Sinks.upsertByKey(Seq((1L, 1L, "a")).toDF("off", "id", "v"),
+            "id", "off", store)
+        }
+        assert(e.getMessage.contains("init claim"), e.getMessage)
+      }
+      assert(java.nio.file.Files.exists(claim),
+        "a claim with live write activity behind it must never be reclaimed")
+    } finally { touching = false; toucher.join(2000) }
+  }
+}
