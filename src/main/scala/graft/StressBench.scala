@@ -182,11 +182,10 @@ object StressBench {
     // --- incremental IVF maintenance (X3c''): at the x10 corpus's 20k
     // vectors both paths are fixed-overhead-bound, so the asymptotic
     // separation (append = O(delta · nlist) assignment vs re-train =
-    // TWO O(corpus · nlist) passes + full list rewrite) is measured on
-    // a ×500 embeddings corpus (1M vecs — same sign-flip replication,
-    // cross-replica cosine ≈ 0): build on 9/10, append the last tenth.
-    // At 1M the full build's Lloyd refinement alone shuffles 64M
-    // (cell, dim) rows; the append pays none of it ---
+    // O(sample) centroid training + ONE O(corpus · nlist) assignment
+    // pass + full list rewrite, r15) is measured on a ×500 embeddings
+    // corpus (1M vecs — same sign-flip replication, cross-replica
+    // cosine ≈ 0): build on 9/10, append the last tenth ---
     val embScale = s"$work/ivf-scale"
     locally {
       val emb = spark.read.parquet(s"$bigOut/embeddings.parquet")

@@ -23,8 +23,10 @@ object Similarity {
     normedOf(Tables.embeddings(s, dir))
 
   /** Frame-scoped [[normed]] — lets the IVF store prepare a corpus
-    * SUBSET or an append delta through the identical projection. */
-  private[operators] def normedOf(emb: DataFrame): DataFrame =
+    * SUBSET or an append delta through the identical projection.
+    * private[graft]: the Round15 sample-law pin builds its own corpus.
+    */
+  private[graft] def normedOf(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("norm", sqrt(dotF64(col("e"), col("e"))))
 
@@ -342,13 +344,15 @@ object Similarity {
     * centroids, each query probes only its `nprobe` nearest cells.
     *
     * Centroid construction is fully declarative and deterministic:
-    * seed centroids are a hash-ordered sample of the corpus itself,
-    * refined by one Lloyd iteration expressed in DataFrame algebra
-    * (assign → posexplode dims → per-(cell,dim) mean → re-assemble) —
-    * the pattern a production k-means would iterate. At 100 TB the
-    * inverted lists are a table partitioned by cell id, so a probe
-    * touches nprobe/nlist of the data; the centroid set stays O(nlist)
-    * and broadcasts.
+    * centroids train on the [[IvfTrainSample]] md5-rank sample of the
+    * corpus (seed = its first nlist vectors), refined by one Lloyd
+    * iteration expressed in DataFrame algebra (assign → posexplode dims
+    * → per-(cell,dim) mean → re-assemble) — the pattern a production
+    * k-means would iterate. At 100 TB the training cost is O(sample),
+    * the single full assignment pass is the only corpus-wide stage,
+    * and the inverted lists are a table partitioned by cell id, so a
+    * probe touches nprobe/nlist of the data; the centroid set stays
+    * O(nlist) and broadcasts.
     */
   def x3AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Caches.scoped(normed(s, dir))
@@ -369,6 +373,21 @@ object Similarity {
     * broadcast-sized.
     */
   private[graft] val IvfNList = 32
+
+  /** Training-sample size for centroid learning: 256 vectors per cell
+    * (the FAISS `ClusteringParameters.max_points_per_centroid` rule of
+    * thumb — k-means on more than a few hundred points per centroid
+    * buys jitter, not better centroids). Training on a deterministic
+    * md5-rank sample instead of the corpus is what makes the full
+    * re-train scale-safe (VERDICT r14 #1): the Lloyd refinement costs
+    * O(sample) regardless of corpus size, and the only remaining
+    * O(corpus · nlist) stage is the single frozen-centroid assignment
+    * pass every maintenance path already pays. Every fixture corpus
+    * (≤ 2000 vectors) is smaller than the sample, so at oracle/bench
+    * scale the sample IS the corpus and results are bit-identical to
+    * full-corpus training — the DuckDB twin expresses the same LIMIT.
+    */
+  private[graft] val IvfTrainSample = 256 * IvfNList
 
   /** 20/32 cells probed: on the uniform-random fixture embeddings (no
     * cluster structure for the quantizer to exploit) the deterministic
@@ -415,21 +434,38 @@ object Similarity {
       .select(col("vec_id"), col("e"), col("norm"), (-col("top.nc")).as("c_id"))
 
   private[graft] def ivfIndex(e: DataFrame): (DataFrame, DataFrame) = {
+    val s = e.sparkSession
     val nlist = IvfNList
 
-    // deterministic seed centroids: first nlist corpus vectors in
-    // md5(vec_id) order — an unbiased sample ANY engine reproduces
-    // bit-identically (md5 is the portable hash; the DuckDB twin below
+    // TRAINING SAMPLE (VERDICT r14 #1): the first [[IvfTrainSample]]
+    // corpus vectors in md5(vec_id) order — an unbiased deterministic
+    // sample ANY engine reproduces bit-identically. It collects to the
+    // driver (bounded by the CONSTANT: ≤ 8192 rows × 64 doubles ≈ 4 MB
+    // — the FAISS train-set-in-RAM discipline, and the same bounded-
+    // metadata class as the probed-cell-id collects) and re-enters the
+    // plan as a LocalRelation, so seed selection and the Lloyd
+    // refinement below cost O(sample) with zero shuffle regardless of
+    // corpus size. The TakeOrdered itself is scale-safe: per-partition
+    // top-IvfTrainSample merged into one bounded driver heap, never a
+    // corpus collect.
+    val trainProj = e.withColumn("h", md5(col("vec_id").cast("string")))
+      .select(col("vec_id"), col("e"), col("norm"), col("h"))
+    val trainRows = trainProj.orderBy("h").limit(IvfTrainSample).collect()
+    val sample = s.createDataFrame(
+      java.util.Arrays.asList(trainRows: _*), trainProj.schema)
+
+    // deterministic seed centroids: first nlist vectors in md5(vec_id)
+    // order — the sample is the md5-order PREFIX of the corpus, so its
+    // first nlist rows are exactly the corpus's (the DuckDB twin below
     // regenerates the identical seed set)
-    val seeds = e.withColumn("h", md5(col("vec_id").cast("string")))
-      .orderBy("h").limit(nlist)
+    val seeds = sample.orderBy("h").limit(nlist)
       .select(row_number().over(Window.orderBy(col("h"))).as("c_id"), col("e").as("ce"))
 
-    // one Lloyd refinement: new centroid = per-cell dimension-wise mean.
-    // The mean is EXACT (decimal sum / count): double summation order is
-    // partition-dependent in Spark, and the oracle twin must derive
-    // bit-identical centroids
-    val assigned0 = ivfAssign(e, seeds)
+    // one Lloyd refinement over the SAMPLE: new centroid = per-cell
+    // dimension-wise mean. The mean is EXACT (decimal sum / count):
+    // double summation order is partition-dependent in Spark, and the
+    // oracle twin must derive bit-identical centroids
+    val assigned0 = ivfAssign(sample.select(col("vec_id"), col("e"), col("norm")), seeds)
     // nlist rows; persisted because both the list build and the query
     // probe consume it (recomputing would re-run the Lloyd pipeline)
     val refined = assigned0
@@ -473,8 +509,9 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** DuckDB twin of [[x3AnnIvf]] — the full IVF pipeline (md5-ordered
-    * seed sample, argmax assignment, one exact-mean Lloyd refinement,
+  /** DuckDB twin of [[x3AnnIvf]] — the full IVF pipeline (md5-rank
+    * training sample, argmax assignment, one exact-mean Lloyd
+    * refinement over the sample, full-corpus list assignment,
     * nprobe=20 probe, probe-limited scoring) regenerated in SQL. Every
     * stage is bit-deterministic on both engines: md5 is the portable
     * seed order, the centroid means are exact decimal sums, and the
@@ -487,9 +524,12 @@ object Similarity {
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e,
       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
       |  FROM embeddings),$extraCtes
+      |smp AS (
+      |  SELECT vec_id, e, norm FROM $base
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $IvfTrainSample),
       |seeds AS (
       |  SELECT CAST(row_number() OVER (ORDER BY h) AS INTEGER) AS c_id, ce FROM (
-      |    SELECT md5(CAST(vec_id AS VARCHAR)) AS h, e AS ce FROM $base
+      |    SELECT md5(CAST(vec_id AS VARCHAR)) AS h, e AS ce FROM smp
       |    ORDER BY h LIMIT $IvfNList)),
       |a0 AS (
       |  SELECT vec_id, e, norm, c_id FROM (
@@ -497,7 +537,7 @@ object Similarity {
       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
       |        list_dot_product(v.e, s.ce) / (v.norm * sqrt(list_dot_product(s.ce, s.ce))) DESC,
       |        s.c_id) AS rk
-      |    FROM $base v CROSS JOIN seeds s) WHERE rk = 1),
+      |    FROM smp v CROSS JOIN seeds s) WHERE rk = 1),
       |refined AS (
       |  SELECT c_id, list(m ORDER BY dim) AS ce FROM (
       |    SELECT c_id, dim,
