@@ -130,6 +130,37 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write target/bench.json: $e")
     }
+    // per-query regression watch vs the committed ledger (VERDICT r14
+    // #6): BASELINE_BENCH.json snapshots the r14 best-of-3 over all 151
+    // keys — the first machine-parsable full surface — so a regression
+    // is visible per key instead of hiding in subtotals or a truncated
+    // tail. stderr only: the stdout JSON contract is unchanged. Skipped
+    // for subset runs (a partial surface must not read as a clean diff).
+    try {
+      val lp = java.nio.file.Paths.get("BASELINE_BENCH.json")
+      if (args.isEmpty && java.nio.file.Files.exists(lp)) {
+        val txt = java.nio.file.Files.readString(lp)
+        val kv = """"([A-Za-z0-9_]+)":([0-9][0-9.Ee+-]*)""".r
+        val qStart = txt.indexOf("\"queries\"")
+        val baseMap =
+          if (qStart < 0) Map.empty[String, Double]
+          else kv.findAllMatchIn(txt.substring(qStart))
+            .map(g => g.group(1) -> g.group(2).toDouble).toMap
+        val ratios = results.toSeq.flatMap { case (k, v) =>
+          baseMap.get(k).filter(_ > 0).map(b => (k, v / b)) }
+        if (ratios.nonEmpty) {
+          val worst = ratios.sortBy(-_._2).take(5)
+            .map { case (k, r) => f"$k=$r%.2f" }.mkString(", ")
+          val over = ratios.count(_._2 >= 1.3)
+          val med = ratios.map(_._2).sorted.apply(ratios.size / 2)
+          System.err.println(
+            f"[bench] vs BASELINE_BENCH.json: ${ratios.size} shared keys, " +
+              f"median ratio $med%.2f, $over key(s) >= 1.3x; worst: $worst")
+        }
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ledger compare failed: $e")
+    }
     spark.stop()
     // print LAST, after Spark's shutdown chatter, so the tail is clean
     println(line)

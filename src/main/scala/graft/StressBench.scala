@@ -523,15 +523,20 @@ object StressBench {
       val t0 = System.nanoTime()
       graft.streaming.BandStore.admitBatch(batch, b.toLong, admStore, admOut)
       val sec = (System.nanoTime() - t0) / 1e9
-      // gauge once, then compact directly — compactIfNeeded would re-run
-      // the same listing-based gauge this branch just evaluated
+      // gauge once, then fold directly — compactSliceIfNeeded would
+      // re-run the same listing-based gauge this branch just evaluated.
+      // r15: budgeted SLICES, the production quiesce hook
+      // (dedupAdmitDrain) — per-quiesce pause is bounded by the slice
+      // budget instead of one stop-the-world fold (the r14 soak's
+      // 14.9 s outlier), and the artifact records the per-firing slice
+      // count so the fold's convergence is visible in the curve
       if (graft.streaming.BandStore.needsCompaction(spark, admStore)) {
         val (fb, bb) = du(admStore)
         val tC = System.nanoTime()
-        graft.streaming.BandStore.compactStore(spark, admStore)
+        val slices = graft.streaming.BandStore.compactSlices(spark, admStore, Long.MaxValue)
         val pause = (System.nanoTime() - tC) / 1e9
         val (fa, ba) = du(admStore)
-        admCompactions += f"""{"batch":$b,"pause_sec":$pause%.3f,"files_before":$fb,"files_after":$fa,"bytes_before":$bb,"bytes_after":$ba}"""
+        admCompactions += f"""{"batch":$b,"pause_sec":$pause%.3f,"slices":$slices,"files_before":$fb,"files_after":$fa,"bytes_before":$bb,"bytes_after":$ba}"""
       }
       sec
     }

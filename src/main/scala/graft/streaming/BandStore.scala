@@ -343,6 +343,23 @@ object BandStore {
     */
   val CompactAfterBatchesConf = "spark.graft.band.compactAfterBatches"
 
+  /** Wall-clock budget (seconds, double) one quiesce point may spend on
+    * incremental compaction slices
+    * (`spark.graft.band.compactSliceBudgetSec`, default 2.0). A slice
+    * in flight always completes — its publish is atomic — so the actual
+    * pause can overshoot by about one slice.
+    */
+  val CompactSliceBudgetConf = "spark.graft.band.compactSliceBudgetSec"
+
+  /** Leaf-directory budget per incremental compaction slice
+    * (`spark.graft.band.compactSliceLeaves`, default 1024): buckets
+    * pack into one slice (most fragmented first) until their combined
+    * `(__batch, bucket)` leaf count reaches this, so slice cost tracks
+    * the actual merge volume — a small store folds completely in one
+    * slice while a 5000-leaf soak store folds in ~5 bounded ones.
+    */
+  val CompactSliceLeavesConf = "spark.graft.band.compactSliceLeaves"
+
   /** Maintenance gauge (VERDICT r12 #6): true when any of the store's
     * trees holds at least the configured number of `__batch=` partition
     * directories — the small-files/listing tax [[compactStore]] exists
@@ -356,15 +373,16 @@ object BandStore {
     */
   def needsCompaction(spark: SparkSession, storeDir: String): Boolean = {
     val threshold = spark.conf.get(CompactAfterBatchesConf, "64").toInt
-    def batchDirs(dir: String): Int = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) 0
-      else fs.listStatus(p).count(st =>
-        st.isDirectory && st.getPath.getName.startsWith("__batch="))
-    }
     Seq(bandsDir(storeDir), sigsDir(storeDir), evictedDir(storeDir))
-      .exists(batchDirs(_) >= threshold)
+      .exists(batchDirCount(spark, _) >= threshold)
+  }
+
+  private def batchDirCount(spark: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(st =>
+      st.isDirectory && st.getPath.getName.startsWith("__batch="))
   }
 
   /** Batch id of the FIRST compacted base generation. Base generations
@@ -454,123 +472,15 @@ object BandStore {
     */
   def compactStore(spark: SparkSession, storeDir: String,
                    minLiveBatch: Long): Unit = {
-    // tombstones old enough to ABSORB this cycle (final by the same
-    // watermark contract as the merge itself): their masked rows are
-    // physically dropped from the merged base, then the tombstone
-    // partitions are deleted — the disk-reclaim half of the retention
-    // contract. Newer tombstones stay and keep masking at read.
-    val absorb: Option[DataFrame] =
-      if (!hasBatches(spark, evictedDir(storeDir))) None
-      else {
-        val e = spark.read.parquet(evictedDir(storeDir))
-          .filter(col("__batch") < minLiveBatch)
-          .groupBy(col("doc_id")).agg(max(col("__batch")).as("__tb"))
-        if (e.isEmpty) None else Some(e.persist())
-      }
-    def rewrite(dir: String, bucketCol: String,
-                bucketOf: org.apache.spark.sql.Column, g: Geometry): Unit = {
-      val path = new org.apache.hadoop.fs.Path(dir)
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(path)) return
-      def listIds() = fs.listStatus(path)
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("__batch="))
-        .map(_.getPath.getName.stripPrefix("__batch=").toLong)
-      val ids0 = listIds()
-      val oldIds0 = ids0.filter(_ < minLiveBatch)
-      // nothing to merge: no eligible batches, or a lone already-compacted
-      // base generation (idempotent no-op, no generation churn) — UNLESS
-      // absorbable tombstones exist, whose rows live in that base and
-      // must be physically dropped
-      if (oldIds0.isEmpty ||
-          (oldIds0.length == 1 && oldIds0.head < 0 && absorb.isEmpty)) return
-      val newBase = math.min(ids0.min, 0L) - 1L
-      // concurrent-compaction fence on the base generation about to be
-      // produced: two compactors racing the same store would both merge
-      // the same sources and both rename onto `__batch=<newBase>` — the
-      // second rename NESTS under Hadoop rename-into-existing-dir
-      // semantics, corrupting the published tree. One wins the
-      // create-exclusive; the loser fails loudly before reading anything.
-      graft.operators.StoreDirs.acquireGen(fs, path, newBase)
-      try {
-      // purge debris crashed predecessors left behind: trash from a
-      // retire-then-delete crash, and `.compact-` staging from a crash
-      // before publish. Safe ONLY under the fence: any live compactor
-      // would have held it (a holder stalled past the fence lease loses
-      // its staging here and its rename fails loudly — the documented
-      // lease residual, never a silent nest).
-      fs.listStatus(path).filter { st =>
-        val nm = st.getPath.getName
-        nm.startsWith(".trash-") || nm.startsWith(".compact-")
-      }.foreach(st => fs.delete(st.getPath, true))
-      // re-list under the fence: a competitor that completed between the
-      // unfenced listing and the fence acquisition changed the id set
-      val ids = listIds()
-      val oldIds = ids.filter(_ < minLiveBatch)
-      require(math.min(ids.min, 0L) - 1L == newBase && oldIds.nonEmpty,
-        s"compactStore: store advanced between listing and fence — retry")
-      // distinct() reaps duplicate ROWS (a batch alive in both its source
-      // partition and a prior base after an interrupted run) — benign for
-      // decisions (see above) but worth merging away here; the copies
-      // agree on `__obatch`, so they collapse to one row. The eviction
-      // batch-gate ranks by `__obatch` — each row's true source batch,
-      // preserved verbatim into the new base — so a doc re-admitted
-      // after an old eviction carries its rows forward while the pre-
-      // eviction copies fall out, and the ranking is unchanged by
-      // however many compactions the rows have been through.
-      val merged0 = maskEvicted(
-          readTree(spark, dir, g).filter(col("__batch").isin(oldIds: _*)),
-          absorb)
-      // MIGRATE pre-`__obatch` rows while the true rank is still in
-      // reach: a legacy row's `__batch` IS its original batch (legacy
-      // base rows get the pre-upgrade base id — the semantics they were
-      // written under), and stamping it here makes the store uniformly
-      // post-upgrade after one compaction instead of carrying the
-      // rankBatch fallback forever. Ensure the column exists first — a
-      // store whose schema footer predates the upgrade reads without it.
-      // cast: the partition `__batch` reads back as int while the data
-      // column is long — an uncast migration would write int `__obatch`
-      // rows that a later schema-merge with long ones refuses to read
-      val withRank =
-        if (merged0.columns.contains("__obatch"))
-          merged0.withColumn("__obatch",
-            coalesce(col("__obatch"), col("__batch")).cast("long"))
-        else merged0.withColumn("__obatch", col("__batch").cast("long"))
-      val rows = withRank
-        .drop("__batch", bucketCol)
-        .distinct()
-      val staging = new org.apache.hadoop.fs.Path(
-        path, s".compact-${java.util.UUID.randomUUID}")
-      rows.withColumn("__batch", lit(newBase))
-        .withColumn(bucketCol, bucketOf)
-        .write.partitionBy("__batch", bucketCol)
-        .parquet(staging.toString)
-      // PUBLISH: one atomic rename exposes the whole new generation
-      val pub = new org.apache.hadoop.fs.Path(path, s"__batch=$newBase")
-      require(fs.rename(new org.apache.hadoop.fs.Path(staging, s"__batch=$newBase"), pub),
-        s"compactStore: could not publish $pub")
-      fs.delete(staging, true)
-      // RETIRE: each merged source vanishes atomically into dot-prefixed
-      // trash (invisible to listings), then the trash is deleted
-      oldIds.foreach { id =>
-        val src = new org.apache.hadoop.fs.Path(path, s"__batch=$id")
-        val dst = new org.apache.hadoop.fs.Path(path, s".trash-${java.util.UUID.randomUUID}")
-        require(fs.rename(src, dst), s"compactStore: could not retire $src")
-        fs.delete(dst, true)
-      }
-      } finally {
-        // base ids strictly decrease, so `newBase` is never claimed again
-        // — release on success AND failure (the published `__batch` dir,
-        // not the fence, is what blocks a stale claimer)
-        graft.operators.StoreDirs.releaseGen(fs, path, newBase)
-      }
-    }
-    // unpersist on EVERY exit — a failed rewrite (fence conflict, the
-    // advanced-store require, a publish rename) must not pin the
-    // tombstone aggregate for the life of the session
+    val absorb = eligibleTombstones(spark, storeDir, minLiveBatch)
     try {
       val g = ensureGeometry(spark, storeDir)
-      rewrite(bandsDir(storeDir), "__bb", pmod(col("bh"), lit(g.bandBuckets)).cast("int"), g)
-      rewrite(sigsDir(storeDir), "__db", pmod(col("doc_id"), lit(g.sigBuckets)).cast("int"), g)
+      rewriteTree(spark, bandsDir(storeDir), "__bb",
+        pmod(col("bh"), lit(g.bandBuckets)).cast("int"), g, minLiveBatch,
+        absorb, subset = None)
+      rewriteTree(spark, sigsDir(storeDir), "__db",
+        pmod(col("doc_id"), lit(g.sigBuckets)).cast("int"), g, minLiveBatch,
+        absorb, subset = None)
       // absorb: both trees have dropped the masked rows — the old
       // tombstone partitions are dead weight now. A crash before this
       // delete leaves them masking already-absent rows — a GENUINE no-op
@@ -614,6 +524,300 @@ object BandStore {
             "obatchEpoch" -> 1), replace = true)
       }
     } finally absorb.foreach(_.unpersist())
+  }
+
+  /** Tombstones old enough to ABSORB this cycle (final by the same
+    * watermark contract as the merge itself): their masked rows are
+    * physically dropped from the merged base; the FULL compaction then
+    * deletes the tombstone partitions — the disk-reclaim half of the
+    * retention contract. Newer tombstones stay and keep masking at
+    * read. The caller owns the unpersist.
+    */
+  private def eligibleTombstones(spark: SparkSession, storeDir: String,
+                                 minLiveBatch: Long): Option[DataFrame] =
+    if (!hasBatches(spark, evictedDir(storeDir))) None
+    else {
+      val e = spark.read.parquet(evictedDir(storeDir))
+        .filter(col("__batch") < minLiveBatch)
+        .groupBy(col("doc_id")).agg(max(col("__batch")).as("__tb"))
+      if (e.isEmpty) None else Some(e.persist())
+    }
+
+  /** Merge one store tree's eligible batches into a new base
+    * generation — the shared core of the full compaction
+    * ([[compactStore(spark:SparkSession,storeDir:String,minLiveBatch:Long)*]],
+    * `subset = None`) and the budgeted per-bucket slices
+    * ([[compactSlices]], `subset = Some(buckets)`). In subset mode only
+    * rows of the given bucket values merge, only those buckets' leaf
+    * directories retire (a batch directory is deleted once its last
+    * leaf is gone), and absorbed tombstone ROWS are dropped while the
+    * tombstone partitions stay — a doc's rows span many buckets, so the
+    * partitions may only be deleted by the full pass, after EVERY
+    * bucket has dropped them (until then they mask already-absent rows,
+    * the documented genuine no-op).
+    */
+  private def rewriteTree(spark: SparkSession, dir: String, bucketCol: String,
+                          bucketOf: org.apache.spark.sql.Column, g: Geometry,
+                          minLiveBatch: Long, absorb: Option[DataFrame],
+                          subset: Option[Seq[Int]]): Unit = {
+      val path = new org.apache.hadoop.fs.Path(dir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(path)) return
+      def listIds() = fs.listStatus(path)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("__batch="))
+        .map(_.getPath.getName.stripPrefix("__batch=").toLong)
+      // in subset mode, a batch is a SOURCE only if it holds a leaf of
+      // one of the slice's buckets — others are untouched
+      def leafIds(ids: Seq[Long]): Seq[Long] = subset match {
+        case None => ids
+        case Some(bs) =>
+          val names = bs.map(b => s"$bucketCol=$b").toSet
+          ids.filter { id =>
+            val bd = new org.apache.hadoop.fs.Path(path, s"__batch=$id")
+            try fs.listStatus(bd).exists(st => names.contains(st.getPath.getName))
+            catch { case _: java.io.IOException => false }
+          }
+      }
+      val ids0 = listIds()
+      val oldIds0 = leafIds(ids0.filter(_ < minLiveBatch).toSeq)
+      // nothing to merge: no eligible batches, or a lone already-compacted
+      // base generation (idempotent no-op, no generation churn) — UNLESS
+      // absorbable tombstones exist, whose rows live in that base and
+      // must be physically dropped (full mode only: a slice cannot know
+      // which buckets hold a tombstone's rows without reading them)
+      if (oldIds0.isEmpty ||
+          (oldIds0.length == 1 && oldIds0.head < 0 &&
+            (absorb.isEmpty || subset.nonEmpty))) return
+      val newBase = math.min(ids0.min, 0L) - 1L
+      // concurrent-compaction fence on the base generation about to be
+      // produced: two compactors racing the same store would both merge
+      // the same sources and both rename onto `__batch=<newBase>` — the
+      // second rename NESTS under Hadoop rename-into-existing-dir
+      // semantics, corrupting the published tree. One wins the
+      // create-exclusive; the loser fails loudly before reading anything.
+      graft.operators.StoreDirs.acquireGen(fs, path, newBase)
+      try {
+      // purge debris crashed predecessors left behind: trash from a
+      // retire-then-delete crash, and `.compact-` staging from a crash
+      // before publish. Safe ONLY under the fence: any live compactor
+      // would have held it (a holder stalled past the fence lease loses
+      // its staging here and its rename fails loudly — the documented
+      // lease residual, never a silent nest).
+      fs.listStatus(path).filter { st =>
+        val nm = st.getPath.getName
+        nm.startsWith(".trash-") || nm.startsWith(".compact-")
+      }.foreach(st => fs.delete(st.getPath, true))
+      // re-list under the fence: a competitor that completed between the
+      // unfenced listing and the fence acquisition changed the id set
+      val ids = listIds()
+      val srcIds = leafIds(ids.filter(_ < minLiveBatch).toSeq)
+      require(math.min(ids.min, 0L) - 1L == newBase && srcIds.nonEmpty,
+        s"compactStore: store advanced between listing and fence — retry")
+      // distinct() reaps duplicate ROWS (a batch alive in both its source
+      // partition and a prior base after an interrupted run) — benign for
+      // decisions (see above) but worth merging away here; the copies
+      // agree on `__obatch`, so they collapse to one row. The eviction
+      // batch-gate ranks by `__obatch` — each row's true source batch,
+      // preserved verbatim into the new base — so a doc re-admitted
+      // after an old eviction carries its rows forward while the pre-
+      // eviction copies fall out, and the ranking is unchanged by
+      // however many compactions the rows have been through.
+      val merged0 = maskEvicted(
+          readTree(spark, dir, g).filter(col("__batch").isin(srcIds: _*) &&
+            subset.fold(lit(true))(bs => col(bucketCol).isin(bs: _*))),
+          absorb)
+      // MIGRATE pre-`__obatch` rows while the true rank is still in
+      // reach: a legacy row's `__batch` IS its original batch (legacy
+      // base rows get the pre-upgrade base id — the semantics they were
+      // written under), and stamping it here makes the store uniformly
+      // post-upgrade after one compaction instead of carrying the
+      // rankBatch fallback forever. Ensure the column exists first — a
+      // store whose schema footer predates the upgrade reads without it.
+      // cast: the partition `__batch` reads back as int while the data
+      // column is long — an uncast migration would write int `__obatch`
+      // rows that a later schema-merge with long ones refuses to read
+      val withRank =
+        if (merged0.columns.contains("__obatch"))
+          merged0.withColumn("__obatch",
+            coalesce(col("__obatch"), col("__batch")).cast("long"))
+        else merged0.withColumn("__obatch", col("__batch").cast("long"))
+      val rows = withRank
+        .drop("__batch", bucketCol)
+        .distinct()
+      val staging = new org.apache.hadoop.fs.Path(
+        path, s".compact-${java.util.UUID.randomUUID}")
+      rows.withColumn("__batch", lit(newBase))
+        .withColumn(bucketCol, bucketOf)
+        .write.partitionBy("__batch", bucketCol)
+        .parquet(staging.toString)
+      // PUBLISH: one atomic rename exposes the whole new generation. A
+      // fully-masked merge (every source row tombstone-absorbed) writes
+      // no partitions — nothing to publish; retiring the sources below
+      // IS the physical reclaim then.
+      val stagedGen = new org.apache.hadoop.fs.Path(staging, s"__batch=$newBase")
+      if (fs.exists(stagedGen)) {
+        val pub = new org.apache.hadoop.fs.Path(path, s"__batch=$newBase")
+        require(fs.rename(stagedGen, pub),
+          s"compactStore: could not publish $pub")
+      }
+      fs.delete(staging, true)
+      // RETIRE: each merged source vanishes atomically into dot-prefixed
+      // trash (invisible to listings), then the trash is deleted. Subset
+      // mode retires only the slice's leaf directories and deletes a
+      // batch directory once its last leaf is gone.
+      subset match {
+        case None =>
+          srcIds.foreach { id =>
+            val src = new org.apache.hadoop.fs.Path(path, s"__batch=$id")
+            val dst = new org.apache.hadoop.fs.Path(path, s".trash-${java.util.UUID.randomUUID}")
+            require(fs.rename(src, dst), s"compactStore: could not retire $src")
+            fs.delete(dst, true)
+          }
+        case Some(bs) =>
+          val names = bs.map(b => s"$bucketCol=$b").toSet
+          srcIds.foreach { id =>
+            val bd = new org.apache.hadoop.fs.Path(path, s"__batch=$id")
+            fs.listStatus(bd).filter(st => names.contains(st.getPath.getName))
+              .foreach { st =>
+                val dst = new org.apache.hadoop.fs.Path(path,
+                  s".trash-${java.util.UUID.randomUUID}")
+                require(fs.rename(st.getPath, dst),
+                  s"compactStore: could not retire ${st.getPath}")
+                fs.delete(dst, true)
+              }
+            if (fs.listStatus(bd).isEmpty) fs.delete(bd, false)
+          }
+      }
+      } finally {
+        // base ids strictly decrease, so `newBase` is never claimed again
+        // — release on success AND failure (the published `__batch` dir,
+        // not the fence, is what blocks a stale claimer)
+        graft.operators.StoreDirs.releaseGen(fs, path, newBase)
+      }
+  }
+
+  /** Budgeted incremental compaction (VERDICT r14 #3) — the
+    * non-stop-the-world sibling of
+    * [[compactIfNeeded]]: when the gauge fires, fold per-bucket SLICES
+    * of the band/sig trees under the
+    * [[CompactSliceBudgetConf]] wall-clock budget instead of one
+    * stop-the-world full pass, bounding the ingest pause a quiesce
+    * point pays to ~budget (one slice in flight always completes, so
+    * the pause can overshoot by about one slice). Buckets fold most-
+    * fragmented-first, packed [[CompactSliceLeavesConf]] leaves per
+    * slice; each slice is its own fenced atomic publish, so a crash
+    * between slices leaves a store the next quiesce continues from —
+    * and per-quiesce fold capacity (~a thousand leaves) far exceeds
+    * per-batch leaf arrival (~bucket count), so the fold converges
+    * while ingest keeps running. Semantically
+    * invisible exactly as the full compact (superset-visibility
+    * publish, distinct-insensitive decisions, `__obatch` ranking).
+    *
+    * Tombstone partitions are NEVER deleted by slices (a doc's rows
+    * span many buckets — only a full pass proves every copy dropped):
+    * when the EVICTED tree itself crosses the batch threshold, this
+    * method runs the full [[compactStore(spark:SparkSession,storeDir:String)*]]
+    * instead — cheap by then, because earlier slices have already
+    * folded the data trees.
+    *
+    * Same caller contract as [[compactIfNeeded]]: a quiesce point with
+    * the stream's checkpoint fully committed. Returns the pause cost in
+    * seconds (None = gauge quiet).
+    */
+  def compactSliceIfNeeded(spark: SparkSession, storeDir: String): Option[Double] =
+    if (!needsCompaction(spark, storeDir)) None
+    else {
+      val t0 = System.nanoTime()
+      val threshold = spark.conf.get(CompactAfterBatchesConf, "64").toInt
+      if (batchDirCount(spark, evictedDir(storeDir)) >= threshold)
+        compactStore(spark, storeDir)
+      else
+        compactSlices(spark, storeDir, Long.MaxValue)
+      Some((System.nanoTime() - t0) / 1e9)
+    }
+
+  /** Run as many per-bucket compaction slices as the
+    * [[CompactSliceBudgetConf]] budget allows (most-fragmented buckets
+    * first, bands before sigs — the fragmentation order of the listing
+    * tax), each over batches `< minLiveBatch` (same watermark contract
+    * as [[compactStore(spark:SparkSession,storeDir:String,minLiveBatch:Long)*]]).
+    * Returns the number of slices run. The loop stops STARTING a new
+    * slice when the spent time plus the last slice's cost would
+    * overshoot the budget.
+    */
+  private[graft] def compactSlices(spark: SparkSession, storeDir: String,
+                                   minLiveBatch: Long): Int = {
+    val g = ensureGeometry(spark, storeDir)
+    val budget = spark.conf.get(CompactSliceBudgetConf, "2.0").toDouble
+    val leafBudget = math.max(1, spark.conf.get(CompactSliceLeavesConf, "1024").toInt)
+    val t0 = System.nanoTime()
+    def spent = (System.nanoTime() - t0) / 1e9
+    val absorb = eligibleTombstones(spark, storeDir, minLiveBatch)
+    var slices = 0
+    var lastSlice = 0.0
+    try {
+      val trees = Seq(
+        (bandsDir(storeDir), "__bb",
+          pmod(col("bh"), lit(g.bandBuckets)).cast("int")),
+        (sigsDir(storeDir), "__db",
+          pmod(col("doc_id"), lit(g.sigBuckets)).cast("int")))
+      trees.foreach { case (dir, bucketCol, bucketOf) =>
+        var remaining = foldableBuckets(spark, dir, bucketCol, minLiveBatch)
+        // `slices == 0`: the first slice of the CALL always runs — a
+        // budget smaller than the census overhead must still make
+        // progress, or the fold starves forever
+        while (remaining.nonEmpty &&
+               (slices == 0 || spent + lastSlice <= budget)) {
+          // greedy pack (census is sorted most-leaves-first): at least
+          // one bucket, then more while the leaf budget holds
+          val group = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var leaves = 0
+          while (remaining.nonEmpty &&
+                 (group.isEmpty || leaves + remaining.head._2 <= leafBudget)) {
+            leaves += remaining.head._2
+            group += remaining.head._1
+            remaining = remaining.tail
+          }
+          val s0 = System.nanoTime()
+          rewriteTree(spark, dir, bucketCol, bucketOf, g, minLiveBatch,
+            absorb, subset = Some(group.toSeq))
+          lastSlice = (System.nanoTime() - s0) / 1e9
+          slices += 1
+        }
+      }
+    } finally absorb.foreach(_.unpersist())
+    slices
+  }
+
+  /** A tree's bucket values that still need folding as
+    * (bucket, leaf count), most fragmented first: a bucket is foldable
+    * when its leaves span more than one batch directory, or live in any
+    * non-base (id ≥ 0) directory — i.e. anything but a single
+    * already-folded base. One two-level listing, O(batch dirs ×
+    * buckets) stat calls — paid only at a quiesce point with the gauge
+    * already firing.
+    */
+  private def foldableBuckets(spark: SparkSession, dir: String,
+                              bucketCol: String,
+                              minLiveBatch: Long): List[(Int, Int)] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return List.empty
+    val leaves: Seq[(Int, Long)] = fs.listStatus(path).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__batch="))
+      .flatMap { st =>
+        st.getPath.getName.stripPrefix("__batch=").toLongOption.toSeq
+          .filter(_ < minLiveBatch).flatMap { id =>
+            (try fs.listStatus(st.getPath).toSeq
+             catch { case _: java.io.IOException => Seq.empty })
+              .flatMap(_.getPath.getName.stripPrefix(s"$bucketCol=").toIntOption)
+              .map(b => (b, id))
+          }
+      }
+    leaves.groupBy(_._1).toList
+      .filter { case (_, ls) => ls.size > 1 || ls.exists(_._2 >= 0) }
+      .sortBy { case (b, ls) => (-ls.size, b) }
+      .map { case (b, ls) => (b, ls.size) }
   }
 
   /** The pruned probe scan of `bands/` for one batch: only partitions in

@@ -217,7 +217,15 @@ object Streams {
                       checkpoint: String): Option[Double] = {
     val q = dedupAdmitSink(stream, storeDir, admittedDir, checkpoint)
     q.awaitTermination()
-    BandStore.compactIfNeeded(stream.sparkSession, storeDir)
+    // budgeted slices, not the stop-the-world full compact (VERDICT r14
+    // #3): the ×50 soak measured the full fold at a 14.9 s ingest stall
+    // growing with store size — the slice path bounds each quiesce
+    // pause to spark.graft.band.compactSliceBudgetSec and spreads the
+    // fold across quiesce points, keeping per-batch p99 flat on a live
+    // ingest SLO. Tombstone absorption still routes through the full
+    // pass when the evicted tree itself crosses the threshold (cheap by
+    // then — the data trees are already folded).
+    BandStore.compactSliceIfNeeded(stream.sparkSession, storeDir)
   }
 
   /** T13 [EXT] — streaming LABEL maintenance: the full document→labels

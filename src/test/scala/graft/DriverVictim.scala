@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Subprocess side of Round15Spec's DRIVER-kill chaos (VERDICT r14 #2):
+  * a separate driver JVM that runs exactly one maintenance entry — and
+  * gets SIGKILLed by the parent mid-flight. Round 14 proved the stores
+  * survive EXECUTOR loss; this is the remaining cluster failure mode:
+  * the driver itself dies holding a generation fence / mid-staging /
+  * mid-drain, and a FRESH driver (the test JVM) must reclaim the stale
+  * fence and converge — complete-or-rebuild, hash-equal from scratch,
+  * no torn generation.
+  *
+  * Protocol: prints `VICTIM-START` before the maintenance call and
+  * `VICTIM-DONE` after it — the parent verifies the kill landed
+  * in-flight by the absence of the DONE marker. The parent owns all
+  * paths and corpus preparation; this main only runs the victim call.
+  *
+  * Modes:
+  *   - `label <corpusDir> <storeDir>` — LabelStore.ensureCurrentIncremental
+  *   - `ivf   <corpusDir> <storeDir>` — IvfStore.ensureCurrentIncremental
+  *   - `drain <topicDir> <storeDir> <admittedDir> <checkpointDir>` —
+  *     Streams.dedupAdmitDrain over a file-per-micro-batch topic
+  */
+object DriverVictim {
+  def main(args: Array[String]): Unit = {
+    val mode = args(0)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-driver-victim")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(e => new graft.functions.GraftExtensions()(e))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println("VICTIM-START")
+    mode match {
+      case "label" =>
+        val m = graft.operators.LabelStore.ensureCurrentIncremental(spark, args(1), args(2))
+        println(s"VICTIM-DONE:$m")
+      case "ivf" =>
+        val m = graft.operators.IvfStore.ensureCurrentIncremental(spark, args(1), args(2))
+        println(s"VICTIM-DONE:$m")
+      case "drain" =>
+        val Array(_, topic, store, admitted, ckpt) = args
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val docSchema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType)))
+        val src = spark.readStream.schema(docSchema)
+          .option("maxFilesPerTrigger", "1").json(topic)
+        graft.streaming.Streams.dedupAdmitDrain(src, store, admitted, ckpt)
+        println("VICTIM-DONE")
+      case other => sys.error(s"unknown victim mode: $other")
+    }
+    spark.stop()
+  }
+}

@@ -10,19 +10,6 @@ import org.apache.spark.sql.functions._
 class Round15Spec extends SparkSpec {
   import spark.implicits._
 
-  /** Set JVM props for the body, restoring on every exit — the fence
-    * leases read sys.props at call time, so tests can shrink them.
-    */
-  private def withProps[A](pairs: (String, String)*)(body: => A): A = {
-    val old = pairs.map { case (k, _) => k -> sys.props.get(k) }
-    pairs.foreach { case (k, v) => sys.props(k) = v }
-    try body
-    finally old.foreach {
-      case (k, Some(v)) => sys.props(k) = v
-      case (k, None)    => sys.props.remove(k)
-    }
-  }
-
   // ---------------------------------------------------------------
   // ADVICE r14 (medium ×3): the upsert store's init claim. A stale
   // claim with no write activity is dead debris — reclaimed by atomic
@@ -120,5 +107,64 @@ class Round15Spec extends SparkSpec {
       assert(lists.count() == 10000,
         "every corpus vector must still be assigned to a cell")
     } finally Caches.releaseScoped()
+  }
+
+  // ---------------------------------------------------------------
+  // VERDICT r14 #3: incremental compaction. One quiesce point folds
+  // per-bucket slices under a leaf/time budget instead of the whole
+  // store; every intermediate state serves the identical logical rows
+  // (including the __obatch rank), repeated quiesce points converge to
+  // a fully folded store, and mid-fold admission decisions (folded-
+  // history veto + fresh admit) are unchanged.
+  // ---------------------------------------------------------------
+
+  test("incremental compaction: single-slice quiesce points converge; every partial state serves identical rows; folded history still vetoes") {
+    import graft.streaming.BandStore
+    val root = tmpDir("r15-slice")
+    val store = s"$root/store"
+    val out = s"$root/admitted"
+    def text(tag: String, i: Int) =
+      (0 until 25).map(j => s"${tag}_w${i}_$j").mkString(" ")
+    def batchDf(b: Int) = Seq(
+      (b * 2L, text("a", b * 2)), (b * 2L + 1, text("a", b * 2 + 1))
+    ).toDF("doc_id", "text")
+    (0 until 5).foreach(b => BandStore.admitBatch(batchDf(b), b.toLong, store, out))
+    def treeRows(dir: String): Set[String] =
+      spark.read.parquet(dir)
+        .selectExpr("concat_ws(':', band, bh, doc_id, __obatch)")
+        .collect().map(_.getString(0)).toSet
+    def batchIds(dir: String): Seq[Long] =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("__batch="))
+        .map(_.getName.stripPrefix("__batch=").toLong).toSeq
+    val before = treeRows(BandStore.bandsDir(store))
+    withConf(BandStore.CompactSliceLeavesConf -> "2",
+             BandStore.CompactSliceBudgetConf -> "0.0") {
+      // budget 0.0 admits exactly one slice per quiesce call (the first
+      // slice always runs; any spent time then exceeds the budget)
+      var n = BandStore.compactSlices(spark, store, Long.MaxValue)
+      assert(n == 1, s"budget 0.0 must run exactly one slice, ran $n")
+      // mid-fold: the visible rows are unchanged
+      assert(treeRows(BandStore.bandsDir(store)) == before,
+        "a partial fold changed the bands tree's logical rows")
+      var steps = 0
+      while (n > 0 && steps < 300) {
+        n = BandStore.compactSlices(spark, store, Long.MaxValue)
+        steps += 1
+      }
+      assert(steps < 300, "slice quiesce points never converged")
+    }
+    assert(treeRows(BandStore.bandsDir(store)) == before,
+      "the converged fold changed the bands tree's logical rows")
+    assert(batchIds(BandStore.bandsDir(store)).forall(_ < 0) &&
+           batchIds(BandStore.sigsDir(store)).forall(_ < 0),
+      "convergence must leave only base generations")
+    // folded history still vetoes; fresh still admits
+    BandStore.admitBatch(Seq((100L, text("a", 0)), (101L, text("b", 101)))
+      .toDF("doc_id", "text"), 5L, store, out)
+    val ids = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(100L), "the folded base generation must still veto")
+    assert(ids.contains(101L), "a fresh doc must still admit")
   }
 }

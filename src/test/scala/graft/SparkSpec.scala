@@ -41,4 +41,18 @@ abstract class SparkSpec extends AnyFunSuite {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  /** Set JVM props for the body, restoring on every exit — the fence
+    * leases ([[graft.operators.StoreDirs.staleFenceMs]] etc.) read
+    * sys.props at call time, so tests can shrink them.
+    */
+  protected def withProps[A](pairs: (String, String)*)(body: => A): A = {
+    val old = pairs.map { case (k, _) => k -> sys.props.get(k) }
+    pairs.foreach { case (k, v) => sys.props(k) = v }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => sys.props(k) = v
+      case (k, None)    => sys.props.remove(k)
+    }
+  }
 }
