@@ -533,7 +533,9 @@ object StressBench {
       if (graft.streaming.BandStore.needsCompaction(spark, admStore)) {
         val (fb, bb) = du(admStore)
         val tC = System.nanoTime()
-        val slices = graft.streaming.BandStore.compactSlices(spark, admStore, Long.MaxValue)
+        val slices = graft.streaming.BandStore.compactSlices(spark, admStore,
+          Long.MaxValue, minFoldDirs =
+            spark.conf.get(graft.streaming.BandStore.CompactAfterBatchesConf, "64").toInt)
         val pause = (System.nanoTime() - tC) / 1e9
         val (fa, ba) = du(admStore)
         admCompactions += f"""{"batch":$b,"pause_sec":$pause%.3f,"slices":$slices,"files_before":$fb,"files_after":$fa,"bytes_before":$bb,"bytes_after":$ba}"""

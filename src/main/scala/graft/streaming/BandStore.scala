@@ -360,6 +360,23 @@ object BandStore {
     */
   val CompactSliceLeavesConf = "spark.graft.band.compactSliceLeaves"
 
+  /** Byte budget per incremental compaction slice
+    * (`spark.graft.band.compactSliceBytes`, default 64 MiB): the
+    * primary pack cap — a slice's pause tracks the data volume it
+    * merges, so bounding bytes bounds the pause whatever the store has
+    * grown to.
+    */
+  val CompactSliceBytesConf = "spark.graft.band.compactSliceBytes"
+
+  /** Base fan-in before a MAJOR fold
+    * (`spark.graft.band.compactBaseFanin`, default 8): minor folds
+    * stack up to this many small bases per bucket before one major
+    * fold merges them — the LSM trade between write amplification
+    * (each row rewritten ~once per fanin cycles) and probe listing
+    * width (≤ fanin bases + one cadence of batches per bucket).
+    */
+  val CompactBaseFaninConf = "spark.graft.band.compactBaseFanin"
+
   /** Maintenance gauge (VERDICT r12 #6): true when any of the store's
     * trees holds at least the configured number of `__batch=` partition
     * directories — the small-files/listing tax [[compactStore]] exists
@@ -559,7 +576,11 @@ object BandStore {
   private def rewriteTree(spark: SparkSession, dir: String, bucketCol: String,
                           bucketOf: org.apache.spark.sql.Column, g: Geometry,
                           minLiveBatch: Long, absorb: Option[DataFrame],
-                          subset: Option[Seq[Int]]): Unit = {
+                          subset: Option[Seq[Int]],
+                          // subset mode only: false = MINOR fold (live
+                          // batch leaves only; prior bases untouched —
+                          // the bounded-write-amplification tier)
+                          includeBases: Boolean = true): Unit = {
       val path = new org.apache.hadoop.fs.Path(dir)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(path)) return
@@ -567,12 +588,13 @@ object BandStore {
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("__batch="))
         .map(_.getPath.getName.stripPrefix("__batch=").toLong)
       // in subset mode, a batch is a SOURCE only if it holds a leaf of
-      // one of the slice's buckets — others are untouched
+      // one of the slice's buckets — others are untouched; a minor fold
+      // additionally skips base (negative-id) generations
       def leafIds(ids: Seq[Long]): Seq[Long] = subset match {
         case None => ids
         case Some(bs) =>
           val names = bs.map(b => s"$bucketCol=$b").toSet
-          ids.filter { id =>
+          ids.filter(id => includeBases || id >= 0).filter { id =>
             val bd = new org.apache.hadoop.fs.Path(path, s"__batch=$id")
             try fs.listStatus(bd).exists(st => names.contains(st.getPath.getName))
             catch { case _: java.io.IOException => false }
@@ -646,8 +668,17 @@ object BandStore {
         .distinct()
       val staging = new org.apache.hadoop.fs.Path(
         path, s".compact-${java.util.UUID.randomUUID}")
+      // repartition by the bucket column so each leaf lands as ONE file
+      // (the IvfStore.writeBatch discipline) — without it every leaf
+      // gets a file per shuffle partition and a fold FRAGMENTS the
+      // store instead of compacting it (the r15 cadence-16 soak
+      // measured 2.5k → 17k files from exactly this). At production
+      // scale per-bucket file size is bounded by the bucket count
+      // scaling with the corpus (Geometry scaladoc) plus
+      // spark.sql.files.maxRecordsPerFile if set.
       rows.withColumn("__batch", lit(newBase))
         .withColumn(bucketCol, bucketOf)
+        .repartition(col(bucketCol))
         .write.partitionBy("__batch", bucketCol)
         .parquet(staging.toString)
       // PUBLISH: one atomic rename exposes the whole new generation. A
@@ -703,13 +734,14 @@ object BandStore {
     * [[CompactSliceBudgetConf]] wall-clock budget instead of one
     * stop-the-world full pass, bounding the ingest pause a quiesce
     * point pays to ~budget (one slice in flight always completes, so
-    * the pause can overshoot by about one slice). Buckets fold most-
-    * fragmented-first, packed [[CompactSliceLeavesConf]] leaves per
-    * slice; each slice is its own fenced atomic publish, so a crash
-    * between slices leaves a store the next quiesce continues from —
-    * and per-quiesce fold capacity (~a thousand leaves) far exceeds
-    * per-batch leaf arrival (~bucket count), so the fold converges
-    * while ingest keeps running. Semantically
+    * the pause can overshoot by about one slice). Folding is TIERED
+    * (see [[compactSlices]]): minor folds merge only the delta since
+    * the last fold — never the accumulated bases, so pause cost does
+    * NOT grow with store size — and bases merge in a major fold once a
+    * bucket stacks [[CompactBaseFaninConf]] of them. Bucket groups pack
+    * by bytes ([[CompactSliceBytesConf]]); each slice is its own fenced
+    * atomic publish, so a crash between slices leaves a store the next
+    * quiesce continues from. Semantically
     * invisible exactly as the full compact (superset-visibility
     * publish, distinct-insensitive decisions, `__obatch` ranking).
     *
@@ -731,25 +763,71 @@ object BandStore {
       val threshold = spark.conf.get(CompactAfterBatchesConf, "64").toInt
       if (batchDirCount(spark, evictedDir(storeDir)) >= threshold)
         compactStore(spark, storeDir)
-      else
-        compactSlices(spark, storeDir, Long.MaxValue)
+      else {
+        // fold only trees AT the gauge threshold (minFoldDirs): a tree
+        // that already folded below it is left alone until it
+        // re-accumulates — without this, the bands tree (whose buckets
+        // are always ≥2 leaves once any batch lands after a fold) would
+        // absorb every quiesce's budget re-rewriting its whole base to
+        // fold one batch (O(store) per batch), while the sigs tree
+        // starves and keeps the gauge permanently on — the exact
+        // pathology the r15 ×50 soak caught on this path's first run
+        val n = compactSlices(spark, storeDir, Long.MaxValue,
+          minFoldDirs = threshold)
+        // progress guarantee: the gauge fired but the tier policy found
+        // nothing foldable — the dirs are bases fragmented below the
+        // fan-in (tiny slice budgets can shape this). One full fold
+        // clears it; otherwise every quiesce would pay the census for
+        // nothing and the gauge would never reset.
+        if (n == 0) compactStore(spark, storeDir)
+      }
       Some((System.nanoTime() - t0) / 1e9)
     }
 
   /** Run as many per-bucket compaction slices as the
-    * [[CompactSliceBudgetConf]] budget allows (most-fragmented buckets
-    * first, bands before sigs — the fragmentation order of the listing
-    * tax), each over batches `< minLiveBatch` (same watermark contract
-    * as [[compactStore(spark:SparkSession,storeDir:String,minLiveBatch:Long)*]]).
+    * [[CompactSliceBudgetConf]] budget allows, each over batches
+    * `< minLiveBatch` (same watermark contract as
+    * [[compactStore(spark:SparkSession,storeDir:String,minLiveBatch:Long)*]]).
     * Returns the number of slices run. The loop stops STARTING a new
     * slice when the spent time plus the last slice's cost would
     * overshoot the budget.
+    *
+    * TIERED, the LSM discipline — the cadence-16 ×50 soak measured why:
+    * a design that merges every delta into ONE base rewrites O(store)
+    * per cycle, so its pause GROWS with store size (7.7 s → 33 s as the
+    * base grew). Instead:
+    *   - MINOR fold: a bucket's live batch leaves merge into a fresh
+    *     small base; prior bases are NOT read or rewritten. Per-cycle
+    *     write volume = the delta since the last fold, constant per
+    *     cadence — never O(store).
+    *   - MAJOR fold: once a bucket has accumulated
+    *     [[CompactBaseFaninConf]] bases, those bases (plus any live
+    *     leaves) merge into one. Each row is rewritten ~once per fanin
+    *     cycles, and probe listing stays bounded by
+    *     fanin + cadence leaves per bucket.
+    * Both phases pack bucket groups by BYTES
+    * ([[CompactSliceBytesConf]], with [[CompactSliceLeavesConf]] as a
+    * secondary cap) so a slice's pause tracks merge volume, not an
+    * accident of leaf counts.
+    *
+    * `minFoldDirs`: only trees holding at least this many batch
+    * directories are folded (0 = fold everything, the direct-call
+    * maintenance form). [[compactSliceIfNeeded]] passes the gauge
+    * threshold, and trees fold NEEDIEST FIRST — two properties the ×50
+    * soak proved load-bearing: without the filter, a freshly-folded
+    * tree's base is re-rewritten every quiesce to absorb one batch;
+    * without the ordering, the first tree's work starves the one
+    * actually holding the gauge open.
     */
   private[graft] def compactSlices(spark: SparkSession, storeDir: String,
-                                   minLiveBatch: Long): Int = {
+                                   minLiveBatch: Long,
+                                   minFoldDirs: Int = 0): Int = {
     val g = ensureGeometry(spark, storeDir)
     val budget = spark.conf.get(CompactSliceBudgetConf, "2.0").toDouble
     val leafBudget = math.max(1, spark.conf.get(CompactSliceLeavesConf, "1024").toInt)
+    val bytesBudget = math.max(1L,
+      spark.conf.get(CompactSliceBytesConf, (64L * 1024 * 1024).toString).toLong)
+    val fanin = math.max(2, spark.conf.get(CompactBaseFaninConf, "8").toInt)
     val t0 = System.nanoTime()
     def spent = (System.nanoTime() - t0) / 1e9
     val absorb = eligibleTombstones(spark, storeDir, minLiveBatch)
@@ -761,63 +839,100 @@ object BandStore {
           pmod(col("bh"), lit(g.bandBuckets)).cast("int")),
         (sigsDir(storeDir), "__db",
           pmod(col("doc_id"), lit(g.sigBuckets)).cast("int")))
+        .map { case t @ (dir, _, _) => (t, batchDirCount(spark, dir)) }
+        .filter(_._2 >= minFoldDirs)
+        .sortBy(-_._2)
+        .map(_._1)
       trees.foreach { case (dir, bucketCol, bucketOf) =>
-        var remaining = foldableBuckets(spark, dir, bucketCol, minLiveBatch)
-        // `slices == 0`: the first slice of the CALL always runs — a
-        // budget smaller than the census overhead must still make
-        // progress, or the fold starves forever
-        while (remaining.nonEmpty &&
-               (slices == 0 || spent + lastSlice <= budget)) {
-          // greedy pack (census is sorted most-leaves-first): at least
-          // one bucket, then more while the leaf budget holds
-          val group = scala.collection.mutable.ArrayBuffer.empty[Int]
-          var leaves = 0
+        val census = bucketCensus(spark, dir, bucketCol, minLiveBatch)
+        // minor phase first (the per-cycle delta, the common case),
+        // then major (base merge, once per ~fanin cycles per bucket)
+        // minor folds take EVERY live leaf (nonBase >= 1): batch dirs
+        // only delete when their last leaf retires, so a straggler
+        // bucket left unfolded would hold dirs open and keep the gauge
+        // firing — and a minor fold's cost is bounded by the delta, so
+        // there is no churn to avoid (the need-filter above is what
+        // prevents refolding quiet trees)
+        val phases: Seq[(Boolean, List[BucketStat])] = Seq(
+          (false, census.filter(_.nonBase >= 1)
+            .sortBy(s => (-s.nonBase, s.bucket))),
+          (true, census.filter(_.base >= fanin)
+            .sortBy(s => (-s.base, s.bucket))))
+        phases.foreach { case (includeBases, cand) =>
+          var remaining = cand
+          // `slices == 0`: the first slice of the CALL always runs — a
+          // budget smaller than the census overhead must still make
+          // progress, or the fold starves forever
           while (remaining.nonEmpty &&
-                 (group.isEmpty || leaves + remaining.head._2 <= leafBudget)) {
-            leaves += remaining.head._2
-            group += remaining.head._1
-            remaining = remaining.tail
+                 (slices == 0 || spent + lastSlice <= budget)) {
+            // greedy pack: at least one bucket, then more while both
+            // the leaf cap and the byte cap hold
+            val group = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var leaves = 0
+            var bytes = 0L
+            def weightL(s: BucketStat) = if (includeBases) s.nonBase + s.base else s.nonBase
+            def weightB(s: BucketStat) = if (includeBases) s.nonBaseBytes + s.baseBytes else s.nonBaseBytes
+            while (remaining.nonEmpty &&
+                   (group.isEmpty ||
+                     (leaves + weightL(remaining.head) <= leafBudget &&
+                      bytes + weightB(remaining.head) <= bytesBudget))) {
+              leaves += weightL(remaining.head)
+              bytes += weightB(remaining.head)
+              group += remaining.head.bucket
+              remaining = remaining.tail
+            }
+            val s0 = System.nanoTime()
+            rewriteTree(spark, dir, bucketCol, bucketOf, g, minLiveBatch,
+              absorb, subset = Some(group.toSeq), includeBases = includeBases)
+            lastSlice = (System.nanoTime() - s0) / 1e9
+            slices += 1
           }
-          val s0 = System.nanoTime()
-          rewriteTree(spark, dir, bucketCol, bucketOf, g, minLiveBatch,
-            absorb, subset = Some(group.toSeq))
-          lastSlice = (System.nanoTime() - s0) / 1e9
-          slices += 1
         }
       }
     } finally absorb.foreach(_.unpersist())
     slices
   }
 
-  /** A tree's bucket values that still need folding as
-    * (bucket, leaf count), most fragmented first: a bucket is foldable
-    * when its leaves span more than one batch directory, or live in any
-    * non-base (id ≥ 0) directory — i.e. anything but a single
-    * already-folded base. One two-level listing, O(batch dirs ×
-    * buckets) stat calls — paid only at a quiesce point with the gauge
-    * already firing.
+  private case class BucketStat(bucket: Int, nonBase: Int, base: Int,
+                                nonBaseBytes: Long, baseBytes: Long)
+
+  /** Per-bucket leaf census of one tree: live-batch leaf count, base
+    * leaf count, and their byte volumes — what the tiered packer needs.
+    * One three-level listing, O(leaf files) stat calls — paid only at a
+    * quiesce point with the gauge already firing (on an object store,
+    * once per firing cycle, far cheaper than the probe-listing tax it
+    * retires).
     */
-  private def foldableBuckets(spark: SparkSession, dir: String,
-                              bucketCol: String,
-                              minLiveBatch: Long): List[(Int, Int)] = {
+  private def bucketCensus(spark: SparkSession, dir: String,
+                           bucketCol: String,
+                           minLiveBatch: Long): List[BucketStat] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return List.empty
-    val leaves: Seq[(Int, Long)] = fs.listStatus(path).toSeq
+    case class Leaf(bucket: Int, id: Long, bytes: Long)
+    val leaves: Seq[Leaf] = fs.listStatus(path).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("__batch="))
       .flatMap { st =>
         st.getPath.getName.stripPrefix("__batch=").toLongOption.toSeq
           .filter(_ < minLiveBatch).flatMap { id =>
             (try fs.listStatus(st.getPath).toSeq
              catch { case _: java.io.IOException => Seq.empty })
-              .flatMap(_.getPath.getName.stripPrefix(s"$bucketCol=").toIntOption)
-              .map(b => (b, id))
+              .flatMap { leaf =>
+                leaf.getPath.getName.stripPrefix(s"$bucketCol=").toIntOption
+                  .map { b =>
+                    val sz = try fs.listStatus(leaf.getPath)
+                      .filterNot(_.isDirectory).map(_.getLen).sum
+                    catch { case _: java.io.IOException => 0L }
+                    Leaf(b, id, sz)
+                  }
+              }
           }
       }
-    leaves.groupBy(_._1).toList
-      .filter { case (_, ls) => ls.size > 1 || ls.exists(_._2 >= 0) }
-      .sortBy { case (b, ls) => (-ls.size, b) }
-      .map { case (b, ls) => (b, ls.size) }
+    leaves.groupBy(_.bucket).toList.map { case (b, ls) =>
+      val (bases, live) = ls.partition(_.id < 0)
+      BucketStat(b, live.size, bases.size, live.map(_.bytes).sum,
+        bases.map(_.bytes).sum)
+    }
   }
 
   /** The pruned probe scan of `bands/` for one batch: only partitions in

@@ -166,5 +166,38 @@ class Round15Spec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(!ids.contains(100L), "the folded base generation must still veto")
     assert(ids.contains(101L), "a fresh doc must still admit")
+    // need-filter (the ×50 soak pathology): a freshly folded store
+    // below the fold threshold is left ALONE — no slice may re-rewrite
+    // a base just to absorb one new batch (that is O(store) per batch)
+    BandStore.admitBatch(Seq((200L, text("c", 200))).toDF("doc_id", "text"),
+      6L, store, out)
+    val basesBefore = batchIds(BandStore.bandsDir(store)).toSet
+    // a threshold above both trees' current dir counts: neither tree is
+    // needy, so the call must be a complete no-op
+    val over = 2 + math.max(batchIds(BandStore.bandsDir(store)).size,
+      batchIds(BandStore.sigsDir(store)).size)
+    val n2 = BandStore.compactSlices(spark, store, Long.MaxValue, minFoldDirs = over)
+    assert(n2 == 0,
+      s"a store below the fold threshold must not be touched, ran $n2 slices")
+    assert(batchIds(BandStore.bandsDir(store)).toSet == basesBefore,
+      "the need-filtered call must leave the tree untouched")
+    // TIER pin: minor folds stack small bases (prior bases never
+    // rewritten — pause cost must not grow with store size); a MAJOR
+    // fold at the fan-in merges them without changing the logical rows
+    var m = BandStore.compactSlices(spark, store, Long.MaxValue)
+    while (m > 0) m = BandStore.compactSlices(spark, store, Long.MaxValue)
+    val preMajorRows = treeRows(BandStore.bandsDir(store))
+    val preMajorDirs = batchIds(BandStore.bandsDir(store))
+    assert(preMajorDirs.forall(_ < 0) && preMajorDirs.size > 1,
+      s"expected stacked bases before the major fold: $preMajorDirs")
+    withConf(BandStore.CompactBaseFaninConf -> "2") {
+      var k = BandStore.compactSlices(spark, store, Long.MaxValue)
+      while (k > 0) k = BandStore.compactSlices(spark, store, Long.MaxValue)
+    }
+    assert(treeRows(BandStore.bandsDir(store)) == preMajorRows,
+      "the major fold changed the bands tree's logical rows")
+    val postMajorDirs = batchIds(BandStore.bandsDir(store))
+    assert(postMajorDirs.forall(_ < 0) && postMajorDirs.size < preMajorDirs.size,
+      s"major fold must reduce base count: ${preMajorDirs.size} -> ${postMajorDirs.size}")
   }
 }
