@@ -266,7 +266,7 @@ object IvfStore {
     // rebuild path's memory wall; two streaming scans are the
     // scale-correct trade (at 100 TB the corpus could never persist).
     val e = Similarity.normedOf(emb)
-    val (cent, lists) = Similarity.ivfIndex(e)
+    val (cent, lists, smp) = Similarity.ivfIndexWithSample(e)
     try {
       val next = listGens(s, storeDir).lastOption.map(_.k).getOrElse(0L) + 1
       val root = new Path(storeDir)
@@ -277,7 +277,7 @@ object IvfStore {
         publishGen(s, storeDir, next, n, fp, base = next, centroids = cent,
           ingestId = ingestId)
       }
-    } finally cent.unpersist()
+    } finally { cent.unpersist(); smp.unpersist() }
   }
 
   /** Rebuild iff the corpus fingerprint no longer matches the newest
@@ -723,7 +723,7 @@ object IvfStore {
         val allNorm = liveNorm.unionByName(Similarity.normedOf(newVecs))
           .localCheckpoint()
         pinned += allNorm
-        val (cent2, lists2) = Similarity.ivfIndex(allNorm)
+        val (cent2, lists2, smp2) = Similarity.ivfIndexWithSample(allNorm)
         try {
           val liveDg = maskDead(
               readBatches(s, digestsDir(storeDir), gen.base, gen.k), ts)
@@ -735,7 +735,7 @@ object IvfStore {
             digestsDir(storeDir))
           publishGen(s, storeDir, next, nAfter, fpAfter, base = next,
             centroids = cent2, ingestId = Some(streamBatchId))
-        } finally cent2.unpersist() // allNorm pinned → freed via `pinned`
+        } finally { cent2.unpersist(); smp2.unpersist() } // allNorm pinned → freed via `pinned`
         return "ingest-retrain"
       }
       if (nRe > 0) {

@@ -434,25 +434,34 @@ object Similarity {
       .select(col("vec_id"), col("e"), col("norm"), (-col("top.nc")).as("c_id"))
 
   private[graft] def ivfIndex(e: DataFrame): (DataFrame, DataFrame) = {
-    val s = e.sparkSession
+    val (refined, lists, _) = ivfIndexWithSample(e)
+    (refined, lists)
+  }
+
+  /** [[ivfIndex]] plus a handle on the persisted training sample, for
+    * maintenance lanes that must free its cached blocks on exit (the
+    * query paths leave it to the session owner's release boundary, like
+    * `refined`).
+    */
+  private[graft] def ivfIndexWithSample(e: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val nlist = IvfNList
 
     // TRAINING SAMPLE (VERDICT r14 #1): the first [[IvfTrainSample]]
     // corpus vectors in md5(vec_id) order — an unbiased deterministic
-    // sample ANY engine reproduces bit-identically. It collects to the
-    // driver (bounded by the CONSTANT: ≤ 8192 rows × 64 doubles ≈ 4 MB
-    // — the FAISS train-set-in-RAM discipline, and the same bounded-
-    // metadata class as the probed-cell-id collects) and re-enters the
-    // plan as a LocalRelation, so seed selection and the Lloyd
-    // refinement below cost O(sample) with zero shuffle regardless of
-    // corpus size. The TakeOrdered itself is scale-safe: per-partition
-    // top-IvfTrainSample merged into one bounded driver heap, never a
-    // corpus collect.
-    val trainProj = e.withColumn("h", md5(col("vec_id").cast("string")))
-      .select(col("vec_id"), col("e"), col("norm"), col("h"))
-    val trainRows = trainProj.orderBy("h").limit(IvfTrainSample).collect()
-    val sample = s.createDataFrame(
-      java.util.Arrays.asList(trainRows: _*), trainProj.schema)
+    // sample ANY engine reproduces bit-identically, ≤ 8192 rows ≈ 4 MB
+    // cached (the FAISS train-on-sample discipline). Seed selection and
+    // the Lloyd refinement below run over it, so training costs
+    // O(sample) regardless of corpus size; the TakeOrdered producing it
+    // is per-partition top-k, never a corpus shuffle. Kept DISTRIBUTED
+    // and plan-cached rather than collected: a driver-side LocalRelation
+    // is rebuilt with fresh row objects per call, which defeats the
+    // CacheManager's plan-dedup for everything downstream (measured as
+    // a ~1.5× warm-bench regression on the x3_ann_ivf family before
+    // this form), while the cached plan is stable across calls.
+    val sample = Caches.scoped(
+      e.withColumn("h", md5(col("vec_id").cast("string")))
+        .select(col("vec_id"), col("e"), col("norm"), col("h"))
+        .orderBy("h").limit(IvfTrainSample))
 
     // deterministic seed centroids: first nlist vectors in md5(vec_id)
     // order — the sample is the md5-order PREFIX of the corpus, so its
@@ -477,7 +486,7 @@ object Similarity {
       .transform(Caches.scoped)
 
     val lists = ivfAssign(e, refined) // inverted lists: (cell) -> vectors
-    (refined, lists)
+    (refined, lists, sample)
   }
 
   /** Probe assignment: the [[IvfNProbe]] nearest cells per query —
