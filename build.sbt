@@ -10,6 +10,14 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites MUST run sequentially (ADVICE r15 #3): several suites scope
+// JVM-global sys.props overrides (fence restart/stale leases shrunk to
+// 300-3000ms) via SparkSpec.withProps — a concurrently running suite
+// seeing a shrunk lease could wrongfully reclaim a live fence. Both
+// knobs pinned: parallelExecution governs in-process/grouped runs,
+// testForkedParallel governs concurrency inside the one forked JVM.
+Test / parallelExecution := false
+Test / testForkedParallel := false
 run / fork := true
 // pass the forked run's stdout through RAW: sbt's default LoggedOutput
 // prefixes every line with `[info] `, which broke the driver's parse of

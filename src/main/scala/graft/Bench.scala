@@ -95,6 +95,20 @@ object Bench {
       }
     }
     val loadEnd = loadavg
+    // idleness self-label (VERDICT r15 #4): two recorded rounds of driver
+    // artifacts carried ~1.2x broad inflation from ambient box load that
+    // only an idle rerun could separate from code. The bench starts
+    // BEFORE any Spark work, so 1-min load at start should read near 0
+    // on an idle box; above 1.0 the artifact is contended and says so
+    // itself instead of requiring adjudication-by-argument.
+    val loadWarn =
+      try loadStart.split(",").headOption.exists(_.toDouble > 1.0)
+      catch { case _: Throwable => false }
+    if (loadWarn)
+      System.err.println(
+        s"[bench] WARNING: box not idle at start (loadavg_start=$loadStart" +
+          s" > 1.0) — per-key times in this artifact are contended;" +
+          s" rerun on an idle box before adjudicating regressions")
     // a query that failed EVERY pass has no best — it appears only in
     // `errors`, never as a timing
     val results = ordered.flatMap { case (name, _) =>
@@ -120,7 +134,7 @@ object Bench {
     val subtotals =
       s""""total_queries":$totalQueries,"total_gates":$totalGates,"gate_keys":$gateKeys"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec",$subtotals,"queries":$qs,"errors":$errJson,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","samples":$samplesJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$subtotals,"queries":$qs,"errors":$errJson,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_warn":$loadWarn,"samples":$samplesJson}"""
     // the JSON line is the contract; also land it as a file so the result
     // stays machine-readable even if log interleaving mangles the tail
     try {
@@ -140,7 +154,11 @@ object Bench {
       val lp = java.nio.file.Paths.get("BASELINE_BENCH.json")
       if (args.isEmpty && java.nio.file.Files.exists(lp)) {
         val txt = java.nio.file.Files.readString(lp)
-        val kv = """"([A-Za-z0-9_]+)":([0-9][0-9.Ee+-]*)""".r
+        // `\s*` after the colon: the committed ledger is pretty-printed
+        // with a space there, and the original space-less regex parsed 0
+        // entries — the watch ran every round and silently compared
+        // nothing (ADVICE r15 #1)
+        val kv = """"([A-Za-z0-9_]+)":\s*([0-9][0-9.Ee+-]*)""".r
         val qStart = txt.indexOf("\"queries\"")
         val baseMap =
           if (qStart < 0) Map.empty[String, Double]
@@ -156,6 +174,15 @@ object Bench {
           System.err.println(
             f"[bench] vs BASELINE_BENCH.json: ${ratios.size} shared keys, " +
               f"median ratio $med%.2f, $over key(s) >= 1.3x; worst: $worst")
+        } else {
+          // zero shared keys means the ledger format drifted out from
+          // under the regex — exactly how the watch died once already.
+          // Loud, unconditional, and impossible to mistake for "no
+          // regressions".
+          System.err.println(
+            "[bench] WARNING: ledger regression watch parsed ZERO shared " +
+              "keys from BASELINE_BENCH.json — format drift has disabled " +
+              "the per-key comparison; fix the ledger or the parser")
         }
       }
     } catch { case e: Throwable =>
@@ -176,7 +203,7 @@ object Bench {
     // subtotals only — the gate-key list lives in the full line/file;
     // the trailer must stay inside a ~2 KB tail
     val trailer =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"total_queries":$totalQueries,"total_gates":$totalGates,"errors":$errJson,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","slowest":$slowest,"queries_file":"target/bench.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"total_queries":$totalQueries,"total_gates":$totalGates,"errors":$errJson,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_warn":$loadWarn,"slowest":$slowest,"queries_file":"target/bench.json"}"""
     // four rounds of driver artifacts read `parsed: null` because sbt's
     // logger decorated every stdout line with `[info] ` (VERDICT r13
     // #4/What's-wrong #3). Two fixes land together: build.sbt now sets

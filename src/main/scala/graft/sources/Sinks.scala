@@ -263,8 +263,22 @@ object Sinks {
                (writeActiveWithin(graft.operators.StoreDirs.restartFenceMs) &&
                  System.currentTimeMillis() < hardDeadline))) {
         waits += 1
-        if (tryClaim()) claimedInit = true
-        else {
+        if (tryClaim()) {
+          // TOCTOU close (ADVICE r15 #2): the racing winner can land its
+          // buckets AND delete its claim in the window between this
+          // waiter's last bucketDirsPresent() check and this tryClaim()
+          // — createClaim() then succeeds on the vacated marker slot
+          // while the store is already published, and the Overwrite
+          // below would silently wipe the winner's rows. The winner
+          // deletes its claim strictly AFTER its write lands, so
+          // re-checking here WHILE HOLDING the claim is race-free: if
+          // buckets are present the prior holder published (release the
+          // claim, merge instead); if absent, it provably did not.
+          if (bucketDirsPresent()) {
+            fs.delete(claim, false)
+            racerLanded = true
+          } else claimedInit = true
+        } else {
           // per-lease visibility (ADVICE r14): a stalled winner used to
           // manifest as a silently hung merge until the final throw
           log.warn(s"initial write of $storePath: waiting on init claim " +
