@@ -550,7 +550,7 @@ private[graft] object StoreDirs {
           .filter(_ < below).foreach(_ => fs.delete(st.getPath, false))
     }
 
-  private def deleteRecursively(root: Path): Unit =
+  private[graft] def deleteRecursively(root: Path): Unit =
     if (Files.exists(root)) {
       import scala.jdk.CollectionConverters._
       Files.walk(root).iterator().asScala.toSeq.reverse
