@@ -518,27 +518,72 @@ object StressBench {
     // small-files tax, the compact fires past the 64-batch threshold,
     // and post-compact batches must fall back onto the early curve
     val admCompactions = scala.collection.mutable.ArrayBuffer.empty[String]
+    // VERDICT r15 #7: sample /proc/loadavg PER BATCH so an in-soak
+    // batch-wall spike is adjudicable from the artifact alone (the r15
+    // soak carried 30-50 s spikes attributable to box contention only
+    // by argument)
+    val admLoads = scala.collection.mutable.ArrayBuffer.empty[String]
+    // VERDICT r15 #5: STEADY EVICTION during the soak — every
+    // SPARK_GRAFT_STRESS_EVICT_EVERY batches, 20% of the batch admitted
+    // two cycles ago is evicted, so tombstone partitions accumulate
+    // between full passes and their dead-mass share of the probe bytes
+    // is measurable (the gauge that decides whether a dead-mass trigger
+    // is warranted). 0/absent = off (the recorded r15 curve's shape).
+    val evictEvery = sys.env.getOrElse("SPARK_GRAFT_STRESS_EVICT_EVERY", "0").toInt
+    val deadShares = scala.collection.mutable.ArrayBuffer.empty[String]
+    // retire-grace shaped to the soak cadence: folds fire minutes apart
+    // and each fold's reap clears the PREVIOUS fold's retired leaves, so
+    // a short grace keeps the physical files curve comparable with the
+    // recorded pre-manifest rounds (production keeps the 60 s default,
+    // sized to probe duration)
+    if (spark.conf.getOption(graft.streaming.BandStore.RetireGraceConf).isEmpty)
+      spark.conf.set(graft.streaming.BandStore.RetireGraceConf, "2000")
+    def duTree(d: String): (Long, Long) = du(d)
+    def deadShare(): Double = {
+      val (_, evB) = duTree(graft.streaming.BandStore.evictedDir(admStore))
+      val (_, bB) = duTree(graft.streaming.BandStore.bandsDir(admStore))
+      val (_, sB) = duTree(graft.streaming.BandStore.sigsDir(admStore))
+      if (bB + sB + evB == 0L) 0.0 else evB.toDouble / (bB + sB + evB)
+    }
     val admSecs = (0 until admBatches).map { b =>
       val batch = allDocs.filter(col("doc_id") >= b * perBatch && col("doc_id") < (b + 1) * perBatch)
       val t0 = System.nanoTime()
       graft.streaming.BandStore.admitBatch(batch, b.toLong, admStore, admOut)
       val sec = (System.nanoTime() - t0) / 1e9
+      admLoads += loadavg.split(",").headOption.getOrElse("")
+      if (evictEvery > 0 && b >= 2 && b % evictEvery == evictEvery - 1) {
+        val lo = (b - 2).toLong * perBatch
+        val ids = allDocs.filter(col("doc_id") >= lo && col("doc_id") < lo + perBatch / 5)
+          .select(col("doc_id"))
+        graft.streaming.BandStore.evictDocs(ids, b.toLong, admStore)
+        deadShares += f"""{"batch":$b,"dead_share":${deadShare()}%.4f}"""
+      }
       // gauge once, then fold directly — compactSliceIfNeeded would
       // re-run the same listing-based gauge this branch just evaluated.
       // r15: budgeted SLICES, the production quiesce hook
       // (dedupAdmitDrain) — per-quiesce pause is bounded by the slice
       // budget instead of one stop-the-world fold (the r14 soak's
       // 14.9 s outlier), and the artifact records the per-firing slice
-      // count so the fold's convergence is visible in the curve
+      // count so the fold's convergence is visible in the curve.
+      // With eviction on, the evicted tree crossing the threshold runs
+      // the FULL pass instead (tombstone partitions only reclaim there)
+      // — compactSliceIfNeeded's own branch, mirrored so the artifact
+      // records which tier fired.
       if (graft.streaming.BandStore.needsCompaction(spark, admStore)) {
+        val threshold = spark.conf.get(
+          graft.streaming.BandStore.CompactAfterBatchesConf, "64").toInt
         val (fb, bb) = du(admStore)
+        val evShareBefore = deadShare()
         val tC = System.nanoTime()
-        val slices = graft.streaming.BandStore.compactSlices(spark, admStore,
-          Long.MaxValue, minFoldDirs =
-            spark.conf.get(graft.streaming.BandStore.CompactAfterBatchesConf, "64").toInt)
+        val full = graft.streaming.BandStore.liveBatchIds(spark,
+          graft.streaming.BandStore.evictedDir(admStore)).size >= threshold
+        val slices =
+          if (full) { graft.streaming.BandStore.compactStore(spark, admStore); -1 }
+          else graft.streaming.BandStore.compactSlices(spark, admStore,
+            Long.MaxValue, minFoldDirs = threshold)
         val pause = (System.nanoTime() - tC) / 1e9
         val (fa, ba) = du(admStore)
-        admCompactions += f"""{"batch":$b,"pause_sec":$pause%.3f,"slices":$slices,"files_before":$fb,"files_after":$fa,"bytes_before":$bb,"bytes_after":$ba}"""
+        admCompactions += f"""{"batch":$b,"pause_sec":$pause%.3f,"slices":$slices,"full":$full,"files_before":$fb,"files_after":$fa,"bytes_before":$bb,"bytes_after":$ba,"dead_share_before":$evShareBefore%.4f,"dead_share_after":${deadShare()}%.4f,"loadavg":"${loadavg.split(",").headOption.getOrElse("")}"}"""
       }
       sec
     }
@@ -550,11 +595,15 @@ object StressBench {
     // print and stop here. Store size = file count + bytes under the
     // three trees (the small-files tax needsCompaction gauges).
     if (longSoak) {
+      // final census at a TRUE quiesce: force-reap grace-deferred
+      // retired leaves first so the exit numbers are the live store,
+      // not transient debris awaiting its grace window
+      graft.streaming.BandStore.reapRetired(spark, admStore, 0L)
       val (nFiles, nBytes) = du(admStore)
       val gauge = graft.streaming.BandStore.needsCompaction(spark, admStore)
       val cadence = spark.conf.get(
         graft.streaming.BandStore.CompactAfterBatchesConf, "64")
-      println(s"""{"stress":"admit-soak","copies":$copies,"batches":$admBatches,"docs_per_batch":$perBatch,"compact_after":$cadence,"admission_batch_secs":[${admSecs.map(s => math.round(s * 1000) / 1000.0).mkString(",")}],"compactions":$admCompactJson,"admitted":${spark.read.parquet(admOut).count()},"store_files":$nFiles,"store_bytes":$nBytes,"needs_compaction":$gauge,"loadavg_start":"$loadStart","loadavg_end":"$loadavg"}""")
+      println(s"""{"stress":"admit-soak","copies":$copies,"batches":$admBatches,"docs_per_batch":$perBatch,"compact_after":$cadence,"evict_every":$evictEvery,"admission_batch_secs":[${admSecs.map(s => math.round(s * 1000) / 1000.0).mkString(",")}],"admission_batch_loadavg":[${admLoads.map("\"" + _ + "\"").mkString(",")}],"dead_shares":${deadShares.mkString("[", ",", "]")},"compactions":$admCompactJson,"admitted":${spark.read.parquet(admOut).count()},"store_files":$nFiles,"store_bytes":$nBytes,"final_dead_share":${deadShare()},"needs_compaction":$gauge,"loadavg_start":"$loadStart","loadavg_end":"$loadavg"}""")
       spark.stop()
       return
     }

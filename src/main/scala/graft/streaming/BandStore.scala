@@ -100,11 +100,16 @@ object BandStore {
 
   /** Read a sigs/bands tree under the store's schema epoch: epoch ≥ 1
     * reads plain (every file has `__obatch`); epoch 0 merges schemas so
-    * legacy rows surface the column as null deterministically.
+    * legacy rows surface the column as null deterministically. The scan
+    * is manifest-pinned ([[readLeaves]]): retired leaves are invisible
+    * and their files outlive any in-flight probe by the retire grace.
+    * `buckets` narrows the file LISTING to the given bucket-leaf names
+    * (e.g. `__bb=7`) — the callers' `.isin` filters stay as the
+    * correctness gate either way.
     */
-  private def readTree(spark: SparkSession, dir: String, g: Geometry): DataFrame =
-    if (g.uniformObatch) spark.read.parquet(dir)
-    else spark.read.option("mergeSchema", "true").parquet(dir)
+  private def readTree(spark: SparkSession, dir: String, g: Geometry,
+                       buckets: Option[Set[String]] = None): DataFrame =
+    readLeaves(spark, dir, merge = !g.uniformObatch, buckets = buckets)
 
   /** Read the store's geometry, stamping it first if the store is new:
     * a NEW store takes the session confs (defaults 64/16); a store that
@@ -232,7 +237,7 @@ object BandStore {
     */
   private def evictions(spark: SparkSession, storeDir: String): Option[DataFrame] =
     if (!hasBatches(spark, evictedDir(storeDir))) None
-    else Some(spark.read.parquet(evictedDir(storeDir))
+    else Some(readLeaves(spark, evictedDir(storeDir), merge = false, buckets = None)
       .groupBy(col("doc_id")).agg(max(col("__batch")).as("__tb")))
 
   /** Hide rows whose ORIGINAL batch predates their doc's newest
@@ -296,13 +301,299 @@ object BandStore {
       .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
       .withColumn("sig", Dedup.minhashSig)
 
-  /** True when `dir` holds at least one committed `__batch=` partition. */
-  private def hasBatches(spark: SparkSession, dir: String): Boolean = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(path) && fs.listStatus(path)
-      .exists(st => st.isDirectory && st.getPath.getName.startsWith("__batch="))
+  // ----------------------------------------------------------------
+  // Tree manifest — snapshot-pinned reads (VERDICT r15 #2).
+  //
+  // The store's three trees are LSM-style: leaves appear per batch and
+  // RETIRE when a compaction slice folds them into a base. A probe that
+  // resolved its file listing from a raw directory scan races any
+  // concurrent retirement — the lost-task-and-retry recovery is correct
+  // (idempotent dynamic overwrite) but at 100 TB a multi-minute probe
+  // losing its work to a rename pays real cost for what a pinned
+  // listing makes free. The discipline the three sibling stores
+  // (LabelStore / IvfStore / DateStore) already have, adapted to the
+  // LSM shape:
+  //
+  //   <tree>/.live/<marker>     one empty marker FILE per live leaf dir
+  //                             ("__batch=3" or "__batch=3%%__bb=7")
+  //   <tree>/.retired-<ts>-<id> one log per retirement: the leaf
+  //                             relpaths whose markers were just removed
+  //
+  // Invariants:
+  //   - a marker is created only AFTER its data leaf committed, and
+  //     removed BEFORE the leaf is physically deleted — so every
+  //     manifest-listed path exists;
+  //   - retirement removes markers (the visibility switch) but DEFERS
+  //     the physical delete: leaves are reaped only once their log is
+  //     older than [[RetireGraceConf]], so an in-flight probe that
+  //     pinned the pre-retirement manifest finishes against intact
+  //     files (task retry stays as the backstop for probes outliving
+  //     the grace);
+  //   - marker creation is a bare atomic file create (no read-modify
+  //     cycle), so a concurrent reader never observes a torn manifest
+  //     and concurrent adds cannot lose each other;
+  //   - visibility order is add-new-then-remove-old (base markers
+  //     before source-marker removal), so readers between the two see a
+  //     SUPERSET — duplicates, which admission decisions are insensitive
+  //     to by design — never a deficit.
+  //
+  // Legacy stores (no `.live`) read by directory listing exactly as
+  // before; the first WRITE (append or compaction) seeds the manifest
+  // from the physical listing, so any store a compactor can touch is
+  // manifest-bearing before its first retirement.
+  // ----------------------------------------------------------------
+
+  /** How long a retired leaf's files stay on disk after its markers are
+    * removed (`spark.graft.band.retireGraceMs`, default 60 s). Size it
+    * above the longest store probe a deployment runs — a probe that
+    * pinned the manifest just before a retirement must finish reading
+    * before the reap deletes the files under it. Bounded debris: at
+    * most one compaction cycle's retired volume awaits the next reap.
+    */
+  val RetireGraceConf = "spark.graft.band.retireGraceMs"
+
+  private val MarkerSep = "%%"
+
+  private def liveDir(dir: String) = new org.apache.hadoop.fs.Path(dir, ".live")
+
+  private def fsFor(spark: SparkSession, dir: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** One live leaf: the batch id plus, for bucketed trees, the bucket
+    * leaf name (`__bb=7`). `relPath` is the data path under the tree.
+    */
+  private[graft] case class LiveLeaf(batch: Long, leaf: Option[String]) {
+    def relPath: String = leaf.fold(s"__batch=$batch")(l => s"__batch=$batch/$l")
+    def marker: String = leaf.fold(s"__batch=$batch")(l => s"__batch=$batch$MarkerSep$l")
   }
+
+  private def leafOfMarker(name: String): Option[LiveLeaf] = {
+    val parts = name.split(java.util.regex.Pattern.quote(MarkerSep), 2)
+    parts(0).stripPrefix("__batch=").toLongOption.map { b =>
+      LiveLeaf(b, if (parts.length == 2) Some(parts(1)) else None)
+    }
+  }
+
+  private def leafOfRel(rel: String): Option[LiveLeaf] = {
+    val parts = rel.split("/", 2)
+    parts(0).stripPrefix("__batch=").toLongOption.map { b =>
+      LiveLeaf(b, if (parts.length == 2) Some(parts(1)) else None)
+    }
+  }
+
+  /** The tree's live-leaf set, or None for a legacy (pre-manifest)
+    * store. One flat listing of `.live/` — never touches data dirs.
+    */
+  private[graft] def readManifest(spark: SparkSession, dir: String): Option[Seq[LiveLeaf]] = {
+    val fs = fsFor(spark, dir)
+    val p = liveDir(dir)
+    if (!fs.exists(p)) None
+    else Some(fs.listStatus(p).toSeq
+      .flatMap(st => leafOfMarker(st.getPath.getName)))
+  }
+
+  private def addMarkers(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                         leaves: Seq[LiveLeaf]): Unit = {
+    val p = liveDir(dir)
+    fs.mkdirs(p)
+    leaves.foreach { l =>
+      // overwrite=true: marker creation is idempotent (a replayed batch
+      // re-marks the leaves it just rewrote)
+      fs.create(new org.apache.hadoop.fs.Path(p, l.marker), true).close()
+    }
+  }
+
+  private def removeMarkers(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                            leaves: Seq[LiveLeaf]): Unit =
+    leaves.foreach(l =>
+      fs.delete(new org.apache.hadoop.fs.Path(liveDir(dir), l.marker), false))
+
+  /** Physical leaf enumeration — the legacy fallback and the manifest
+    * seed. Two-level trees enumerate `(batch, bucket-leaf)`; flat trees
+    * `(batch, None)`.
+    */
+  private def physicalLeaves(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: String): Seq[LiveLeaf] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__batch="))
+      .flatMap { st =>
+        st.getPath.getName.stripPrefix("__batch=").toLongOption.toSeq.flatMap { b =>
+          val children =
+            (try fs.listStatus(st.getPath).toSeq
+             catch { case _: java.io.IOException => Seq.empty })
+              .filter(c => c.isDirectory && c.getPath.getName.contains("="))
+          if (children.isEmpty) Seq(LiveLeaf(b, None))
+          else children.map(c => LiveLeaf(b, Some(c.getPath.getName)))
+        }
+      }
+  }
+
+  /** Seed the manifest from the physical listing if absent. Called at
+    * the head of every WRITE entry; single-mutator by the store's fence
+    * discipline, and a crash mid-seed just re-seeds on the next write
+    * (markers are an idempotent superset-add).
+    */
+  private def ensureManifest(spark: SparkSession, dir: String): Unit = {
+    val fs = fsFor(spark, dir)
+    if (!fs.exists(liveDir(dir))) addMarkers(fs, dir, physicalLeaves(fs, dir))
+  }
+
+  /** Retire `leaves`: log their relpaths (timestamp in the filename),
+    * THEN remove their markers. Log-before-remove means a crash between
+    * the two leaves a logged-but-still-live leaf — the reap skips leaves
+    * whose marker is present, and the duplicate folds away in a later
+    * pass. Physical deletion is the reap's job, after the grace.
+    */
+  private def retireLeaves(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                           leaves: Seq[LiveLeaf]): Unit = {
+    if (leaves.isEmpty) return
+    val log = new org.apache.hadoop.fs.Path(dir,
+      s".retired-${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}")
+    val out = fs.create(log, true)
+    try out.write(leaves.map(_.relPath).mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    removeMarkers(fs, dir, leaves)
+  }
+
+  /** Delete retired leaves whose log is older than `graceMs`, then
+    * reconcile ORPHANS — physical leaves below `minLiveBatch` that are
+    * neither manifest-live nor awaiting a grace window (a publish that
+    * crashed before its marker landed: never visible to any reader,
+    * safe to delete). Leaves at or above `minLiveBatch` are untouched:
+    * a CONCURRENT admission commit's leaf exists for an instant before
+    * its marker does, and the watermark keeps such ids live. Caller
+    * must exclude concurrent compactors (the generation fence, or a
+    * true quiesce). A logged leaf whose marker is somehow live again
+    * (the crash-between-log-and-remove case) is skipped and its entry
+    * dropped — it is a live duplicate a later fold retires properly.
+    */
+  private def reapRetiredTree(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                              graceMs: Long, minLiveBatch: Long): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(path)) return
+    val now = System.currentTimeMillis()
+    def entriesOf(st: org.apache.hadoop.fs.FileStatus): List[String] = {
+      val in = fs.open(st.getPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    val logs = fs.listStatus(path)
+      .filter(_.getPath.getName.startsWith(".retired-"))
+    val (due, pending) = logs.partition { st =>
+      val ts = st.getPath.getName.stripPrefix(".retired-")
+        .split("-", 2)(0).toLongOption.getOrElse(0L)
+      now - ts >= graceMs
+    }
+    due.foreach { st =>
+      entriesOf(st).flatMap(leafOfRel).foreach { l =>
+        if (!fs.exists(new org.apache.hadoop.fs.Path(liveDir(dir), l.marker))) {
+          fs.delete(new org.apache.hadoop.fs.Path(dir, l.relPath), true)
+          // drop the batch dir once its last leaf is gone
+          val bd = new org.apache.hadoop.fs.Path(dir, s"__batch=${l.batch}")
+          try if (fs.exists(bd) && fs.listStatus(bd).isEmpty) fs.delete(bd, false)
+          catch { case _: java.io.IOException => () }
+        }
+      }
+      fs.delete(st.getPath, false)
+    }
+    // orphan reconciliation: markerless, unlogged, below the watermark
+    if (fs.exists(liveDir(dir))) {
+      val graced = pending.flatMap(entriesOf).flatMap(leafOfRel)
+        .map(_.relPath).toSet
+      physicalLeaves(fs, dir)
+        .filter(_.batch < minLiveBatch)
+        .filterNot(l => graced.contains(l.relPath))
+        .filterNot(l =>
+          fs.exists(new org.apache.hadoop.fs.Path(liveDir(dir), l.marker)))
+        .foreach { l =>
+          fs.delete(new org.apache.hadoop.fs.Path(dir, l.relPath), true)
+          val bd = new org.apache.hadoop.fs.Path(dir, s"__batch=${l.batch}")
+          try if (fs.exists(bd) && fs.listStatus(bd).isEmpty) fs.delete(bd, false)
+          catch { case _: java.io.IOException => () }
+        }
+    }
+  }
+
+  /** Maintenance hook: reap every tree's retired-leaf and orphan debris
+    * older than `graceMs` (0 = everything markerless — safe only at a
+    * TRUE quiesce with no probe in flight, which is also what permits
+    * the default `minLiveBatch` of MaxValue). The per-compaction reap
+    * keeps steady state bounded; this closes the tail for a store whose
+    * gauge goes quiet right after a retirement.
+    */
+  def reapRetired(spark: SparkSession, storeDir: String, graceMs: Long,
+                  minLiveBatch: Long = Long.MaxValue): Unit =
+    Seq(bandsDir(storeDir), sigsDir(storeDir), evictedDir(storeDir)).foreach { d =>
+      reapRetiredTree(fsFor(spark, d), d, graceMs, minLiveBatch)
+    }
+
+  private def retireGraceMs(spark: SparkSession): Long =
+    spark.conf.get(RetireGraceConf, "60000").toLong
+
+  /** Live batch ids of one tree — manifest-backed where present. Public
+    * to tests: physical dir counts include retired-but-unreaped leaves
+    * and are NOT the store's logical state.
+    */
+  private[graft] def liveBatchIds(spark: SparkSession, dir: String): Seq[Long] =
+    readManifest(spark, dir)
+      .getOrElse(physicalLeaves(fsFor(spark, dir), dir))
+      .map(_.batch).distinct
+
+  /** Manifest-backed read of one tree's live leaves (tests and
+    * maintenance verification; production probes use [[readTree]]'s
+    * geometry-aware form). `mergeSchema` handles mixed-epoch rows.
+    */
+  private[graft] def readLive(spark: SparkSession, dir: String): DataFrame =
+    readLeaves(spark, dir, merge = true, buckets = None)
+
+  /** Core manifest-backed scan: the live leaves as explicit paths under
+    * `basePath` (partition columns resolve exactly as a directory read).
+    * `buckets` restricts the LISTING to the given bucket-leaf names — the
+    * probe's win: only touched buckets' files are ever enumerated. When
+    * the bucket subset selects nothing, one live leaf is read anyway so
+    * the frame has the tree's schema; the caller's bucket filter empties
+    * it. Legacy (manifest-less) trees read by directory listing.
+    */
+  private def readLeaves(spark: SparkSession, dir: String, merge: Boolean,
+                         buckets: Option[Set[String]]): DataFrame = {
+    def reader = {
+      val r = spark.read.option("basePath", dir)
+      if (merge) r.option("mergeSchema", "true") else r
+    }
+    readManifest(spark, dir) match {
+      case Some(leaves) if leaves.nonEmpty =>
+        val sel = buckets.fold(leaves)(bs =>
+          leaves.filter(_.leaf.forall(bs.contains)))
+        val pick = if (sel.nonEmpty) sel else leaves.take(1)
+        reader.parquet(pick.map(l => s"$dir/${l.relPath}"): _*)
+      case Some(_) =>
+        // manifest present but empty: callers guard on hasBatches, so
+        // this is unreachable in the engine — fail like a missing dir
+        // would rather than inventing a schema
+        spark.read.parquet(dir)
+      case None =>
+        if (merge) spark.read.option("mergeSchema", "true").parquet(dir)
+        else spark.read.parquet(dir)
+    }
+  }
+
+  /** True when `dir` holds at least one LIVE committed `__batch=`
+    * partition — the manifest where present (retired-but-unreaped
+    * leaves are not live), the physical listing for legacy trees.
+    */
+  private def hasBatches(spark: SparkSession, dir: String): Boolean =
+    readManifest(spark, dir) match {
+      case Some(leaves) => leaves.nonEmpty
+      case None =>
+        val path = new org.apache.hadoop.fs.Path(dir)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.exists(path) && fs.listStatus(path)
+          .exists(st => st.isDirectory && st.getPath.getName.startsWith("__batch="))
+    }
 
   /** `origin = true` (the `sigs/` and `bands/` trees) additionally
     * stamps the batch id into a DATA column `__obatch` that compaction
@@ -311,7 +602,13 @@ object BandStore {
     */
   private def overwriteBatchPartitions(df: DataFrame, batchId: Long,
                                        extraBucket: Option[(String, org.apache.spark.sql.Column)],
-                                       dir: String, origin: Boolean = false): Unit = {
+                                       dir: String, origin: Boolean = false,
+                                       // false only for caller-owned
+                                       // OUTPUT dirs (the admitted tree)
+                                       // — consumers there read the dir
+                                       // directly and nothing retires it
+                                       manifest: Boolean = true): Unit = {
+    if (manifest) ensureManifest(df.sparkSession, dir)
     val stamped0 = df.withColumn("__batch", lit(batchId))
     val stamped =
       if (origin) stamped0.withColumn("__obatch", lit(batchId)) else stamped0
@@ -331,6 +628,24 @@ object BandStore {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCols: _*)
       .parquet(dir)
+    if (manifest) {
+      // mark the just-committed leaves live: one listing of the batch
+      // dir (never the tree), then idempotent marker creates. Marking
+      // happens before this method returns — i.e. before the streaming
+      // checkpoint commits the batch — so a committed batch is always
+      // manifest-visible, and a crash before marking is replayed.
+      val fs = fsFor(df.sparkSession, dir)
+      val bd = new org.apache.hadoop.fs.Path(dir, s"__batch=$batchId")
+      val leaves = extraBucket match {
+        case Some(_) =>
+          (try fs.listStatus(bd).toSeq
+           catch { case _: java.io.IOException => Seq.empty })
+            .filter(c => c.isDirectory && c.getPath.getName.contains("="))
+            .map(c => LiveLeaf(batchId, Some(c.getPath.getName)))
+        case None => Seq(LiveLeaf(batchId, None))
+      }
+      addMarkers(fs, dir, leaves)
+    }
   }
 
   /** Batch-count threshold at which [[needsCompaction]] fires
@@ -394,13 +709,12 @@ object BandStore {
       .exists(batchDirCount(spark, _) >= threshold)
   }
 
-  private def batchDirCount(spark: SparkSession, dir: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0
-    else fs.listStatus(p).count(st =>
-      st.isDirectory && st.getPath.getName.startsWith("__batch="))
-  }
+  /** LIVE batch-dir count — the compaction gauge's input. Counts the
+    * manifest where present: retired-but-unreaped leaves must not keep
+    * the gauge firing after the fold that retired them.
+    */
+  private def batchDirCount(spark: SparkSession, dir: String): Int =
+    liveBatchIds(spark, dir).size
 
   /** Batch id of the FIRST compacted base generation. Base generations
     * are negative and strictly decreasing (−1, −2, …) so they can never
@@ -508,15 +822,16 @@ object BandStore {
       // veto and the next absorb would drop its rows for good). The next
       // compaction's tombstone-only path re-absorbs the leftovers.
       absorb.foreach { _ =>
-        val ep = new org.apache.hadoop.fs.Path(evictedDir(storeDir))
-        val efs = ep.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (efs.exists(ep)) efs.listStatus(ep).foreach { st =>
-          st.getPath.getName match {
-            case s"__batch=$b" if b.toLongOption.exists(_ < minLiveBatch) =>
-              efs.delete(st.getPath, true)
-            case _ => ()
-          }
-        }
+        // retire (not delete): a concurrent probe's eviction-mask read
+        // pinned the pre-absorb manifest and must finish against intact
+        // tombstone files — same grace discipline as the data trees
+        val ed = evictedDir(storeDir)
+        val efs = fsFor(spark, ed)
+        ensureManifest(spark, ed)
+        val dead = readManifest(spark, ed).getOrElse(Seq.empty)
+          .filter(_.batch < minLiveBatch)
+        retireLeaves(efs, ed, dead)
+        reapRetiredTree(efs, ed, retireGraceMs(spark), minLiveBatch)
       }
       // EPOCH UPGRADE: a FULL quiesced compaction of a legacy (epoch-0)
       // store has just migrated every surviving row's `__obatch`, so the
@@ -530,7 +845,8 @@ object BandStore {
       // above minLiveBatch.
       def treeUniform(dir: String): Boolean =
         !hasBatches(spark, dir) ||
-          spark.read.parquet(dir).columns.contains("__obatch")
+          readLeaves(spark, dir, merge = false, buckets = None)
+            .columns.contains("__obatch")
       if (minLiveBatch == Long.MaxValue && g.obatchEpoch == 0 &&
           treeUniform(bandsDir(storeDir)) && treeUniform(sigsDir(storeDir))) {
         val p = new org.apache.hadoop.fs.Path(storeDir)
@@ -554,7 +870,7 @@ object BandStore {
                                  minLiveBatch: Long): Option[DataFrame] =
     if (!hasBatches(spark, evictedDir(storeDir))) None
     else {
-      val e = spark.read.parquet(evictedDir(storeDir))
+      val e = readLeaves(spark, evictedDir(storeDir), merge = false, buckets = None)
         .filter(col("__batch") < minLiveBatch)
         .groupBy(col("doc_id")).agg(max(col("__batch")).as("__tb"))
       if (e.isEmpty) None else Some(e.persist())
@@ -584,24 +900,32 @@ object BandStore {
       val path = new org.apache.hadoop.fs.Path(dir)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(path)) return
+      // the compactor is a writer: seed the manifest on a legacy store
+      // so this very pass's retirements are already manifest-governed
+      ensureManifest(spark, dir)
+      // PHYSICAL ids — the newBase allocator's input: retired-but-
+      // unreaped dirs must keep their ids reserved or a new base could
+      // rename onto one and nest
       def listIds() = fs.listStatus(path)
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("__batch="))
         .map(_.getPath.getName.stripPrefix("__batch=").toLong)
-      // in subset mode, a batch is a SOURCE only if it holds a leaf of
-      // one of the slice's buckets — others are untouched; a minor fold
-      // additionally skips base (negative-id) generations
-      def leafIds(ids: Seq[Long]): Seq[Long] = subset match {
-        case None => ids
-        case Some(bs) =>
-          val names = bs.map(b => s"$bucketCol=$b").toSet
-          ids.filter(id => includeBases || id >= 0).filter { id =>
-            val bd = new org.apache.hadoop.fs.Path(path, s"__batch=$id")
-            try fs.listStatus(bd).exists(st => names.contains(st.getPath.getName))
-            catch { case _: java.io.IOException => false }
-          }
+      // LIVE leaves — what this pass may read and retire
+      def liveLs(): Seq[LiveLeaf] = readManifest(spark, dir).getOrElse(Seq.empty)
+      // in subset mode, a batch is a SOURCE only if it holds a LIVE leaf
+      // of one of the slice's buckets — others are untouched; a minor
+      // fold additionally skips base (negative-id) generations
+      def leafIds(leaves: Seq[LiveLeaf]): Seq[Long] = {
+        val eligible = leaves.filter(_.batch < minLiveBatch)
+        (subset match {
+          case None => eligible
+          case Some(bs) =>
+            val names = bs.map(b => s"$bucketCol=$b").toSet
+            eligible.filter(l => includeBases || l.batch >= 0)
+              .filter(_.leaf.forall(names.contains))
+        }).map(_.batch).distinct
       }
       val ids0 = listIds()
-      val oldIds0 = leafIds(ids0.filter(_ < minLiveBatch).toSeq)
+      val oldIds0 = leafIds(liveLs())
       // nothing to merge: no eligible batches, or a lone already-compacted
       // base generation (idempotent no-op, no generation churn) — UNLESS
       // absorbable tombstones exist, whose rows live in that base and
@@ -632,7 +956,8 @@ object BandStore {
       // re-list under the fence: a competitor that completed between the
       // unfenced listing and the fence acquisition changed the id set
       val ids = listIds()
-      val srcIds = leafIds(ids.filter(_ < minLiveBatch).toSeq)
+      val liveNow = liveLs()
+      val srcIds = leafIds(liveNow)
       require(math.min(ids.min, 0L) - 1L == newBase && srcIds.nonEmpty,
         s"compactStore: store advanced between listing and fence — retry")
       // distinct() reaps duplicate ROWS (a batch alive in both its source
@@ -645,8 +970,10 @@ object BandStore {
       // eviction copies fall out, and the ranking is unchanged by
       // however many compactions the rows have been through.
       val merged0 = maskEvicted(
-          readTree(spark, dir, g).filter(col("__batch").isin(srcIds: _*) &&
-            subset.fold(lit(true))(bs => col(bucketCol).isin(bs: _*))),
+          readTree(spark, dir, g,
+              buckets = subset.map(_.map(b => s"$bucketCol=$b").toSet))
+            .filter(col("__batch").isin(srcIds: _*) &&
+              subset.fold(lit(true))(bs => col(bucketCol).isin(bs: _*))),
           absorb)
       // MIGRATE pre-`__obatch` rows while the true rank is still in
       // reach: a legacy row's `__batch` IS its original batch (legacy
@@ -690,35 +1017,38 @@ object BandStore {
         val pub = new org.apache.hadoop.fs.Path(path, s"__batch=$newBase")
         require(fs.rename(stagedGen, pub),
           s"compactStore: could not publish $pub")
+        // manifest-publish the new base's leaves BEFORE retiring the
+        // sources: a reader between the two sees a superset (benign
+        // duplicates, decisions are distinct()-insensitive), never a
+        // deficit
+        val baseLeaves = fs.listStatus(pub).toSeq
+          .filter(c => c.isDirectory && c.getPath.getName.contains("="))
+          .map(c => LiveLeaf(newBase, Some(c.getPath.getName)))
+        addMarkers(fs, dir, baseLeaves)
       }
       fs.delete(staging, true)
-      // RETIRE: each merged source vanishes atomically into dot-prefixed
-      // trash (invisible to listings), then the trash is deleted. Subset
-      // mode retires only the slice's leaf directories and deletes a
-      // batch directory once its last leaf is gone.
-      subset match {
-        case None =>
-          srcIds.foreach { id =>
-            val src = new org.apache.hadoop.fs.Path(path, s"__batch=$id")
-            val dst = new org.apache.hadoop.fs.Path(path, s".trash-${java.util.UUID.randomUUID}")
-            require(fs.rename(src, dst), s"compactStore: could not retire $src")
-            fs.delete(dst, true)
-          }
-        case Some(bs) =>
-          val names = bs.map(b => s"$bucketCol=$b").toSet
-          srcIds.foreach { id =>
-            val bd = new org.apache.hadoop.fs.Path(path, s"__batch=$id")
-            fs.listStatus(bd).filter(st => names.contains(st.getPath.getName))
-              .foreach { st =>
-                val dst = new org.apache.hadoop.fs.Path(path,
-                  s".trash-${java.util.UUID.randomUUID}")
-                require(fs.rename(st.getPath, dst),
-                  s"compactStore: could not retire ${st.getPath}")
-                fs.delete(dst, true)
-              }
-            if (fs.listStatus(bd).isEmpty) fs.delete(bd, false)
-          }
+      // RETIRE (manifest discipline, VERDICT r15 #2): remove the merged
+      // sources' markers — the visibility switch — and log their paths;
+      // the files stay ON DISK at their original names until a reap
+      // finds the log older than [[RetireGraceConf]], so an in-flight
+      // probe that pinned the pre-retirement manifest finishes against
+      // intact files (the old rename-to-trash yanked them and cost that
+      // probe a task retry). Subset mode retires only the slice's
+      // leaves; empty batch dirs fall to the reap.
+      val retired = {
+        val inSrc = liveNow.filter(l => srcIds.contains(l.batch))
+        subset match {
+          case None => inSrc
+          case Some(bs) =>
+            val names = bs.map(b => s"$bucketCol=$b").toSet
+            inSrc.filter(_.leaf.forall(names.contains))
+        }
       }
+      retireLeaves(fs, dir, retired)
+      // reap PRIOR retirements past their grace — still under the fence,
+      // and after this pass allocated newBase, so a reaped id cannot
+      // shift the allocation it was computed from
+      reapRetiredTree(fs, dir, retireGraceMs(spark), minLiveBatch)
       } finally {
         // base ids strictly decrease, so `newBase` is never claimed again
         // — release on success AND failure (the published `__batch` dir,
@@ -910,23 +1240,19 @@ object BandStore {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return List.empty
     case class Leaf(bucket: Int, id: Long, bytes: Long)
-    val leaves: Seq[Leaf] = fs.listStatus(path).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__batch="))
-      .flatMap { st =>
-        st.getPath.getName.stripPrefix("__batch=").toLongOption.toSeq
-          .filter(_ < minLiveBatch).flatMap { id =>
-            (try fs.listStatus(st.getPath).toSeq
-             catch { case _: java.io.IOException => Seq.empty })
-              .flatMap { leaf =>
-                leaf.getPath.getName.stripPrefix(s"$bucketCol=").toIntOption
-                  .map { b =>
-                    val sz = try fs.listStatus(leaf.getPath)
-                      .filterNot(_.isDirectory).map(_.getLen).sum
-                    catch { case _: java.io.IOException => 0L }
-                    Leaf(b, id, sz)
-                  }
-              }
-          }
+    // LIVE leaves only (manifest where present): retired-but-unreaped
+    // leaves are already folded — a census counting them would re-fold
+    // their buckets every quiesce
+    val leaves: Seq[Leaf] = readManifest(spark, dir)
+      .getOrElse(physicalLeaves(fs, dir))
+      .filter(_.batch < minLiveBatch)
+      .flatMap { l =>
+        l.leaf.flatMap(_.stripPrefix(s"$bucketCol=").toIntOption).map { b =>
+          val sz = try fs.listStatus(new org.apache.hadoop.fs.Path(dir, l.relPath))
+            .filterNot(_.isDirectory).map(_.getLen).sum
+          catch { case _: java.io.IOException => 0L }
+          Leaf(b, l.batch, sz)
+        }
       }
     leaves.groupBy(_.bucket).toList.map { case (b, ls) =>
       val (bases, live) = ls.partition(_.id < 0)
@@ -954,7 +1280,10 @@ object BandStore {
                                gOpt: Option[Geometry] = None): DataFrame =
     maskEvicted(
       readTree(spark, bandsDir(storeDir),
-          gOpt.getOrElse(ensureGeometry(spark, storeDir)))
+          gOpt.getOrElse(ensureGeometry(spark, storeDir)),
+          // manifest-pinned AND bucket-pruned listing: only the touched
+          // buckets' live leaves are ever file-enumerated
+          buckets = Some(touchedBb.map(b => s"__bb=$b").toSet))
         .filter(col("__bb").isin(touchedBb: _*) && col("__batch") =!= batchId),
       evOpt.getOrElse(evictions(spark, storeDir)))
       .select(col("band"), col("bh"), col("doc_id").as("peer_id"))
@@ -1166,7 +1495,8 @@ object BandStore {
           // same eviction mask as the band probe — a candidate surfaced
           // by a stale band row must not re-materialize via its sig
           val peerSh = maskEvicted(
-              readTree(spark, sigsDir(storeDir), g)
+              readTree(spark, sigsDir(storeDir), g,
+                  buckets = Some(peerBuckets.map(b => s"__db=$b").toSet))
                 .filter(col("__db").isin(peerBuckets: _*) && col("__batch") =!= batchId),
               ev)
             .select(col("doc_id"), col("sh").as("sh_p"))
@@ -1257,7 +1587,8 @@ object BandStore {
         Some(("__bb", pmod(col("bh"), lit(g.bandBuckets)).cast("int"))), bandsDir(storeDir),
         origin = true) }
     def writeAdmitted(): Unit = timed(spark, "write-admitted") {
-      overwriteBatchPartitions(admitted, batchId, None, admittedDir) }
+      overwriteBatchPartitions(admitted, batchId, None, admittedDir,
+        manifest = false) }
     // diagnostic knob: serialize the three writes so their per-stage
     // timings don't absorb each other's scheduler contention (the
     // Probe11/12 admission-climb investigation) — never set in production

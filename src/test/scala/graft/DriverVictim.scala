@@ -21,6 +21,8 @@ import org.apache.spark.sql.SparkSession
   *   - `ivf   <corpusDir> <storeDir>` — IvfStore.ensureCurrentIncremental
   *   - `drain <topicDir> <storeDir> <admittedDir> <checkpointDir>` —
   *     Streams.dedupAdmitDrain over a file-per-micro-batch topic
+  *   - `dateingest <topicDir> <storeDir> <checkpointDir>` —
+  *     DateStore.ingestSink over a file-per-micro-batch event topic
   */
 object DriverVictim {
   def main(args: Array[String]): Unit = {
@@ -51,6 +53,18 @@ object DriverVictim {
         val src = spark.readStream.schema(docSchema)
           .option("maxFilesPerTrigger", "1").json(topic)
         graft.streaming.Streams.dedupAdmitDrain(src, store, admitted, ckpt)
+        println("VICTIM-DONE")
+      case "dateingest" =>
+        val Array(_, topic, store, ckpt) = args
+        import org.apache.spark.sql.types._
+        // the events-table schema DateStore's row digest is wired to
+        val evSchema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", TimestampType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val src = spark.readStream.schema(evSchema)
+          .option("maxFilesPerTrigger", "1").json(topic)
+        graft.sources.DateStore.ingestSink(src, store, ckpt).awaitTermination()
         println("VICTIM-DONE")
       case other => sys.error(s"unknown victim mode: $other")
     }

@@ -519,6 +519,9 @@ class Round11Spec extends SparkSpec {
     // compaction absorbs the tombstone and physically drops the rows
     val before = duBytes(store)
     BandStore.compactStore(spark, store, minLiveBatch = 5L)
+    // force-reap (grace 0, quiesced): physical assertions below check
+    // the reaped layout — retirement defers deletion by the grace
+    BandStore.reapRetired(spark, store, 0L)
     assert(!new java.io.File(BandStore.evictedDir(store)).exists() ||
       Option(new java.io.File(BandStore.evictedDir(store)).listFiles()).getOrElse(Array.empty)
         .forall(f => !f.getName.startsWith("__batch=")),
@@ -569,6 +572,7 @@ class Round11Spec extends SparkSpec {
     // stale competitor: reclaimed, compaction proceeds, store intact
     ageFence(BandStore.bandsDir(store), -1L, StoreDirs.staleFenceMs + 60000L)
     BandStore.compactStore(spark, store)
+    BandStore.reapRetired(spark, store, 0L)
     val bands = spark.read.parquet(BandStore.bandsDir(store))
     // the partition column reads back int-typed when its values fit
     assert(bands.select(col("__batch").cast("long")).distinct().collect()

@@ -56,6 +56,9 @@ class Round12Spec extends SparkSpec {
     // `__batch`-ranked gate dropped them for good here) and clear the
     // leftover tombstone
     BandStore.compactStore(spark, store, minLiveBatch = 4L)
+    // force-reap (grace 0, quiesced): the physical reads below must see
+    // the reaped layout, not grace-deferred retired leaves
+    BandStore.reapRetired(spark, store, 0L)
     val sigs = spark.read.parquet(BandStore.sigsDir(store))
     assert(sigs.filter(col("doc_id") === 3L).count() == 1,
       "the re-admitted doc's signature state must survive the re-absorb")

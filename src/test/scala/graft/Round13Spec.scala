@@ -88,6 +88,9 @@ class Round13Spec extends SparkSpec {
     // and MIGRATES the rank: every surviving row carries a non-null
     // __obatch afterwards — legacy rows at their true batch
     BandStore.compactStore(spark, store, minLiveBatch = 5L)
+    // force-reap (grace 0, quiesced): the physical reads below must see
+    // the reaped layout, not grace-deferred retired leaves
+    BandStore.reapRetired(spark, store, 0L)
     val sigs = spark.read.parquet(BandStore.sigsDir(store))
     assert(sigs.filter(col("__obatch").isNull).count() == 0,
       "compaction must stamp every surviving row's rank")

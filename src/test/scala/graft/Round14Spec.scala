@@ -82,9 +82,10 @@ class Round14Spec extends SparkSpec {
     def text(tag: String, i: Int) =
       (0 until 25).map(j => s"${tag}_w${i}_$j").mkString(" ")
 
+    // live (manifest) count — what the compaction gauge itself reads;
+    // physical dirs additionally hold grace-deferred retired leaves
     def batchDirs(dir: String): Int =
-      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-        .count(f => f.isDirectory && f.getName.startsWith("__batch="))
+      BandStore.liveBatchIds(spark, dir).size
 
     val pauses = scala.collection.mutable.ArrayBuffer.empty[Double]
     // batch b carries one fresh doc and, from b ≥ 3, one CROSS-BATCH

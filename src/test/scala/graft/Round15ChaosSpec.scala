@@ -271,4 +271,84 @@ class Round15ChaosSpec extends SparkSpec {
     assert(admittedSet(s"$root/admitted") == ctrlAdmitted,
       "post-driver-kill admitted set diverged from the no-kill control")
   }
+
+  test("driver-kill (g): SIGKILL mid-DateStore-ingest; a fresh driver re-drains to the control and the union corpus is a provable noop") {
+    import graft.sources.DateStore
+    import org.apache.spark.sql.types._
+    val work = tmpDir("r16-dkill-date")
+    // the events-table schema DateStore's row digest is wired to
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // dates repeat across micro-batches, so nearly every batch RESTATES
+    // late days (old-rows ∪ batch-rows with the XOR'd fingerprint) — the
+    // kill must be able to land mid-restate, the hardest crash point
+    def line(id: Long): String =
+      s"""{"event_id":$id,"ts":"2024-03-0${(id % 7) + 1} 0${id % 10}:00:00","user_id":${id % 50},"event_type":"e${id % 5}","value":${id % 97}.5,"props":"p$id"}"""
+    def writeTopic(dir: String): Unit = {
+      new java.io.File(dir).mkdirs()
+      (0 until 6).foreach { f =>
+        val ids = (f * 400L) until (f * 400L + 400L)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$dir/b$f.json"),
+          ids.map(line).mkString("\n"))
+      }
+    }
+    def drainSrc(topic: String) = spark.readStream.schema(evSchema)
+      .option("maxFilesPerTrigger", "1").json(topic)
+    def drain(topic: String, store: String, ckpt: String): Unit =
+      DateStore.ingestSink(drainSrc(topic), store, ckpt).awaitTermination(120000)
+
+    val ctrlTopic = s"$work/ctrl-topic"
+    writeTopic(ctrlTopic)
+    drain(ctrlTopic, s"$work/ctrl-store", s"$work/ctrl-ckpt")
+    val ctrl = digest(DateStore.readEvents(spark, s"$work/ctrl-store"))
+
+    var landed = false
+    var root = ""
+    var attempts = 0
+    while (!landed && attempts < 3) {
+      attempts += 1
+      root = s"$work/date-$attempts"
+      val topic = s"$root/topic"
+      writeTopic(topic)
+      val commits = new java.io.File(s"$root/ckpt/commits")
+      def committed(): Int =
+        Option(commits.listFiles()).getOrElse(Array.empty)
+          .count(!_.getName.startsWith("."))
+      landed = killVictim(new java.io.File(s"$root/victim.log"),
+        Seq("dateingest", topic, s"$root/store", s"$root/ckpt"))(
+        () => committed() >= 2)
+    }
+    assert(landed, s"could not land an in-flight ingest kill in $attempts attempts")
+    uniqueGens(s"$root/store")
+    // fresh-driver recovery: re-drain from the dead driver's checkpoint.
+    // The replayed batch is either below the stored ingest floor (the
+    // publish landed before the kill → "skip") or re-merged identically
+    // — exactly-once either way.
+    var converged = false
+    var n = 0
+    withProps(shortLeases: _*) {
+      while (!converged && n < 3) {
+        n += 1
+        try {
+          drain(s"$root/topic", s"$root/store", s"$root/ckpt")
+          converged = true
+        } catch { case _: Exception if n < 3 => Thread.sleep(1500) }
+      }
+    }
+    assert(converged, "re-drain after the driver kill did not converge")
+    uniqueGens(s"$root/store")
+    assert(digest(DateStore.readEvents(spark, s"$root/store")) == ctrl,
+      "post-driver-kill DateStore content diverged from the no-kill control")
+    // validity by measurement: the corpus-driven maintenance over the
+    // UNION of everything ingested must read the crash-restated store as
+    // current — the merged manifest's XOR'd fingerprints equal a
+    // from-scratch digest exactly (the s11_date_ingest property, now
+    // pinned across a driver kill)
+    val union = spark.read.schema(evSchema).json(s"$root/topic")
+    assert(DateStore.ensureIncrementalEvents(union, s"$root/store") == "noop",
+      "union corpus must be a provable noop over the crash-recovered store")
+  }
 }

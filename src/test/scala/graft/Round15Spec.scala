@@ -133,10 +133,10 @@ class Round15Spec extends SparkSpec {
       spark.read.parquet(dir)
         .selectExpr("concat_ws(':', band, bh, doc_id, __obatch)")
         .collect().map(_.getString(0)).toSet
-    def batchIds(dir: String): Seq[Long] =
-      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("__batch="))
-        .map(_.getName.stripPrefix("__batch=").toLong).toSeq
+    // LIVE ids (manifest view): retirement now defers physical deletion
+    // by the retire grace, so raw dir listings include reaped-later
+    // debris and are not the store's logical state
+    def batchIds(dir: String): Seq[Long] = BandStore.liveBatchIds(spark, dir)
     val before = treeRows(BandStore.bandsDir(store))
     withConf(BandStore.CompactSliceLeavesConf -> "2",
              BandStore.CompactSliceBudgetConf -> "0.0") {

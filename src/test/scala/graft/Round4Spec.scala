@@ -157,6 +157,9 @@ class Round4Spec extends SparkSpec {
     val partsBefore = spark.read.parquet(BandStore.bandsDir(store))
       .select(col("__batch"), col("__bb")).distinct().count()
     BandStore.compactStore(spark, store)
+    // force-reap (grace 0, quiesced): the physical layout assertions
+    // below check the reaped tree — retirement defers deletion
+    BandStore.reapRetired(spark, store, 0L)
     val partsAfter = spark.read.parquet(BandStore.bandsDir(store))
       .select(col("__batch"), col("__bb")).distinct().count()
     assert(partsAfter < partsBefore,

@@ -116,30 +116,34 @@ class Round7Spec extends SparkSpec {
     (0 until 4).foreach(b => BandStore.admitBatch(batchOf(b), b.toLong, storeA, outA))
 
     // concurrent: admit 0,1; then compact batches < 2 WHILE admitting 2,3.
-    // A probe that lists a source partition in the instant before its
-    // retirement rename can fail — admission is an idempotent dynamic
-    // overwrite, so the bounded retry here mirrors the streaming engine's
-    // batch replay (see compactStore's scaladoc; the race can fire once
-    // per store sub-directory, hence more than one possible retry).
+    // Manifest-pinned reads (VERDICT r15 #2): a probe resolves its file
+    // listing from the tree's `.live` manifest and retirement DEFERS the
+    // physical delete by the retire grace — so a probe racing the
+    // retirement reads intact files and admission needs ZERO retries.
+    // The retry budget that used to absorb the listing race is gone on
+    // purpose: any retry here is a regression of the pinning discipline.
     val (storeB, outB) = (tmpDir("r7-conB"), tmpDir("r7-conB-out"))
     (0 until 2).foreach(b => BandStore.admitBatch(batchOf(b), b.toLong, storeB, outB))
     val compactor = new Thread(() => BandStore.compactStore(spark, storeB, 2L))
     compactor.start()
+    var retries = 0
     (2 until 4).foreach { b =>
       def attempt(left: Int): Unit =
         try BandStore.admitBatch(batchOf(b), b.toLong, storeB, outB)
         catch { case scala.util.control.NonFatal(e) =>
+          retries += 1
           if (left <= 0) throw e else attempt(left - 1) }
       attempt(4)
     }
     compactor.join()
+    assert(retries == 0,
+      s"manifest-pinned probes must not race retirement: $retries retries consumed")
     assert(admitted(outA) == admitted(outB),
       "admission decisions must be interleaving-invariant under compaction")
     // live batches were never touched: 2 and 3 still sit in their own
     // partitions; 0 and 1 were merged into the base generation
-    val bandBatches = new java.io.File(BandStore.bandsDir(storeB)).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("__batch="))
-      .map(_.getName.stripPrefix("__batch=").toLong).toSet
+    val bandBatches =
+      BandStore.liveBatchIds(spark, BandStore.bandsDir(storeB)).toSet
     assert(bandBatches == Set(BandStore.BaseBatch, 2L, 3L), s"got $bandBatches")
 
     // and the compacted store still drives identical future decisions
@@ -185,6 +189,11 @@ class Round7Spec extends SparkSpec {
     // batches {−1, 0, 1} into one new base generation with no duplicate
     // rows left
     BandStore.compactStore(spark, store, 2L)
+    // force-reap at grace 0 (true quiesce): the physical assertions below
+    // check the REAPED layout — retirement itself only switches the
+    // manifest and defers deletion, and the markerless `__batch=-1`
+    // debris is reconciled as a crashed-publish orphan
+    BandStore.reapRetired(spark, store, 0L)
     dirs.foreach { dir =>
       val names = new java.io.File(dir).listFiles().map(_.getName).toSet
       assert(!names.exists(_.startsWith(".trash-")), s"trash not purged: $names")
