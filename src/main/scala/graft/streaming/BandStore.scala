@@ -163,6 +163,14 @@ object BandStore {
     * A time-based retention policy is the composition: feed the ids
     * aging past the window to [[evictDocs]] on whatever cadence the
     * deployment's compliance story needs.
+    *
+    * Tombstone DEAD MASS between full passes is a measured non-issue
+    * (r16 ×50/80-batch soak with steady eviction, STRESS_r16.json):
+    * tombstone batches are doc_id-only files, so their share of probe
+    * bytes held at 0.01–0.02% — three orders below any level where a
+    * dead-mass compaction trigger would earn its complexity. The
+    * dir-COUNT gauge (listing tax) is the binding one and already
+    * routes the full pass when the evicted tree crosses the threshold.
     */
 
   /** Retire documents from the dedup memory — the batch's ids land as
@@ -769,23 +777,28 @@ object BandStore {
     * Batches ≥ `minLiveBatch` are never read or touched here, which is
     * what makes concurrent admission safe.
     *
-    * Why concurrent admission stays CORRECT at every interleaving:
-    *   1. the new base generation is PUBLISHED first, by one atomic
-    *      directory rename, and the merged sources are retired after —
-    *      so the union of visible partitions is always a superset (with
-    *      duplicates, never a deficit) of the logical store;
+    * Why concurrent admission stays CORRECT at every interleaving
+    * (r16: the visibility switch is the `.live` MANIFEST, not the
+    * directory tree — see the manifest section above):
+    *   1. the new base generation is published first — the atomic
+    *      directory rename lands it, then its markers are ADDED before
+    *      any source marker is removed — so the manifest-visible set is
+    *      always a superset (with duplicates, never a deficit) of the
+    *      logical store;
     *   2. admission decisions are insensitive to duplicate store rows:
     *      candidate pairs and drop sets are `distinct()`ed, so a row
     *      visible under both its source batch and the new base changes
     *      nothing (note this says NOTHING about replay — see below);
-    *   3. retirement of each merged source is a single atomic rename to
-    *      a dot-prefixed trash name (invisible to Spark listings). The
-    *      one residual race — a probe that LISTED a source partition in
-    *      the instant before its retirement rename — fails that probe's
-    *      scan; admission is an idempotent dynamic overwrite keyed by
-    *      batch id, so the engine's standard task/batch retry recomputes
-    *      the identical decision from the published superset. Leftover
-    *      trash from a crash here is purged on the next compaction.
+    *   3. retirement of each merged source is marker removal plus a
+    *      `.retired` log; the FILES stay at their original paths until a
+    *      reap finds the log older than [[RetireGraceConf]]. A probe
+    *      that pinned the manifest in the instant before retirement
+    *      therefore finishes against intact files (Round7Spec asserts
+    *      ZERO admission retries under a racing compactor); the
+    *      idempotent-overwrite task/batch retry remains as the backstop
+    *      for a probe outliving the grace. Crash debris (markerless
+    *      publishes, legacy `.trash-`/`.compact-` dirs) is reconciled
+    *      under the next compaction's fence.
     *
     * Replay interaction (the reason the invariant above is phrased in
     * checkpoint terms, NOT an appeal to pair-distinctness): a replay of
