@@ -133,8 +133,36 @@ object Bench {
       .mkString("[", ",", "]")
     val subtotals =
       s""""total_queries":$totalQueries,"total_gates":$totalGates,"gate_keys":$gateKeys"""
+    // round-over-round totals comparison (VERDICT r16 #4): a ledger
+    // re-snapshot resets the per-key watch to "vs myself", so the one
+    // comparison that survives re-snapshots — this run's total vs the
+    // PREVIOUS round's driver artifact (highest BENCH_r{N}.json in the
+    // repo root) — rides in the artifact itself. Two consecutive
+    // re-snapshots can then never hide a slope: the chain of
+    // vs_prev_round ratios is the slope. Subset runs carry null (a
+    // partial total must not read as a round total).
+    val vsPrev: String =
+      try {
+        import scala.jdk.CollectionConverters._
+        val rx = """BENCH_r(\d+)\.json""".r
+        val arts = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+          .iterator().asScala
+          .flatMap(p => p.getFileName.toString match {
+            case rx(n) => Some((n.toInt, p))
+            case _ => None
+          }).toSeq
+        if (arts.isEmpty || args.nonEmpty) "null"
+        else {
+          val (n, p) = arts.maxBy(_._1)
+          val txt = java.nio.file.Files.readString(p)
+          """"parsed":\s*\{\s*"metric":\s*"total",\s*"value":\s*([0-9.Ee+-]+)""".r
+            .findFirstMatchIn(txt).map(_.group(1).toDouble).filter(_ > 0)
+            .map(pv => f"""{"round":$n,"prev_total":$pv,"ratio":${total / pv}%.4f}""")
+            .getOrElse("null")
+        }
+      } catch { case _: Throwable => "null" }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec",$subtotals,"queries":$qs,"errors":$errJson,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_warn":$loadWarn,"samples":$samplesJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$subtotals,"vs_prev_round":$vsPrev,"queries":$qs,"errors":$errJson,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_warn":$loadWarn,"samples":$samplesJson}"""
     // the JSON line is the contract; also land it as a file so the result
     // stays machine-readable even if log interleaving mangles the tail
     try {
@@ -203,7 +231,7 @@ object Bench {
     // subtotals only — the gate-key list lives in the full line/file;
     // the trailer must stay inside a ~2 KB tail
     val trailer =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"total_queries":$totalQueries,"total_gates":$totalGates,"errors":$errJson,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_warn":$loadWarn,"slowest":$slowest,"queries_file":"target/bench.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"total_queries":$totalQueries,"total_gates":$totalGates,"vs_prev_round":$vsPrev,"errors":$errJson,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_warn":$loadWarn,"slowest":$slowest,"queries_file":"target/bench.json"}"""
     // four rounds of driver artifacts read `parsed: null` because sbt's
     // logger decorated every stdout line with `[info] ` (VERDICT r13
     // #4/What's-wrong #3). Two fixes land together: build.sbt now sets

@@ -23,6 +23,10 @@ import org.apache.spark.sql.SparkSession
   *     Streams.dedupAdmitDrain over a file-per-micro-batch topic
   *   - `dateingest <topicDir> <storeDir> <checkpointDir>` —
   *     DateStore.ingestSink over a file-per-micro-batch event topic
+  *   - `bandcompact <storeDir> <k=v,k=v,...>` — BandStore
+  *     .compactSliceIfNeeded under the given session confs (the parent
+  *     passes the gauge threshold plus a failpoint sleep so the SIGKILL
+  *     lands inside a chosen half-published window)
   */
 object DriverVictim {
   def main(args: Array[String]): Unit = {
@@ -66,6 +70,13 @@ object DriverVictim {
           .option("maxFilesPerTrigger", "1").json(topic)
         graft.sources.DateStore.ingestSink(src, store, ckpt).awaitTermination()
         println("VICTIM-DONE")
+      case "bandcompact" =>
+        val Array(_, store, confs) = args
+        confs.split(",").filter(_.nonEmpty).foreach { kv =>
+          val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+        }
+        val r = graft.streaming.BandStore.compactSliceIfNeeded(spark, store)
+        println(s"VICTIM-DONE:$r")
       case other => sys.error(s"unknown victim mode: $other")
     }
     spark.stop()
