@@ -198,12 +198,9 @@ object IvfStore {
     fs.mkdirs(root)
     val gens = listGens(s, storeDir)
     // CAS half of the concurrent-writer guard (the caller holds the
-    // generation fence): refuse to rename if the store advanced since
-    // the maintenance read — a competitor's work must never be buried
-    val curK = gens.lastOption.map(_.k).getOrElse(0L)
-    require(curK == next - 1,
-      s"IvfStore: store advanced to gen $curK while this writer maintained " +
-        s"gen $next — concurrent writer; retry from the advanced state")
+    // generation fence)
+    StoreDirs.requireUnadvanced("IvfStore",
+      gens.lastOption.map(_.k).getOrElse(0L), next)
     val staging = new Path(root, s".staging-$next")
     // Stale-dir discipline (same as writeBatch): a crashed prior attempt
     // at this generation may have left `$staging/ingest` behind; with
@@ -222,14 +219,10 @@ object IvfStore {
           .write.mode(SaveMode.Overwrite).parquet(s"$staging/ingest")
       }
     }
-    val pub = new Path(root,
-      s"gen=${next}__n=${n}__fp=${java.lang.Long.toHexString(fp)}__b=${base}")
-    require(fs.rename(staging, pub), s"IvfStore: could not publish $pub")
-    StoreDirs.sweepFences(fs, root, next)
-    StoreDirs.sweepRetired(fs, root)
-    gens.dropRight(1).foreach { g =>
-      fs.rename(g.path, new Path(root, "." + g.path.getName + ".retired"))
-    }
+    StoreDirs.publishStaged(fs, root, next, staging,
+      new Path(root,
+        s"gen=${next}__n=${n}__fp=${java.lang.Long.toHexString(fp)}__b=${base}"),
+      gens.dropRight(1).map(_.path), "IvfStore")
     val keepFrom = math.min(base, gens.lastOption.map(_.base).getOrElse(base))
     Seq(listsDir(storeDir), digestsDir(storeDir), tombsDir(storeDir)).foreach { d =>
       val dp = new Path(d)

@@ -323,24 +323,17 @@ object LabelStore {
     val fs = fsOf(s, root)
     fs.mkdirs(root)
     val gens = listGens(s, storeDir)
-    val curK = gens.lastOption.map(_.k).getOrElse(0L)
-    require(curK == next - 1,
-      s"LabelStore: store advanced to gen $curK while this writer maintained " +
-        s"gen $next — concurrent writer; retry from the advanced state")
+    StoreDirs.requireUnadvanced("LabelStore",
+      gens.lastOption.map(_.k).getOrElse(0L), next)
     val staging = new Path(root, s".staging-$next")
     labels.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val pub = new Path(root,
-      s"gen=${next}__n=${n}__fp=${java.lang.Long.toHexString(fp)}")
-    require(fs.rename(staging, pub), s"LabelStore: could not publish $pub")
-    StoreDirs.sweepFences(fs, root, next)
-    // retire everything older than the previous latest — keep two live
-    // generations so a reader that resolved just before this publish
-    // still scans existing files; debris retired by EARLIER publishes is
-    // past its grace window and is deleted now (StoreDirs.sweepRetired)
-    StoreDirs.sweepRetired(fs, root)
-    gens.dropRight(1).foreach { g =>
-      fs.rename(g.path, new Path(root, "." + g.path.getName + ".retired"))
-    }
+    // shared publish tail: atomic rename, sweeps, and grace-retire of
+    // everything older than the previous latest (two live generations —
+    // a reader that resolved just before this publish still scans
+    // existing files)
+    StoreDirs.publishStaged(fs, root, next, staging,
+      new Path(root, s"gen=${next}__n=${n}__fp=${java.lang.Long.toHexString(fp)}"),
+      gens.dropRight(1).map(_.path), "LabelStore")
     next
   }
 

@@ -572,6 +572,43 @@ private[graft] object StoreDirs {
                  root: org.apache.hadoop.fs.Path, k: Long): Unit =
     try fs.delete(fencePath(root, k), false) catch { case _: java.io.IOException => () }
 
+  /** CAS half of the generational stores' concurrent-writer guard
+    * (publish-time; the fence is the claim-time half): refuse to rename
+    * if the store advanced since this writer's maintenance read — a
+    * competitor's work must never be buried. One shared implementation
+    * (round 17, VERDICT r16 #3): the three stores' copies had already
+    * drifted in wording, and a future drift in SEMANTICS here would be
+    * a silent lost-update reintroduction.
+    */
+  def requireUnadvanced(family: String, curK: Long, next: Long): Unit =
+    require(curK == next - 1,
+      s"$family: store advanced to gen $curK while this writer maintained " +
+        s"gen $next — concurrent writer; retry from the advanced state")
+
+  /** The generational stores' shared publish tail (round 17, VERDICT
+    * r16 #3 — one protocol, one implementation): ONE atomic rename
+    * exposes the staged generation, then spent fences and past-grace
+    * retired debris sweep, then the superseded generations GRACE-RETIRE
+    * — renamed to dot-prefixed `.<name>.retired` siblings so a reader
+    * that resolved its generation just before this publish still scans
+    * existing files; [[sweepRetired]] deletes them at the NEXT publish,
+    * one full publish cycle later. Caller owns the staging content, the
+    * published name (each store encodes its own `(n, fp, …)` validity
+    * tuple there), and the retire list.
+    */
+  def publishStaged(fs: org.apache.hadoop.fs.FileSystem,
+                    root: org.apache.hadoop.fs.Path, next: Long,
+                    staging: org.apache.hadoop.fs.Path,
+                    pub: org.apache.hadoop.fs.Path,
+                    retire: Seq[org.apache.hadoop.fs.Path],
+                    family: String): Unit = {
+    require(fs.rename(staging, pub), s"$family: could not publish $pub")
+    sweepFences(fs, root, next)
+    sweepRetired(fs, root)
+    retire.foreach(p =>
+      fs.rename(p, new org.apache.hadoop.fs.Path(root, "." + p.getName + ".retired")))
+  }
+
   /** Delete fences of generations old enough that no writer can target
     * them again (anything below the newest live generation — a future
     * claim is always `latest + 1` or higher), including `.reclaim-`

@@ -178,13 +178,10 @@ object DateStore {
     val fs = fsOf(s, root)
     fs.mkdirs(root)
     // CAS half of the concurrent-writer guard (the caller holds the
-    // generation fence): refuse to rename if the store advanced since
-    // the maintenance read — a competitor's work must never be buried.
-    // `gens` is the caller's read; the re-list here is fresh.
-    val curK = listGens(s, storeDir).lastOption.map(_.k).getOrElse(0L)
-    require(curK == next - 1,
-      s"DateStore: store advanced to gen $curK while this writer maintained " +
-        s"gen $next — concurrent writer; retry from the advanced state")
+    // generation fence). `gens` is the caller's read; the re-list here
+    // is fresh.
+    StoreDirs.requireUnadvanced("DateStore",
+      listGens(s, storeDir).lastOption.map(_.k).getOrElse(0L), next)
     val staging = new Path(root, s".staging-$next")
     // Stale-dir discipline (same as writeDaysBatch): a prior crashed
     // attempt at this generation may have left `$staging/ingest` behind;
@@ -204,14 +201,10 @@ object DateStore {
         .coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/ingest")
     }
-    val pub = new Path(root,
-      s"gen=${next}__n=${n}__fp=${java.lang.Long.toHexString(fp)}__d=${dead}")
-    require(fs.rename(staging, pub), s"DateStore: could not publish $pub")
-    StoreDirs.sweepFences(fs, root, next)
-    StoreDirs.sweepRetired(fs, root)
-    gens.dropRight(1).foreach { g =>
-      fs.rename(g.path, new Path(root, "." + g.path.getName + ".retired"))
-    }
+    StoreDirs.publishStaged(fs, root, next, staging,
+      new Path(root,
+        s"gen=${next}__n=${n}__fp=${java.lang.Long.toHexString(fp)}__d=${dead}"),
+      gens.dropRight(1).map(_.path), "DateStore")
     val live = (listGens(s, storeDir).takeRight(2).flatMap { g =>
       // a live generation may predate the manifest layout (migration)
       if (hasManifest(s, g)) readManifest(s, g).map(_._4) else Seq.empty
