@@ -531,6 +531,7 @@ object StressBench {
     // is warranted). 0/absent = off (the recorded r15 curve's shape).
     val evictEvery = sys.env.getOrElse("SPARK_GRAFT_STRESS_EVICT_EVERY", "0").toInt
     val deadShares = scala.collection.mutable.ArrayBuffer.empty[String]
+    val gaugeMs = scala.collection.mutable.ArrayBuffer.empty[Int]
     // retire-grace shaped to the soak cadence: folds fire minutes apart
     // and each fold's reap clears the PREVIOUS fold's retired leaves, so
     // a short grace keeps the physical files curve comparable with the
@@ -569,7 +570,14 @@ object StressBench {
       // the FULL pass instead (tombstone partitions only reclaim there)
       // — compactSliceIfNeeded's own branch, mirrored so the artifact
       // records which tier fired.
-      if (graft.streaming.BandStore.needsCompaction(spark, admStore)) {
+      // VERDICT r16 #7: the gauge wall IS the manifest-listing cost on
+      // the maintenance path (one flat `.live/` listing per tree) — the
+      // per-batch series makes "listing cost scales sublinearly with
+      // store growth" adjudicable from the artifact alone.
+      val tG = System.nanoTime()
+      val needs = graft.streaming.BandStore.needsCompaction(spark, admStore)
+      gaugeMs += math.round((System.nanoTime() - tG) / 1e6).toInt
+      if (needs) {
         val threshold = spark.conf.get(
           graft.streaming.BandStore.CompactAfterBatchesConf, "64").toInt
         val (fb, bb) = du(admStore)
@@ -611,7 +619,7 @@ object StressBench {
       val confGrace = spark.conf.get(
         graft.streaming.BandStore.RetireGraceConf, "60000").toLong
       val effGrace = math.max(confGrace, 2L * probeWall)
-      println(s"""{"stress":"admit-soak","copies":$copies,"batches":$admBatches,"docs_per_batch":$perBatch,"compact_after":$cadence,"evict_every":$evictEvery,"admission_batch_secs":[${admSecs.map(s => math.round(s * 1000) / 1000.0).mkString(",")}],"admission_batch_loadavg":[${admLoads.map("\"" + _ + "\"").mkString(",")}],"dead_shares":${deadShares.mkString("[", ",", "]")},"compactions":$admCompactJson,"admitted":${spark.read.parquet(admOut).count()},"store_files":$nFiles,"store_bytes":$nBytes,"final_dead_share":${deadShare()},"needs_compaction":$gauge,"max_probe_wall_ms":$probeWall,"retire_grace_conf_ms":$confGrace,"effective_grace_ms":$effGrace,"loadavg_start":"$loadStart","loadavg_end":"$loadavg"}""")
+      println(s"""{"stress":"admit-soak","copies":$copies,"batches":$admBatches,"docs_per_batch":$perBatch,"compact_after":$cadence,"evict_every":$evictEvery,"admission_batch_secs":[${admSecs.map(s => math.round(s * 1000) / 1000.0).mkString(",")}],"admission_batch_loadavg":[${admLoads.map("\"" + _ + "\"").mkString(",")}],"dead_shares":${deadShares.mkString("[", ",", "]")},"gauge_listing_ms":${gaugeMs.mkString("[", ",", "]")},"compactions":$admCompactJson,"admitted":${spark.read.parquet(admOut).count()},"store_files":$nFiles,"store_bytes":$nBytes,"final_dead_share":${deadShare()},"needs_compaction":$gauge,"max_probe_wall_ms":$probeWall,"retire_grace_conf_ms":$confGrace,"effective_grace_ms":$effGrace,"loadavg_start":"$loadStart","loadavg_end":"$loadavg"}""")
       spark.stop()
       return
     }
