@@ -39,4 +39,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The x200 admission soak (STRESS_r17) died at batch ~140 with
+  // spurious OOMs and ZERO full GCs in the log: 32 snappy-decompressing
+  // tasks hold JNI critical sections (GCLocker) while peers allocate
+  // ~8.4 MB parquet column buffers — humongous in G1's default 4 MB
+  // regions at 8 GiB heap — and the default 2 GCLocker allocation
+  // retries give up before GC can run (JDK-8192647 shape). Both
+  // constants re-derived from that measurement: 32 MB regions make the
+  // 8.4 MB buffers regular allocations (humongous = region/2), and 64
+  // retries outlast any critical-section pileup. Standard knobs on
+  // production Spark-on-JDK17 executors — set them cluster-side too.
+  "-XX:G1HeapRegionSize=32m",
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=64",
 )
