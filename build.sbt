@@ -44,12 +44,23 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // tasks hold JNI critical sections (GCLocker) while peers allocate
   // ~8.4 MB parquet column buffers — humongous in G1's default 4 MB
   // regions at 8 GiB heap — and the default 2 GCLocker allocation
-  // retries give up before GC can run (JDK-8192647 shape). Both
-  // constants re-derived from that measurement: 32 MB regions make the
-  // 8.4 MB buffers regular allocations (humongous = region/2), and 64
-  // retries outlast any critical-section pileup. Standard knobs on
-  // production Spark-on-JDK17 executors — set them cluster-side too.
-  "-XX:G1HeapRegionSize=32m",
+  // retries give up before GC can run (JDK-8192647 shape). The retry
+  // bound (the direct fix for that JDK-bug shape) stays global; it is
+  // inert outside a GCLocker pileup.
   "-XX:+UnlockDiagnosticVMOptions",
   "-XX:GCLockerRetryAllocationCount=64",
-)
+  // The soak round ALSO set -XX:G1HeapRegionSize=32m globally so the
+  // 8.4 MB buffers stop being humongous — but the round-17 optimization
+  // profile caught that flag thrashing every 32-way allocation-heavy
+  // SQL stage at the default 8 GiB heap (measured: x2_jaccard_neardup
+  // 40.3 s -> 4.0 s, stage GC wall 119 s -> 2 s, by removing the flag
+  // alone; 256 coarse regions starve G1's young sizing under 32
+  // concurrent allocating tasks). Region size is workload-dependent,
+  // not a blanket constant: the soak recipe opts back in via
+  // SPARK_GRAFT_G1_REGION=32m (STRESS_r17 / scripts), everything else
+  // runs the JVM's heap-derived default (4 MB at 8 GiB).
+) ++ sys.env.get("SPARK_GRAFT_G1_REGION")
+  .map(r => s"-XX:G1HeapRegionSize=$r").toSeq ++
+  // experiment escape hatch for forked runs (e.g. A/B of a spark.graft.*
+  // conf without a code edit); unset in every recorded configuration
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+"))

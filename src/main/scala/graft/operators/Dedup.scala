@@ -62,8 +62,12 @@ object Dedup {
   }
 
   private def docShingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .filter(size(split(col("text"), " ")) >= 3)
+    // Spread.byKey: the single-row-group fixture scan plans ONE task, so
+    // shingling the whole corpus ran serially (guide §2.5 input skew);
+    // no-op at production scan parallelism
+    graft.engine.Spread.byKey(
+        Tables.documents(s, dir).filter(size(split(col("text"), " ")) >= 3),
+        "doc_id")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
 
   /** X2a — exact all-pairs n-gram Jaccard near-dup (the oracle-checkable
@@ -584,9 +588,14 @@ object Dedup {
   private[graft] def x2MinHashLshOf(corpus: DataFrame,
                                     preSigned: Option[DataFrame] = None): DataFrame = {
     val s = corpus.sparkSession
-    val docs = corpus
-      .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), col("text"))
+    // Spread.byKey before the shingle+sign map (guide §2.5): the fixture
+    // corpus scan is one task, so signing serialized on one core; no-op
+    // once the scan itself is parallel
+    val docs = graft.engine.Spread.byKey(
+      corpus
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), col("text")),
+      "doc_id")
     // ADAPTIVE plan choice — the AQE discipline applied at operator
     // level: one exact scalar aggregate (map-side-combinable count /
     // count-distinct over the 8-byte text digest — the same cost class
@@ -710,7 +719,10 @@ object Dedup {
     */
   def x2SimHash(s: SparkSession, dir: String): DataFrame = {
     val fp = Caches.scoped(portableFp(s, dir))
-    val gate = Tables.documents(s, dir)
+    // the HOF arm of the gate runs on the interpreted lambda path (the
+    // documented ~100x-slower twin) — spreading the one-task scan keeps
+    // that audit column parallel instead of serial (guide §2.5)
+    val gate = graft.engine.Spread.byKey(Tables.documents(s, dir), "doc_id")
       .select(col("doc_id"), (simhashSig === simhashSigHof).as("native_eq_hof"))
     // Boilerplate-skew guard, EXACT form: identical texts have identical
     // fingerprints, so the band self-join runs over DISTINCT fps carrying
@@ -787,7 +799,9 @@ object Dedup {
     * [[x2SimHashPortable]] and the self-gated [[x2SimHash]].
     */
   private def portableFp(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(s, dir)
+    // spread before the token explode + per-token md5 (×60 bit explode
+    // follows) — the widest narrow map in the file ran on one task
+    val tok = graft.engine.Spread.byKey(Tables.documents(s, dir), "doc_id")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       // 15 hex chars = 60 bits — stays positive in a signed 64-bit long
       // on both engines
@@ -1146,9 +1160,13 @@ object Dedup {
     * their effect.
     */
   def x2IncrementalLsh(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), col("text"))
+    // spread before the shingle+sign map (guide §2.5, the
+    // x2MinHashLshOf note)
+    val docs = graft.engine.Spread.byKey(
+      Tables.documents(s, dir)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), col("text")),
+      "doc_id")
     // per-side exact pre-collapse (X1 first — the dag_training_prep
     // ordering): group key = 8-byte text digest
     val memb = Caches.scoped(docs.select(col("doc_id"), textKey.as("th"),
@@ -1374,10 +1392,16 @@ object Dedup {
     */
   def x7Decontaminate(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
-    val sh = Tables.documents(s, dir)
-      .withColumn("bucket",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long") % 100)
-      .filter(size(toks) >= 8)
+    // spread before the 8-gram hash explode (guide §2.5): the serial
+    // one-task shingle map was the single largest span in the
+    // dag_corpus_build profile (1.5 s writing 9 MB of shuffle from one
+    // task at sf0.1)
+    val sh = graft.engine.Spread.byKey(
+        Tables.documents(s, dir)
+          .withColumn("bucket",
+            conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long") % 100)
+          .filter(size(toks) >= 8),
+        "doc_id")
       .select(col("doc_id"), col("bucket"),
         explode(graft.functions.NGramHashes(toks, 8)).as("sh"))
     val train = sh.filter(col("bucket") < 96).select(col("doc_id").as("train_id"), col("sh"))

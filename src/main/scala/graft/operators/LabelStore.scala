@@ -195,7 +195,11 @@ object LabelStore {
     * identical shingling/signing to [[Dedup.x2MinHashLsh]].
     */
   private def signed(corpus: DataFrame): DataFrame =
-    corpus.filter(size(split(col("text"), " ")) >= 3)
+    // Spread.byKey before shingling/signing (guide §2.5): the fixture
+    // corpus scan plans one task, serializing the index build's
+    // heaviest map; no-op at production scan parallelism
+    graft.engine.Spread.byKey(
+        corpus.filter(size(split(col("text"), " ")) >= 3), "doc_id")
       .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
       .withColumn("sig", Dedup.minhashSig)
 

@@ -27,6 +27,12 @@ object Similarity {
     * private[graft]: the Round15 sample-law pin builds its own corpus.
     */
   private[graft] def normedOf(emb: DataFrame): DataFrame =
+    // deliberately NOT Spread.byKey'd (round-17 A/B): per-vector dot/
+    // norm CPU at fixture scale is far too light to amortize an
+    // exchange plus wider downstream stages (x3_cosine_topk regressed
+    // 0.23 -> 0.39 s with a spread here), and at production scan
+    // parallelism a spread is a no-op anyway — the "corpus never
+    // shuffles" plan shape stays byte-for-byte
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("norm", sqrt(dotF64(col("e"), col("e"))))
 

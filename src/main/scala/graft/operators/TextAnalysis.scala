@@ -239,7 +239,10 @@ object TextAnalysis {
     */
   def x4TfIdf(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    // spread before the term explode (guide §2.5: one-task fixture scan
+    // serializes the tokenize+explode map; no-op at production scale)
+    val terms = graft.engine.Spread.byKey(docs, "doc_id")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     // tf holds one row per distinct (doc, term), so df derives from it
     // directly — no second explode/distinct/shuffle chain over the corpus.
     // No paired unpersist (the result is lazy): session cache growth is
@@ -289,9 +292,12 @@ object TextAnalysis {
     * partition-order-independent.
     */
   def x4NgramLm(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 2)
+    // spread before the bigram explode (guide §2.5, the x4TfIdf note)
+    val docs = graft.engine.Spread.byKey(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2),
+      "doc_id")
     val bigrams = docs.select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("toks")) - 1), i =>
           struct(element_at(col("toks"), i).as("w1"),
@@ -359,7 +365,10 @@ object TextAnalysis {
     * reductions.
     */
   private def repetitionFractions(t: DataFrame): DataFrame = {
-    val grams = t.select(col("doc_id"), explode(concat(
+    // spread before the bigram+trigram explode (guide §2.5: the frames
+    // passed here root at one-task fixture scans; no-op once parallel)
+    val grams = graft.engine.Spread.byKey(t, "doc_id")
+      .select(col("doc_id"), explode(concat(
         transform(sequence(lit(1), size(col("tk")) - 1), i =>
           struct(lit(2).as("n"), concat_ws(" ", element_at(col("tk"), i),
             element_at(col("tk"), i + 1)).as("g"))),

@@ -304,8 +304,13 @@ object BandStore {
     * construction at the caller).
     */
   private[graft] def signDocs(batch: DataFrame): DataFrame =
-    batch
-      .filter(size(split(col("text"), " ")) >= 3)
+    // Spread.byKey before the shingle+128-perm sign (guide §2.5): batch
+    // frames arrive rooted at one-task fixture scans or one-partition
+    // localCheckpoints, so the store's single heaviest map ran serially
+    // (profiled 2.9-4.6 s per importCorpus write at sf0.1); no-op when
+    // the input is already parallel
+    graft.engine.Spread.byKey(
+        batch.filter(size(split(col("text"), " ")) >= 3), "doc_id")
       .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
       .withColumn("sig", Dedup.minhashSig)
 
