@@ -837,7 +837,11 @@ object Dedup {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("norm", sqrt(graft.functions.VectorFunctions.dotF64(col("e"), col("e"))))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    // spread the STREAMED side of the all-pairs product (guide §2.5):
+    // the broadcast join leaves the left side at the scan's one-task
+    // parallelism, so all n²/2 dot products ran on one core
+    graft.engine.Spread.byKey(e, "vec_id").as("a")
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("dot", graft.functions.VectorFunctions.dotF64(col("a.e"), col("b.e")))
       .withColumn("cosine", round(col("dot") / (col("a.norm") * col("b.norm")), 6))
       .filter(col("cosine") >= 0.5)
@@ -1005,7 +1009,12 @@ object Dedup {
       case None =>
         val right = e.select(col("vec_id").as(outB), col("e").as("eb"), col("norm").as("nb"))
         val hinted = if (shape.getLong(0) <= BruteBroadcastMaxRows) broadcast(right) else right
-        e.select(col("vec_id").as(outA), col("e").as("ea"), col("norm").as("na"))
+        // spread the streamed side (the x2EmbeddingNearDup note): the
+        // brute product's dots otherwise run at the cache's one-task
+        // parallelism
+        graft.engine.Spread.byKey(
+            e.select(col("vec_id").as(outA), col("e").as("ea"), col("norm").as("na")),
+            outA)
           .join(hinted, col(outA) < col(outB))
           .withColumn("cosine", round(
             graft.functions.VectorFunctions.dotF64(col("ea"), col("eb")) /

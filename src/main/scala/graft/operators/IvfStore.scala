@@ -186,8 +186,21 @@ object IvfStore {
     */
   private def readIngestId(s: SparkSession, gen: Gen): Option[Long] = {
     val p = new Path(s"${gen.path}/ingest")
-    if (!fsOf(s, p).exists(p)) None
-    else Some(s.read.parquet(p.toString).collect().head.getLong(0))
+    val fs = fsOf(s, p)
+    if (!fs.exists(p)) None
+    // a scalar is driver metadata, not a dataset: the pre-r17 layout
+    // stored it as a 1-row parquet, costing a full Spark job (listing +
+    // footer + scan + collect, ~0.1-0.4 s) per exactly-once floor check
+    // — several times per ingest lane. Plain text file now; the
+    // directory form is the legacy layout, still readable.
+    else if (fs.getFileStatus(p).isDirectory)
+      Some(s.read.parquet(p.toString).collect().head.getLong(0))
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes,
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
   }
 
   private def publishGen(s: SparkSession, storeDir: String, next: Long, n: Long,
@@ -210,13 +223,14 @@ object IvfStore {
     if (fs.exists(staging)) fs.delete(staging, true)
     centroids.write.mode(SaveMode.Overwrite).parquet(s"$staging/centroids")
     locally {
-      import s.implicits._
       val carried = (gens.lastOption.flatMap(readIngestId(s, _)) ++ ingestId)
         .reduceOption(_ max _)
       carried.foreach { id =>
-        Seq(id).toDF("last_stream_batch")
-          .coalesce(1)
-          .write.mode(SaveMode.Overwrite).parquet(s"$staging/ingest")
+        // scalar metadata as a plain file (see readIngestId): the 1-row
+        // parquet form cost a Spark write job per publish
+        val out = fs.create(new Path(s"$staging/ingest"), true)
+        try out.write(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
       }
     }
     StoreDirs.publishStaged(fs, root, next, staging,
@@ -616,13 +630,15 @@ object IvfStore {
     // runs thousands of micro-batches (the clusterPairs lesson)
     val pinned = scala.collection.mutable.ArrayBuffer[DataFrame](cleaned)
     try {
-      if (cleaned.isEmpty) return "empty"
       // conflicting versions of one id inside a single micro-batch have
       // no defined order here — that is the producer's sequencing (the
       // L5 upsert sink's max-offset discipline); fail loudly, not last-
-      // writer-by-luck
-      val nIds = cleaned.select(col("vec_id")).distinct().count()
-      require(nIds == cleaned.count(),
+      // writer-by-luck. ONE aggregate answers emptiness and the
+      // conflict check together (r17: this ran as three separate jobs —
+      // isEmpty + distinct-count + count — per micro-batch)
+      val shape = cleaned.agg(count(lit(1)), countDistinct(col("vec_id"))).head
+      if (shape.getLong(0) == 0) return "empty"
+      require(shape.getLong(0) == shape.getLong(1),
         s"IvfStore.appendVectors: a micro-batch carries conflicting embeddings for the same vec_id")
       val dgPath = new Path(digestsDir(storeDir))
       val gen0 = gens.lastOption.filter(_ => fsOf(s, dgPath).exists(dgPath))

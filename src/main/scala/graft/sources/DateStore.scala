@@ -107,9 +107,31 @@ object DateStore {
   /** The latest generation's manifest: (event_date, n_rows, fp, batch),
     * one row per LIVE date.
     */
-  private def readManifest(s: SparkSession, gen: Gen): Seq[(java.sql.Date, Long, Long, Long)] =
-    s.read.parquet(s"${gen.path}/manifest").collect()
-      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+  private def readManifest(s: SparkSession, gen: Gen): Seq[(java.sql.Date, Long, Long, Long)] = {
+    val p = new Path(s"${gen.path}/manifest")
+    val fs = fsOf(s, p)
+    // the manifest is bounded routing metadata (one row per LIVE date —
+    // thousands of rows at any scale), which table formats keep as
+    // driver-read manifest files precisely so readers never pay a
+    // distributed scan for routing (guide §6). The pre-r17 layout
+    // stored it as parquet, costing a Spark job (~0.1 s) per read —
+    // and the date lanes read it on every append, rollup, and publish.
+    // Plain text now (one `date,n,fp,batch` line per date); the
+    // directory form is the legacy layout, still readable.
+    if (fs.getFileStatus(p).isDirectory)
+      s.read.parquet(p.toString).collect()
+        .map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes,
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      txt.linesIterator.filter(_.nonEmpty).map { l =>
+        val Array(d, n, f, b) = l.split(",")
+        (java.sql.Date.valueOf(d), n.toLong,
+          java.lang.Long.parseUnsignedLong(f, 16), b.toLong)
+      }.toSeq
+    }
+  }
 
   def defaultStoreDir(dir: String): String =
     StoreDirs.canonical("graft-events-bydate", dir)
@@ -159,8 +181,18 @@ object DateStore {
     */
   private def readIngestId(s: SparkSession, gen: Gen): Option[Long] = {
     val p = new Path(s"${gen.path}/ingest")
-    if (!fsOf(s, p).exists(p)) None
-    else Some(s.read.parquet(p.toString).collect().head.getLong(0))
+    val fs = fsOf(s, p)
+    if (!fs.exists(p)) None
+    // scalar driver metadata as a plain file (the IvfStore.readIngestId
+    // note); directory = legacy 1-row-parquet layout, still readable
+    else if (fs.getFileStatus(p).isDirectory)
+      Some(s.read.parquet(p.toString).collect().head.getLong(0))
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes,
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
   }
 
   /** Atomic publish: manifest (+ carried ingest id) staged, then one
@@ -189,17 +221,23 @@ object DateStore {
     // rename a never-committed micro-batch id into the new generation,
     // making the stream's retry of that batch a silent skip.
     if (fs.exists(staging)) fs.delete(staging, true)
-    import s.implicits._
-    manifest.map { case (d, nr, f, b) => (d, nr, f, b) }
-      .toDF("event_date", "n_rows", "fp", "batch")
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$staging/manifest")
+    // manifest + ingest id as plain driver-written files (see
+    // readManifest/readIngestId): the parquet forms cost two Spark
+    // write jobs per publish for bounded routing metadata
+    fs.mkdirs(staging)
+    locally {
+      val out = fs.create(new Path(s"$staging/manifest"), true)
+      try out.write(manifest.map { case (d, nr, f, b) =>
+        s"$d,$nr,${java.lang.Long.toHexString(f)},$b"
+      }.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     val carried = (gens.lastOption.filter(hasManifest(s, _))
       .flatMap(readIngestId(s, _)) ++ ingestId).reduceOption(_ max _)
     carried.foreach { id =>
-      Seq(id).toDF("last_stream_batch")
-        .coalesce(1)
-        .write.mode(SaveMode.Overwrite).parquet(s"$staging/ingest")
+      val out = fs.create(new Path(s"$staging/ingest"), true)
+      try out.write(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
     StoreDirs.publishStaged(fs, root, next, staging,
       new Path(root,
