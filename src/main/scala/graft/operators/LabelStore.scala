@@ -185,11 +185,11 @@ object LabelStore {
       df("doc_id") === t("__ts_id") && t("__ts_b") >= df("__batch"), "left_anti"))
 
   private def writeTombstones(deleted: DataFrame, gen: Long, storeDir: String): Unit =
-    deleted.select(col("doc_id")).withColumn("__batch", lit(gen))
-      .coalesce(8)
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__batch").parquet(tombstonesIdx(storeDir))
+    // direct write into the (unpublished) batch dir — the writeOne
+    // append discipline; the dynamic-overwrite committer's
+    // stage-and-move was pure per-write overhead
+    writeOne(deleted.select(col("doc_id")).coalesce(8), gen, Seq.empty,
+      tombstonesIdx(storeDir), replaceAll = false)
 
   /** (doc_id, sh, sig) of the signable subset of a corpus frame —
     * identical shingling/signing to [[Dedup.x2MinHashLsh]].
@@ -569,8 +569,12 @@ object LabelStore {
                 .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("__n"))
                 .agg(coalesce(max(col("__n")), lit(0L))).head.getLong(0)
             if (reducedMax > cap) { buildDocs(corpus, storeDir, owner); return "full" }
-            val cand = Dedup.cappedSelfPairs(survBands, "doc_id",
-              cap, "doc_a", "doc_b", keep)
+            // Spread.pairs: the candidate frame's AQE-coalesced width
+            // (bytes-derived, 1-2 tasks) serializes the CPU-dense exact
+            // verify below (guide §2.2)
+            val cand = graft.engine.Spread.pairs(
+              Dedup.cappedSelfPairs(survBands, "doc_id",
+                cap, "doc_a", "doc_b", keep), "doc_a")
             // exact Jaccard verification, identical arithmetic to the
             // full pipeline — the relabeled components must hash-match a
             // from-scratch build on the reduced corpus
@@ -677,8 +681,11 @@ object LabelStore {
             throw t
         }
       failSettling {
-      // new-new candidates through the shared hot-bucket guard
-      val nn = Dedup.cappedSelfPairs(newBands, "doc_id", cap, "na", "nb", keep)
+      // new-new candidates through the shared hot-bucket guard;
+      // Spread.pairs pins the exact-verify width (guide §2.2 — AQE's
+      // byte-derived coalescing serializes the array_intersect work)
+      val nn = graft.engine.Spread.pairs(
+        Dedup.cappedSelfPairs(newBands, "doc_id", cap, "na", "nb", keep), "na")
       // new-old candidates: bucket-pruned probe of the stored bands
       // (≤ BandBuckets driver-side values — bounded, never data rows)
       // the bucket-list collect prunes the stored-bands scan — worth a
@@ -745,7 +752,8 @@ object LabelStore {
           val oldSh = maskDead(
               sigsStored.filter(col("__db").isin(peerBuckets: _*)), ts)
             .select(col("doc_id"), col("sh").as("sh_b"))
-          no.join(sig.select(col("doc_id"), col("sh").as("sh_a")), col("new_id") === col("doc_id")).drop("doc_id")
+          graft.engine.Spread.pairs(no, "new_id")
+            .join(sig.select(col("doc_id"), col("sh").as("sh_a")), col("new_id") === col("doc_id")).drop("doc_id")
             .join(oldSh, col("old_id") === col("doc_id")).drop("doc_id")
             .filter(jaccardOk).select(col("new_id").as("doc_a"), col("old_id").as("doc_b"))
         }

@@ -100,7 +100,22 @@ private[graft] object StoreDirs {
     val conf = s.sparkContext.hadoopConfiguration
     val sp = new org.apache.hadoop.fs.Path(src)
     val fs = sp.getFileSystem(conf)
-    require(org.apache.hadoop.fs.FileUtil.copy(fs, sp, fs,
+    // local filesystems copy through plain NIO: Hadoop's LocalFileSystem
+    // routes every file through the checksum layer (read + CRC verify +
+    // fresh .crc sidecar per file), which for a store of ~200 small
+    // bucket files is several times the byte cost. The copied bytes are
+    // identical either way; .crc sidecars are simply not re-created
+    // (RawLocalFileSystem reads fine without them).
+    if (fs.getScheme == "file") {
+      val from = Paths.get(src)
+      val to = Paths.get(dst)
+      import scala.jdk.CollectionConverters._
+      Files.walk(from).iterator().asScala.foreach { p =>
+        val t = to.resolve(from.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+      }
+    } else require(org.apache.hadoop.fs.FileUtil.copy(fs, sp, fs,
       new org.apache.hadoop.fs.Path(dst), false, conf),
       s"could not copy base store $src to $dst")
   }

